@@ -1,0 +1,122 @@
+"""Stage 2 — per-conversation chunking via ``groupBy().applyInPandas``.
+
+The overlap fold makes chunk *k+1* depend on chunk *k*
+(/root/reference/api.py:1047-1070), so a conversation is the atomic unit of
+work: whole conversations hash-shuffle to one task each
+(``groupBy("conv_id")``), and conversations process in parallel across
+tasks.  The group body is ``core.chunker.chunk_conversation`` — the golden
+oracle's chunker — fed in turn_idx order (the W1 stable-ordering invariant,
+api.py:964-968).
+
+**Multiplexed output** (single-pass design): alongside its chunk rows every
+conversation emits one *sentinel* row (``chunk_index = -1``) carrying the
+document roll-up — status, title, num_turns, bytes_in, parse_failures.
+This folds the reject gate (XSS ⇒ whole conversation yields zero chunks,
+api.py:998-1002; > 10k turns ⇒ rejected, api.py:287), title inference
+(api.py:769-844) and the lineage counters into the ONE shuffle the chunker
+already needs — no second extraction pass, no second scan of the input, no
+driver-side state.  plans/pipeline.py splits the two row kinds after the
+atomic write.
+
+Skew bound: a conversation contributes at most MAX_TURNS_PER_CONV turns
+(longer ones are rejected inside the group fn before any fold work) and at
+most MAX_CHUNKS_PER_CONV output chunks, so one group's memory is bounded
+regardless of corpus skew.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..config import MAX_TURNS_PER_CONV
+from ..core.chunker import TurnRecord, chunk_conversation
+from ..core.oracle import STATUS_OK, STATUS_TOO_LONG, STATUS_XSS
+from ..core.title import infer_title
+
+MULTIPLEX_SCHEMA = (
+    "conv_id string, chunk_index int, content string, turns array<int>, "
+    "printed_pages array<string>, chapters array<string>, char_count int, "
+    "start_turn int, end_turn int, "
+    "status string, title string, num_turns int, bytes_in long, parse_failures int"
+)
+
+MULTIPLEX_COLS = [
+    "conv_id", "chunk_index", "content", "turns", "printed_pages", "chapters",
+    "char_count", "start_turn", "end_turn",
+    "status", "title", "num_turns", "bytes_in", "parse_failures",
+]
+
+CHUNK_COLS = MULTIPLEX_COLS[:9]
+DOC_COLS = ["conv_id", "title", "num_turns", "chunk_count", "status"]
+SENTINEL_INDEX = -1
+
+
+def _opt_str(v) -> Optional[str]:
+    return v if isinstance(v, str) else None
+
+
+def process_conversation_group(group: pd.DataFrame) -> pd.DataFrame:
+    """One conversation's extracted turns → chunk rows + sentinel doc row."""
+    conv_id = group["conv_id"].iloc[0]
+    n_turns = len(group)
+
+    if n_turns > MAX_TURNS_PER_CONV:
+        status = STATUS_TOO_LONG
+    elif bool(group["rejected_xss"].any()):
+        status = STATUS_XSS
+    else:
+        status = STATUS_OK
+
+    rows: list[dict] = []
+    if status == STATUS_OK:
+        records = [
+            TurnRecord(
+                int(t.turn_idx),
+                t.clean_text or "",
+                _opt_str(t.printed_page),
+                _opt_str(t.chapter),
+            )
+            for t in group.itertuples(index=False)
+        ]
+        for c in chunk_conversation(records):
+            rows.append({"conv_id": conv_id, **c})
+
+    # title from turn 0's pre-normalize extract (api.py:782-788 'page_1' path)
+    first = group.loc[group["turn_idx"] == 0, "first_extract"]
+    first_text = first.iloc[0] if len(first) and isinstance(first.iloc[0], str) else ""
+
+    rows.append(
+        {
+            "conv_id": conv_id,
+            "chunk_index": SENTINEL_INDEX,
+            "status": status,
+            "title": infer_title(first_text),
+            "num_turns": n_turns,
+            "bytes_in": int(group["bytes_in"].sum()),
+            "parse_failures": int((~group["parse_ok"].astype(bool)).sum()),
+        }
+    )
+
+    # every row carries every column: missing keys must be None (not NaN) so
+    # Arrow maps them to nulls — NaN floats break array<int>/int32 conversion
+    full = [{col: r.get(col) for col in MULTIPLEX_COLS} for r in rows]
+    out = pd.DataFrame(full, columns=MULTIPLEX_COLS)
+    for col in ("chunk_index", "char_count", "start_turn", "end_turn",
+                "num_turns", "parse_failures"):
+        out[col] = out[col].astype("Int32")
+    out["bytes_in"] = out["bytes_in"].astype("Int64")
+    return out
+
+
+def chunk_conversations(extracted: DataFrame) -> DataFrame:
+    """Extracted turns → multiplexed chunk+sentinel rows (one shuffle)."""
+    pruned = extracted.select(
+        "conv_id", "turn_idx", "clean_text", "printed_page", "chapter",
+        "rejected_xss", "parse_ok", "bytes_in", "first_extract",
+    )
+    return pruned.groupBy("conv_id").applyInPandas(
+        process_conversation_group, schema=MULTIPLEX_SCHEMA
+    )

@@ -294,3 +294,33 @@ def rows_to_pandas(rows: list[tuple]):
     df = pd.DataFrame(rows, columns=TRANSCRIPT_COLUMNS)
     df["turn_idx"] = df["turn_idx"].astype("int32")
     return df
+
+
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def transcripts_spark_df(
+    spark,
+    n_convs: int,
+    seed: int = 42,
+    lo: int = 5,
+    hi: int = 40,
+    skew_every: int = 0,
+    partitions: Optional[int] = None,
+):
+    """Generate the transcripts table distributed: one task generates a
+    range of conversations (per-conv seeding makes any split identical to
+    single-process generation)."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            rows: list[tuple] = []
+            for cid in pdf["id"].tolist():
+                rows.extend(generate_conversation(seed, int(cid), lo, hi, skew_every))
+            yield rows_to_pandas(rows)
+
+    return spark.range(0, n_convs, 1, parts).mapInPandas(gen, TRANSCRIPT_DDL)

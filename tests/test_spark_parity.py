@@ -1,0 +1,148 @@
+"""GOLDEN CHECKS #1 and #2 (SURVEY.md §7.1): the Spark pipeline must equal
+the pure-Python oracle goldens byte-for-byte — per-turn text equality and
+chunk-span equality under stable turn ordering — plus checkpoint/resume
+idempotence (FIXTURES.md §4 last invariant).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import pytest
+
+from pdf_extractor_spark.operators.extract import extract_turns
+from pdf_extractor_spark.plans.pipeline import (
+    read_chunks,
+    read_documents,
+    read_lineage,
+    run_extraction,
+)
+from pdf_extractor_spark.sources.transcripts import generate_rows, rows_to_pandas
+
+GOLDEN_DIR = pathlib.Path(__file__).resolve().parent / "goldens"
+GOLDEN_CONVS = 20
+GOLDEN_SKEW_EVERY = 20
+
+TURN_KEY = ("conv_id", "turn_idx")
+TURN_COLS = (
+    "conv_id", "turn_idx", "clean_text", "printed_page", "chapter",
+    "char_count", "parse_ok", "rejected_xss",
+)
+CHUNK_COLS = (
+    "conv_id", "chunk_index", "content", "turns", "printed_pages",
+    "chapters", "char_count", "start_turn", "end_turn",
+)
+DOC_COLS = ("conv_id", "title", "num_turns", "chunk_count", "status")
+
+
+def _golden(name):
+    return json.loads((GOLDEN_DIR / f"{name}.json").read_text(encoding="utf-8"))
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    # same corpus as tools/make_goldens.py, rows shuffled by generate_rows
+    rows = generate_rows(GOLDEN_CONVS, 42, skew_every=GOLDEN_SKEW_EVERY)
+    return spark.createDataFrame(rows_to_pandas(rows)).cache()
+
+
+@pytest.fixture(scope="module")
+def pipeline_output(spark, transcripts, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pipeline"))
+    summary = run_extraction(spark, transcripts, root, buckets=8, buckets_per_batch=4)
+    return root, summary
+
+
+def _rows_as_dicts(df, cols):
+    return sorted(
+        ([r[c] for c in cols] for r in df.select(*cols).collect()),
+    )
+
+
+def _golden_as_lists(rows, cols):
+    return sorted([r[c] for c in cols] for r in rows)
+
+
+class TestGoldenCheck1_Turns:
+    def test_per_turn_text_equality(self, transcripts):
+        got = _rows_as_dicts(extract_turns(transcripts), TURN_COLS)
+        want = _golden_as_lists(_golden("turns"), TURN_COLS)
+        assert len(got) == len(want)
+        assert got == want
+
+
+class TestGoldenCheck2_Chunks:
+    def test_chunk_span_equality(self, spark, pipeline_output):
+        root, _ = pipeline_output
+        got = _rows_as_dicts(read_chunks(spark, root), CHUNK_COLS)
+        want = _golden_as_lists(_golden("chunks"), CHUNK_COLS)
+        assert len(got) == len(want)
+        assert got == want
+
+    def test_documents_equality(self, spark, pipeline_output):
+        root, _ = pipeline_output
+        got = _rows_as_dicts(read_documents(spark, root), DOC_COLS)
+        want = _golden_as_lists(_golden("docs"), DOC_COLS)
+        assert got == want
+
+    def test_embeddings_present_and_deterministic(self, spark, pipeline_output):
+        from pdf_extractor_spark.config import EMBED_DIM
+        from pdf_extractor_spark.core.embed import embed_text
+
+        root, _ = pipeline_output
+        row = (
+            read_chunks(spark, root)
+            .orderBy("conv_id", "chunk_index")
+            .select("content", "embedding")
+            .first()
+        )
+        assert len(row.embedding) == EMBED_DIM
+        expected = embed_text(row.content, EMBED_DIM)
+        assert [round(float(x), 5) for x in row.embedding[:8]] == [
+            round(float(x), 5) for x in expected[:8]
+        ]
+
+
+class TestLineage:
+    def test_counters_match_input(self, spark, transcripts, pipeline_output):
+        root, summary = pipeline_output
+        totals = summary["totals"]
+        assert totals["turns_in"] == transcripts.count()
+        assert totals["convs"] == GOLDEN_CONVS
+        assert totals["chunks_out"] == len(_golden("chunks"))
+        assert totals["convs_rejected"] == sum(
+            1 for d in _golden("docs") if d["status"] != "embedded"
+        )
+        lineage = read_lineage(spark, root)
+        assert lineage.count() == len(summary["batches"])
+
+
+class TestResume:
+    def test_kill_and_resume_no_duplicates(self, spark, transcripts, tmp_path):
+        root = str(tmp_path / "resume")
+        with pytest.raises(RuntimeError, match="simulated kill"):
+            run_extraction(
+                spark, transcripts, root,
+                buckets=8, buckets_per_batch=2, fail_after_batches=2,
+            )
+        partial = len(
+            __import__("pdf_extractor_spark.plans.pipeline", fromlist=["committed_batches"])
+            .committed_batches(root)
+        )
+        assert partial == 2
+
+        summary = run_extraction(
+            spark, transcripts, root, buckets=8, buckets_per_batch=2
+        )
+        assert summary["executed_now"] == 2  # only the missing batches ran
+
+        got = _rows_as_dicts(read_chunks(spark, root), CHUNK_COLS)
+        want = _golden_as_lists(_golden("chunks"), CHUNK_COLS)
+        assert got == want  # byte-identical, no dups, nothing missing
+
+        # a third run is a no-op
+        summary2 = run_extraction(
+            spark, transcripts, root, buckets=8, buckets_per_batch=2
+        )
+        assert summary2["executed_now"] == 0
