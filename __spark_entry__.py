@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``    — flagship run: full extraction pipeline (stage-1 pandas-UDF
+               layout/normalize/XSS, stage-2 per-conversation chunk fold,
+               embeddings) over a deterministic synthetic transcripts table
+               at golden-corpus scale; returns the chunk DataFrame.
+``queries``  — one entry per implemented operator (SURVEY.md §2 + the
+               training-data operator families); see
+               pdf_extractor_spark/queries.py for the catalog.
+``oracle_sql`` — DuckDB-parity SQL for every SQL-expressible query; the
+               pandas-UDF pipeline queries are rows-only (their byte-level
+               contract is pinned by tests/test_spark_parity.py goldens).
 """
 
 from __future__ import annotations
@@ -13,26 +18,22 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pdf_extractor_spark.queries import QUERY_REGISTRY
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: transcripts → extracted, chunked, embedded chunk rows."""
+    from pdf_extractor_spark.operators.enrich import split_chunks
+    from pdf_extractor_spark.plans.pipeline import build_multiplexed
+    from pdf_extractor_spark.sources.transcripts import transcripts_spark_df
+
+    transcripts = transcripts_spark_df(spark, n_convs=20, seed=42, skew_every=20)
+    return split_chunks(build_multiplexed(transcripts))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERY_REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in QUERY_REGISTRY.items() if sql}

@@ -1,0 +1,808 @@
+"""Driver-contract query catalog: Spark implementations + DuckDB oracles.
+
+Every SQL-expressible operator from SURVEY.md §2 gets a (spark_fn,
+oracle_sql) pair here, checked side-by-side by the driver at sf=0.01
+(row-count + schema + order-insensitive value hash).  The training-data
+operators the engine adds beyond the reference (dedup family, similarity
+search, text analysis) are first-class entries over the ``documents`` /
+``embeddings`` tables.
+
+Cross-engine parity rules (prototyped and verified against DuckDB 1.0):
+
+* hash-to-int: Spark ``conv(substring(md5(x),1,8),16,10)`` ==
+  DuckDB ``('0x' || substr(md5(x),1,8))::bigint`` — both 32-bit ranges;
+* Spark arrays are 0-indexed via ``a[i]`` but ``element_at`` is 1-based
+  like DuckDB's ``a[i]`` — the SQL here uses only 1-based accessors;
+* float math runs in double with sequential fold both sides, rounded to 4
+  decimals before comparison;
+* all computed columns aliased identically on both sides.
+
+Pipeline queries (stage-1/stage-2 pandas-UDF operators) are not
+SQL-expressible; they appear with ``oracle = None`` (driver records a
+rows-only check) and are pinned byte-for-byte by tests/test_spark_parity.py
+instead.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# shared SQL fragments (kept textually identical across engines where the
+# dialects agree; engine-specific variants are defined side by side)
+# --------------------------------------------------------------------------
+
+_STOPWORDS = (
+    "'the','a','of','and','to','in','is','it','that','for','on','as','with','was','are'"
+)
+
+_SPARK_MD5INT = "cast(conv(substring(md5({x}),1,8),16,10) as bigint)"
+_DUCK_MD5INT = "('0x' || substr(md5({x}),1,8))::bigint"
+
+_SPARK_TOKENS = "filter(split(lower({x}), '[^a-z0-9]+'), t -> t != '')"
+_DUCK_TOKENS = "list_filter(regexp_split_to_array(lower({x}), '[^a-z0-9]+'), t -> t != '')"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _sql(spark: SparkSession, sf_dir: str, tables: list[str], query: str) -> DataFrame:
+    for name in tables:
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(query)
+
+
+# --------------------------------------------------------------------------
+# §2.6/§2.9 — aggregation / sort / limit shapes (reference A1-A6, O1-O5)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the reference's char_count/page-set aggregation
+    pattern (api.py:1037-1042) as a grouped rollup with map-side combine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.round("sum_qty", 2).alias("sum_qty"),
+            F.round("sum_base_price", 2).alias("sum_base_price"),
+            "avg_disc", "count_order",
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_conv_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 metadata-scan analog: per-key count + time range (min/max ts =
+    creation/modification dates, pdf_extractor.py:353-375)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("num_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+ORACLE_CONV_METADATA = """
+SELECT user_id, count(*) AS num_events, min(ts) AS first_ts,
+       max(ts) AS last_ts, round(sum(value), 4) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+def q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 page-range pruning analog: predicate-pushdown filter + projection;
+    .explain shows PushedFilters on the parquet scan."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(
+            (F.col("ts") >= F.lit("2024-01-10")) & (F.col("ts") < F.lit("2024-01-20"))
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+ORACLE_RANGE_SCAN = """
+SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events WHERE ts >= '2024-01-10' AND ts < '2024-01-20'
+GROUP BY event_type
+"""
+
+
+def q_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10/P1 projection-by-extract-type analog: narrow column selection
+    (ReadSchema prunes to 3 of 6 columns) plus a cheap predicate."""
+    part = _t(spark, sf_dir, "part")
+    return part.where(F.col("p_size") >= 40).select(
+        "p_partkey", "p_brand", F.length("p_name").alias("name_len")
+    )
+
+
+ORACLE_PROJECTION = """
+SELECT p_partkey, p_brand, length(p_name) AS name_len
+FROM part WHERE p_size >= 40
+"""
+
+
+def q_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 limits analog: deterministic top-k (total order: size then id)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.orderBy(F.desc("n_chars"), F.asc("doc_id")).select(
+        "doc_id", "n_chars", "lang"
+    ).limit(10)
+
+
+ORACLE_TOPK = """
+SELECT doc_id, n_chars, lang FROM documents
+ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.7/§2.8 — joins and windows (reference J1-J4, W1-W3)
+# --------------------------------------------------------------------------
+
+def q_first_turn_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W3: stable ordering + first-row-per-group (title inference selects
+    page_1, api.py:782-788) via min_by — no full window sort needed."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", F.struct(F.col("ts"), F.col("event_id"))).alias(
+            "first_event_type"
+        ),
+        F.min("ts").alias("first_ts"),
+    )
+
+
+ORACLE_FIRST_TURN = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         min(ts) OVER (PARTITION BY user_id) AS first_ts
+  FROM events
+)
+SELECT user_id, event_type AS first_event_type, first_ts
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_set_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3/O4 set-aggregation analog: sorted de-duplicated lineage sets
+    per group (chunk pages/printed_pages/chapters, api.py:1037-1039)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("l_returnflag"))).alias("flag_set"),
+        F.count("*").alias("n_lines"),
+        F.min("l_linenumber").alias("first_line"),
+        F.max("l_linenumber").alias("last_line"),
+    )
+
+
+ORACLE_SET_LINEAGE = """
+SELECT l_orderkey,
+       string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag) AS flag_set,
+       count(*) AS n_lines,
+       min(l_linenumber) AS first_line,
+       max(l_linenumber) AS last_line
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_reject_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 rejected-doc propagation: anti-join survivors (XSS conv reject,
+    api.py:998-1002). Flagged set = orders containing any 'R' lineitem."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    flagged = li.where(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    return (
+        orders.join(flagged, orders.o_orderkey == flagged.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("surviving_orders"))
+    )
+
+
+ORACLE_REJECT_ANTIJOIN = """
+SELECT o_orderstatus, count(*) AS surviving_orders
+FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+GROUP BY o_orderstatus
+"""
+
+
+def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 document-dim stamping: fact ⋈ broadcast(dim) — the explain plan
+    must show BroadcastHashJoin, never a sort-merge for a dim this small."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_BROADCAST_JOIN = """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.4/§2.10 — native normalization / scalar-function QA path
+# (the golden path runs Python `re` in UDFs; THIS is the native analog for
+# metrics, so patterns here avoid `\w`/lookbehind divergence)
+# --------------------------------------------------------------------------
+
+def q_normalize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1-N3 whitespace normalization as native regexp_replace chain."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        r"""
+        SELECT doc_id,
+               length(text) AS raw_len,
+               length(trim(regexp_replace(regexp_replace(text, '[ \t]+', ' '), '\n{3,}', '\n\n'))) AS norm_len
+        FROM documents
+        """,
+    )
+
+
+ORACLE_NORMALIZE = r"""
+SELECT doc_id,
+       length(text) AS raw_len,
+       length(trim(regexp_replace(regexp_replace(text, '[ \t]+', ' ', 'g'), '\n{3,}', '\n\n', 'g'))) AS norm_len
+FROM documents
+"""
+
+
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N7 sentence-splitting analog: boundary counting + unit estimate."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        r"""
+        SELECT doc_id,
+               size(regexp_extract_all(text, '[.!?]', 0)) AS sentence_marks,
+               cast(ceil(length(text) / 900.0) as bigint) AS est_units
+        FROM documents
+        """,
+    )
+
+
+ORACLE_SENTENCE = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[.!?]')) AS sentence_marks,
+       cast(ceil(length(text) / 900.0) as bigint) AS est_units
+FROM documents
+"""
+
+
+def q_header_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 header-block classifier, native: first line short AND uppercase."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        r"""
+        WITH firsts AS (
+          SELECT doc_id, element_at(split(text, '\n'), 1) AS first_line FROM documents
+        )
+        SELECT doc_id,
+               length(first_line) AS first_line_len,
+               (length(first_line) < 100 AND upper(first_line) = first_line
+                AND first_line rlike '[A-Za-z]') AS is_header_shaped
+        FROM firsts
+        """,
+    )
+
+
+ORACLE_HEADER_SHAPE = r"""
+WITH firsts AS (
+  SELECT doc_id, string_split(text, chr(10))[1] AS first_line FROM documents
+)
+SELECT doc_id,
+       length(first_line) AS first_line_len,
+       (length(first_line) < 100 AND upper(first_line) = first_line
+        AND regexp_matches(first_line, '[A-Za-z]')) AS is_header_shaped
+FROM firsts
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data operators: deduplication family
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest, keep lowest doc_id.
+    Emits every hash group (is_dup marks the collisions) so the oracle
+    check stays non-trivial on corpora without duplicates."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
+        .select(
+            "text_hash", "n_copies", "keeper_doc_id",
+            (F.col("n_copies") > 1).alias("is_dup"),
+        )
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keeper_doc_id,
+       count(*) > 1 AS is_dup
+FROM documents GROUP BY md5(text)
+"""
+
+# shingle CTE shared by the minhash queries (engine-specific token/index ops)
+_SPARK_SHINGLES = f"""
+WITH toks AS (
+  SELECT doc_id, {_SPARK_TOKENS.format(x='text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN size(t) >= 3 THEN transform(sequence(1, size(t)-2),
+      i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))
+    ELSE array(concat_ws(' ', t)) END AS shingles
+  FROM toks WHERE size(t) > 0
+)
+"""
+
+_DUCK_SHINGLES = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(x='text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)]
+    ELSE [array_to_string(t, ' ')] END AS shingles
+  FROM toks WHERE len(t) > 0
+)
+"""
+
+_N_MINHASH = 8  # 4 bands x 2 rows
+
+
+def _spark_mh_cols() -> str:
+    h = _SPARK_MD5INT.format(x="concat(s, ':{k}')")
+    return ",\n".join(
+        f"  array_min(transform(shingles, s -> {h.format(k=k)})) AS mh{k}"
+        for k in range(_N_MINHASH)
+    )
+
+
+def _duck_mh_cols() -> str:
+    h = _DUCK_MD5INT.format(x="s || ':{k}'")
+    return ",\n".join(
+        f"  list_min([{h.format(k=k)} FOR s IN shingles]) AS mh{k}"
+        for k in range(_N_MINHASH)
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 hashes) over word 3-gram shingles — the
+    near-dup primitive; LSH banding builds on these columns."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        _SPARK_SHINGLES + f"SELECT doc_id,\n{_spark_mh_cols()}\nFROM sh",
+    )
+
+
+ORACLE_MINHASH = _DUCK_SHINGLES + f"SELECT doc_id,\n{_duck_mh_cols()}\nFROM sh"
+
+_BAND_DEFS = [(0, 1), (2, 3), (4, 5), (6, 7)]  # 4 bands x 2 rows
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing any band bucket.  The
+    banding self-join is the scale path — O(collisions), never O(n^2)."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = None
+    for b, (i, j) in enumerate(_BAND_DEFS):
+        piece = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws("_", F.col(f"mh{i}"), F.col(f"mh{j}")).alias("bucket"),
+        )
+        bands = piece if bands is None else bands.unionAll(piece)
+    left = bands.alias("a")
+    right = bands.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _duck_band_sql() -> str:
+    pieces = [
+        f"SELECT doc_id, {b} AS band, mh{i} || '_' || mh{j} AS bucket FROM sig"
+        for b, (i, j) in enumerate(_BAND_DEFS)
+    ]
+    return " UNION ALL ".join(pieces)
+
+
+ORACLE_LSH_PAIRS = (
+    _DUCK_SHINGLES.replace("WITH toks", "WITH sig AS (WITH toks")
+    .rstrip()
+    + f"\nSELECT doc_id,\n{_duck_mh_cols()}\nFROM sh),\n"
+    + f"bands AS ({_duck_band_sql()})\n"
+    + """
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: per-token hash bits vote ±1, sign wins."""
+    bit_sums = ",\n".join(
+        f"  sum(CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN cast(pow(2, {b}) as bigint) ELSE 0 END)"
+        for b in range(16)
+    )
+    h = _SPARK_MD5INT.format(x="tok")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH toks AS (
+          SELECT doc_id, explode({_SPARK_TOKENS.format(x='text')}) AS tok FROM documents
+        ), hashed AS (
+          SELECT doc_id, {h} AS h FROM toks
+        ), votes AS (
+          SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id, {recombine} AS simhash FROM votes
+        """,
+    )
+
+
+def _oracle_simhash() -> str:
+    bit_sums = ",\n".join(
+        f"  sum(CASE WHEN (h >> {b}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    recombine = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN cast(pow(2, {b}) as bigint) ELSE 0 END)"
+        for b in range(16)
+    )
+    h = _DUCK_MD5INT.format(x="tok")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS.format(x='text')}) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, {h} AS h FROM toks
+), votes AS (
+  SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {recombine} AS simhash FROM votes
+"""
+
+
+ORACLE_SIMHASH = _oracle_simhash()
+
+
+def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard between consecutive doc_ids — the verification
+    step that confirms/refutes LSH candidates (here on a deterministic
+    O(n) pair set so the oracle stays tractable)."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        _SPARK_SHINGLES
+        + """
+        , s AS (SELECT doc_id, array_distinct(shingles) AS g FROM sh)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(size(array_intersect(a.g, b.g)) /
+                     cast(size(array_union(a.g, b.g)) as double), 4) AS jaccard
+        FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+        """,
+    )
+
+
+ORACLE_NGRAM_JACCARD = (
+    _DUCK_SHINGLES
+    + """
+, s AS (SELECT doc_id, list_distinct(shingles) AS g FROM sh)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.g, b.g)) /
+             cast(len(list_distinct(list_concat(a.g, b.g))) as double), 4) AS jaccard
+FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# Training-data operators: similarity search over embeddings
+# --------------------------------------------------------------------------
+
+_SPARK_COS = """
+round(
+  aggregate(zip_with(e.embedding, q.qv, (a,b) -> cast(a as double)*cast(b as double)),
+            cast(0.0 as double), (acc,x) -> acc+x)
+  / (sqrt(aggregate(e.embedding, cast(0.0 as double), (a,x) -> a + cast(x as double)*cast(x as double)))
+   * sqrt(aggregate(q.qv, cast(0.0 as double), (a,x) -> a + cast(x as double)*cast(x as double)))), 4)
+"""
+
+_DUCK_COS = """
+round(
+  list_sum([e.embedding[i]::double * q.qv[i]::double FOR i IN range(1, len(e.embedding)+1)])
+  / (sqrt(list_sum([x::double*x::double FOR x IN e.embedding]))
+   * sqrt(list_sum([x::double*x::double FOR x IN q.qv]))), 4)
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against query vec_id=0 (ANN baseline)."""
+    return _sql(
+        spark, sf_dir, ["embeddings"],
+        f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, {_SPARK_COS} AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != 0
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+    )
+
+
+ORACLE_COSINE_TOPK = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, {_DUCK_COS} AS cos_sim
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id != 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_ivf_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN scale path: probe only the query's coarse cell (the
+    ``label`` column is the cluster assignment) instead of the full corpus —
+    at 10^12 vectors this is the difference between a scan and a lookup."""
+    return _sql(
+        spark, sf_dir, ["embeddings"],
+        f"""
+        WITH q AS (SELECT embedding AS qv, label AS ql FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, e.label, {_SPARK_COS} AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != 0 AND e.label = q.ql
+        ORDER BY cos_sim DESC, vec_id LIMIT 5
+        """,
+    )
+
+
+ORACLE_IVF_ANN = f"""
+WITH q AS (SELECT embedding AS qv, label AS ql FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label, {_DUCK_COS} AS cos_sim
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id != 0 AND e.label = q.ql
+ORDER BY cos_sim DESC, vec_id LIMIT 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data operators: text analysis
+# --------------------------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language heuristic: English function words dominate
+    English text; ratio >= 0.08 predicts 'en'."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH t AS (SELECT doc_id, lang, {toks} AS toks FROM documents)
+        SELECT doc_id, lang,
+               round(size(filter(toks, x -> x IN ({_STOPWORDS}))) /
+                     cast(greatest(size(toks), 1) as double), 4) AS stopword_ratio,
+               CASE WHEN size(filter(toks, x -> x IN ({_STOPWORDS}))) /
+                         cast(greatest(size(toks), 1) as double) >= 0.08
+                    THEN 'en' ELSE 'other' END AS predicted_lang
+        FROM t
+        """,
+    )
+
+
+ORACLE_LANG_ID = f"""
+WITH t AS (SELECT doc_id, lang, {_DUCK_TOKENS.format(x='text')} AS toks FROM documents)
+SELECT doc_id, lang,
+       round(len(list_filter(toks, x -> x IN ({_STOPWORDS}))) /
+             cast(greatest(len(toks), 1) as double), 4) AS stopword_ratio,
+       CASE WHEN len(list_filter(toks, x -> x IN ({_STOPWORDS}))) /
+                 cast(greatest(len(toks), 1) as double) >= 0.08
+            THEN 'en' ELSE 'other' END AS predicted_lang
+FROM t
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality score: length band + punctuation ratio +
+    mean word length (the reference's block-shape heuristics as metrics)."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH t AS (
+          SELECT doc_id, length(text) AS n,
+                 size(regexp_extract_all(text, '[.!?,;:]', 0)) AS punct,
+                 {toks} AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+               round(punct / cast(greatest(n, 1) as double), 4) AS punct_ratio,
+               round(n / cast(greatest(size(toks), 1) as double), 4) AS avg_token_span,
+               (n >= 200 AND n <= 50000
+                AND punct / cast(greatest(n, 1) as double) BETWEEN 0.005 AND 0.2) AS quality_ok
+        FROM t
+        """,
+    )
+
+
+ORACLE_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n,
+         len(regexp_extract_all(text, '[.!?,;:]')) AS punct,
+         {_DUCK_TOKENS.format(x='text')} AS toks
+  FROM documents
+)
+SELECT doc_id,
+       round(punct / cast(greatest(n, 1) as double), 4) AS punct_ratio,
+       round(n / cast(greatest(len(toks), 1) as double), 4) AS avg_token_span,
+       (n >= 200 AND n <= 50000
+        AND punct / cast(greatest(n, 1) as double) BETWEEN 0.005 AND 0.2) AS quality_ok
+FROM t
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: total + distinct + type-token ratio."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)
+        SELECT doc_id, size(toks) AS n_tokens,
+               size(array_distinct(toks)) AS n_distinct,
+               round(size(array_distinct(toks)) /
+                     cast(greatest(size(toks), 1) as double), 4) AS ttr
+        FROM t
+        """,
+    )
+
+
+ORACLE_TOKEN_STATS = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS.format(x='text')} AS toks FROM documents)
+SELECT doc_id, len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct,
+       round(len(list_distinct(toks)) /
+             cast(greatest(len(toks), 1) as double), 4) AS ttr
+FROM t
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: 64-bit digest of whitespace-normalized text —
+    the cheap first-pass identity for incremental dedup."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        r"""
+        SELECT doc_id,
+               substring(md5(trim(regexp_replace(lower(text), '[ \t\n]+', ' '))), 1, 16) AS fingerprint
+        FROM documents
+        """,
+    )
+
+
+ORACLE_FINGERPRINT = r"""
+SELECT doc_id,
+       substr(md5(trim(regexp_replace(lower(text), '[ \t\n]+', ' ', 'g'))), 1, 16) AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Pipeline operators (pandas-UDF path — rows-only driver check; byte parity
+# is pinned by tests/test_spark_parity.py goldens instead)
+# --------------------------------------------------------------------------
+
+_PIPELINE_CONVS = 40
+
+
+def q_extract_turns_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.extract import extract_turns
+    from .sources.transcripts import transcripts_spark_df
+
+    tx = transcripts_spark_df(spark, _PIPELINE_CONVS, seed=42, skew_every=20)
+    return extract_turns(tx)
+
+
+def q_chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.pipeline import build_multiplexed
+    from .operators.enrich import split_chunks
+    from .sources.transcripts import transcripts_spark_df
+
+    tx = transcripts_spark_df(spark, _PIPELINE_CONVS, seed=42, skew_every=20)
+    return split_chunks(build_multiplexed(tx)).drop("embedding")
+
+
+def q_documents_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.pipeline import build_multiplexed
+    from .operators.enrich import split_documents
+    from .sources.transcripts import transcripts_spark_df
+
+    tx = transcripts_spark_df(spark, _PIPELINE_CONVS, seed=42, skew_every=20)
+    return split_documents(build_multiplexed(tx))
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
+    # reference-operator analogs (SURVEY.md §2)
+    "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
+    "conv_metadata": (q_conv_metadata, ORACLE_CONV_METADATA),
+    "range_scan": (q_range_scan, ORACLE_RANGE_SCAN),
+    "projection_pushdown": (q_projection_pushdown, ORACLE_PROJECTION),
+    "topk_docs": (q_topk_docs, ORACLE_TOPK),
+    "first_turn_window": (q_first_turn_window, ORACLE_FIRST_TURN),
+    "set_lineage": (q_set_lineage, ORACLE_SET_LINEAGE),
+    "reject_antijoin": (q_reject_antijoin, ORACLE_REJECT_ANTIJOIN),
+    "broadcast_dim_join": (q_broadcast_dim_join, ORACLE_BROADCAST_JOIN),
+    "normalize_native": (q_normalize_native, ORACLE_NORMALIZE),
+    "sentence_stats": (q_sentence_stats, ORACLE_SENTENCE),
+    "header_shape": (q_header_shape, ORACLE_HEADER_SHAPE),
+    # training-data ops: dedup
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_LSH_PAIRS),
+    "simhash": (q_simhash, ORACLE_SIMHASH),
+    "ngram_jaccard_adjacent": (q_ngram_jaccard_adjacent, ORACLE_NGRAM_JACCARD),
+    # training-data ops: similarity search
+    "cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
+    "ivf_bucket_ann": (q_ivf_bucket_ann, ORACLE_IVF_ANN),
+    # training-data ops: text analysis
+    "lang_id": (q_lang_id, ORACLE_LANG_ID),
+    "quality_score": (q_quality_score, ORACLE_QUALITY),
+    "token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
+    "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
+    # pipeline (pandas-UDF) operators — rows-only driver check
+    "extract_turns_pipeline": (q_extract_turns_pipeline, None),
+    "chunk_pipeline": (q_chunk_pipeline, None),
+    "documents_pipeline": (q_documents_pipeline, None),
+}

@@ -1,0 +1,79 @@
+"""Replicates the driver's CORRECTNESS gate locally: every registry query
+runs on Spark AND its oracle SQL on DuckDB over the same parquet tables;
+row counts, column names and (order-insensitive) values must agree.
+
+Runs at sf0.001 for speed; the driver repeats this at sf0.01.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+
+import duckdb
+import pytest
+
+from pdf_extractor_spark.queries import QUERY_REGISTRY
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+ORACLE_QUERIES = [(n, f, s) for n, (f, s) in QUERY_REGISTRY.items() if s]
+ROWS_ONLY_QUERIES = [(n, f) for n, (f, s) in QUERY_REGISTRY.items() if not s]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _spark_rows(df):
+    cols = sorted(df.columns)
+    return cols, sorted(tuple(_norm(r[c]) for c in cols) for r in df.collect())
+
+
+def _duck_rows(con, sql):
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = sorted(
+        tuple(_norm(row[i]) for i in order) for row in rel.fetchall()
+    )
+    return sorted(cols), rows
+
+
+@pytest.mark.parametrize("name,fn,sql", ORACLE_QUERIES, ids=[n for n, *_ in ORACLE_QUERIES])
+def test_query_matches_oracle(spark, duck, name, fn, sql):
+    got_cols, got = _spark_rows(fn(spark, SF_DIR))
+    want_cols, want = _duck_rows(duck, sql)
+    assert got_cols == want_cols, f"{name}: column mismatch"
+    assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
+    assert got == want, f"{name}: value mismatch (first diff: "\
+        f"{next(((a, b) for a, b in zip(got, want) if a != b), None)})"
+
+
+@pytest.mark.parametrize("name,fn", ROWS_ONLY_QUERIES, ids=[n for n, _ in ROWS_ONLY_QUERIES])
+def test_rows_only_query_runs(spark, name, fn):
+    df = fn(spark, SF_DIR)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
