@@ -387,61 +387,93 @@ WITH toks AS (
 
 _N_MINHASH = 8  # 4 bands x 2 rows
 
+# Affine permutations over one 32-bit base hash per shingle: mh_k =
+# min_s (a_k * md5int(s) + b_k) mod P.  ONE md5 per shingle (not one per
+# hash function) — at 10^12 turns the md5 is the dominant cost and this is
+# an 8x save; a_k < 2^31 keeps a_k*h < 2^63 (no int64 overflow either
+# engine).  P is the smallest prime > 2^32.
+_MH_PRIME = 4294967311
+_MH_COEFFS = [
+    (1000000007, 12345), (1000000033, 54321), (999999937, 271828),
+    (999999893, 314159), (1000000087, 161803), (1000000093, 141421),
+    (1000000097, 173205), (999999929, 223606),
+]
+
 
 def _spark_mh_cols() -> str:
-    h = _SPARK_MD5INT.format(x="concat(s, ':{k}')")
     return ",\n".join(
-        f"  array_min(transform(shingles, s -> {h.format(k=k)})) AS mh{k}"
-        for k in range(_N_MINHASH)
+        f"  array_min(transform(hs, h -> ({a} * h + {b}) % {_MH_PRIME})) AS mh{k}"
+        for k, (a, b) in enumerate(_MH_COEFFS)
     )
 
 
 def _duck_mh_cols() -> str:
-    h = _DUCK_MD5INT.format(x="s || ':{k}'")
     return ",\n".join(
-        f"  list_min([{h.format(k=k)} FOR s IN shingles]) AS mh{k}"
-        for k in range(_N_MINHASH)
+        f"  list_min([({a} * h + {b}) % {_MH_PRIME} FOR h IN hs]) AS mh{k}"
+        for k, (a, b) in enumerate(_MH_COEFFS)
     )
+
+
+_SPARK_HASHED = (
+    ", hashed AS (\n  SELECT doc_id, transform(shingles, s -> "
+    + _SPARK_MD5INT.format(x="s")
+    + ") AS hs FROM sh\n)\n"
+)
+
+_DUCK_HASHED = (
+    ", hashed AS (\n  SELECT doc_id, ["
+    + _DUCK_MD5INT.format(x="s")
+    + " FOR s IN shingles] AS hs FROM sh\n)\n"
+)
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (8 hashes) over word 3-gram shingles — the
+    """MinHash signatures (8 permutations) over word 3-gram shingles — the
     near-dup primitive; LSH banding builds on these columns."""
     return _sql(
         spark, sf_dir, ["documents"],
-        _SPARK_SHINGLES + f"SELECT doc_id,\n{_spark_mh_cols()}\nFROM sh",
+        _SPARK_SHINGLES + _SPARK_HASHED
+        + f"SELECT doc_id,\n{_spark_mh_cols()}\nFROM hashed",
     )
 
 
-ORACLE_MINHASH = _DUCK_SHINGLES + f"SELECT doc_id,\n{_duck_mh_cols()}\nFROM sh"
+ORACLE_MINHASH = (
+    _DUCK_SHINGLES + _DUCK_HASHED
+    + f"SELECT doc_id,\n{_duck_mh_cols()}\nFROM hashed"
+)
 
 _BAND_DEFS = [(0, 1), (2, 3), (4, 5), (6, 7)]  # 4 bands x 2 rows
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs: docs sharing any band bucket.  The
-    banding self-join is the scale path — O(collisions), never O(n^2)."""
+    """MinHash-LSH candidate pairs: docs sharing any band bucket.
+
+    Scale path: explode each doc into its 4 (band, bucket) keys, ONE
+    aggregation groups docs per bucket, pairs expand bucket-locally —
+    O(sum bucket^2) work, never an O(n^2) cross join, and the signature
+    subtree is evaluated exactly once (a unionAll-of-selects or a
+    bands-self-join would recompute it 4-8x)."""
     sig = q_minhash_signatures(spark, sf_dir)
-    bands = None
-    for b, (i, j) in enumerate(_BAND_DEFS):
-        piece = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat_ws("_", F.col(f"mh{i}"), F.col(f"mh{j}")).alias("bucket"),
-        )
-        bands = piece if bands is None else bands.unionAll(piece)
-    left = bands.alias("a")
-    right = bands.alias("b")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", F.col(f"mh{i}"), F.col(f"mh{j}")).alias("bucket"),
+            )
+            for b, (i, j) in enumerate(_BAND_DEFS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    groups = (
+        bands.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
     return (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        groups.select(F.posexplode("ids").alias("i", "doc_a"), "ids")
+        .select("doc_a", F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("doc_b"))
         .distinct()
     )
 
@@ -457,7 +489,8 @@ def _duck_band_sql() -> str:
 ORACLE_LSH_PAIRS = (
     _DUCK_SHINGLES.replace("WITH toks", "WITH sig AS (WITH toks")
     .rstrip()
-    + f"\nSELECT doc_id,\n{_duck_mh_cols()}\nFROM sh),\n"
+    + _DUCK_HASHED
+    + f"SELECT doc_id,\n{_duck_mh_cols()}\nFROM hashed),\n"
     + f"bands AS ({_duck_band_sql()})\n"
     + """
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
