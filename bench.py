@@ -46,9 +46,13 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",    # MinHash+LSH banding self-join
     "simhash",              # 16-bit simhash votes
     "cosine_topk",          # brute-force ANN baseline
+    "embedding_neardup",    # label-bucketed cosine near-dup
     "lang_id",              # stopword-ratio language id
     "token_stats",          # tokenize + distinct + TTR
+    "bpe_token_stats",      # BPE-style pre-tokenizer
     "fingerprint",          # normalized-text digest
+    "winnow_fingerprint",   # MOSS rolling-hash winnowing
+    "multimodal_frame_stats",  # binary-column 1->N frame fan-out
 ]
 
 

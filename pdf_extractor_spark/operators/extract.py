@@ -82,6 +82,35 @@ def extraction_col(text_col: str = "text", turn_idx_col: str = "turn_idx") -> Co
     return extract_turn_udf()(F.col(text_col), F.col(turn_idx_col))
 
 
+@lru_cache(maxsize=1)
+def tables_udf():
+    """S4 table extraction as its OWN pandas UDF (not folded into the
+    extraction struct): SURVEY.md P1 — Catalyst prunes a whole unused UDF
+    column, so `include_tables=False` is literally "don't select it" and
+    the table pass never runs (reference fast path api.py:1993-2004)."""
+    from ..core.tables import detect_tables
+
+    @pandas_udf("array<array<array<string>>>")
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            yield pd.Series(
+                [detect_tables(t if isinstance(t, str) else "") for t in texts]
+            )
+
+    return _udf
+
+
+def with_tables(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """transcripts → + tables:array<array<array<string>>> + num_tables.
+
+    Reference: extract_tables + per-page table count
+    (/root/reference/pdf_extractor.py:419-460, :456).
+    """
+    return df.withColumn("tables", tables_udf()(F.col(text_col))).withColumn(
+        "num_tables", F.size("tables")
+    )
+
+
 def extract_turns(df: DataFrame, with_first_extract: bool = False) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → extracted turns.
 

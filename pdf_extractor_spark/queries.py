@@ -648,6 +648,51 @@ ORDER BY cos_sim DESC, vec_id LIMIT 5
 """
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, bucketed by the coarse cluster
+    ``label``: only same-cell pairs are compared (the IVF trick applied to
+    dedup), so work is O(sum cell^2) not O(n^2) — at 10^12 vectors the cells
+    come from a cheap k-means and this stays a bucket-local self-join."""
+    return _sql(
+        spark, sf_dir, ["embeddings"],
+        """
+        WITH n AS (
+          SELECT vec_id, label, embedding,
+                 sqrt(aggregate(embedding, cast(0.0 as double),
+                                (a,x) -> a + cast(x as double)*cast(x as double))) AS nrm
+          FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(aggregate(zip_with(a.embedding, b.embedding,
+                                        (x,y) -> cast(x as double)*cast(y as double)),
+                               cast(0.0 as double), (acc,x) -> acc+x)
+                     / (a.nrm * b.nrm), 4) AS cos_sim
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE aggregate(zip_with(a.embedding, b.embedding,
+                                 (x,y) -> cast(x as double)*cast(y as double)),
+                        cast(0.0 as double), (acc,x) -> acc+x)
+              / (a.nrm * b.nrm) >= 0.35
+        """,
+    )
+
+
+ORACLE_EMBEDDING_NEARDUP = """
+WITH n AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_sum([x::double*x::double FOR x IN embedding])) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_sum([a.embedding[i]::double * b.embedding[i]::double
+                       FOR i IN range(1, len(a.embedding)+1)])
+             / (a.nrm * b.nrm), 4) AS cos_sim
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_sum([a.embedding[i]::double * b.embedding[i]::double
+                FOR i IN range(1, len(a.embedding)+1)])
+      / (a.nrm * b.nrm) >= 0.35
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data operators: text analysis
 # --------------------------------------------------------------------------
@@ -748,6 +793,89 @@ FROM t
 """
 
 
+# BPE-ish pre-tokenizer (GPT-2 shape, ASCII-safe so Java regex and RE2
+# agree): letter runs | single digits | single punctuation marks
+_BPE_PAT = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n]"
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-style pre-tokenizer: letter runs, digits
+    split one-per-token, punctuation one-per-token (how byte-pair encoders
+    pre-segment before merges); whitespace tokenization is q_token_stats."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH t AS (
+          SELECT doc_id, regexp_extract_all(text, '{_BPE_PAT}', 0) AS pieces
+          FROM documents
+        )
+        SELECT doc_id, size(pieces) AS n_pieces,
+               size(filter(pieces, p -> p rlike '^[0-9]$')) AS n_digit_pieces,
+               size(filter(pieces, p -> p rlike '^[A-Za-z]+$')) AS n_word_pieces
+        FROM t
+        """,
+    )
+
+
+ORACLE_BPE_TOKEN_STATS = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '{_BPE_PAT}') AS pieces
+  FROM documents
+)
+SELECT doc_id, len(pieces) AS n_pieces,
+       len(list_filter(pieces, p -> regexp_matches(p, '^[0-9]$'))) AS n_digit_pieces,
+       len(list_filter(pieces, p -> regexp_matches(p, '^[A-Za-z]+$'))) AS n_word_pieces
+FROM t
+"""
+
+_WINNOW_W = 4  # window width over token-level rolling hashes
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (MOSS-style): hash every token,
+    slide a width-{_WINNOW_W} window, keep each window's minimum hash —
+    the classic rolling-hash selection that makes containment detection
+    robust to insertions, at ~1/w the storage of full hash sets."""
+    h = _SPARK_MD5INT.format(x="tok")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH t AS (
+          SELECT doc_id, {_SPARK_TOKENS.format(x='text')} AS toks FROM documents
+        ), hs AS (
+          SELECT doc_id, transform(toks, tok -> {h}) AS hs
+          FROM t WHERE size(toks) >= {_WINNOW_W}
+        ), wins AS (
+          SELECT doc_id,
+                 array_distinct(transform(sequence(1, size(hs) - {_WINNOW_W} + 1),
+                                i -> array_min(slice(hs, i, {_WINNOW_W})))) AS prints
+          FROM hs
+        )
+        SELECT doc_id, size(prints) AS n_prints,
+               array_min(prints) AS min_print, array_max(prints) AS max_print
+        FROM wins
+        """,
+    )
+
+
+ORACLE_WINNOW = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(x='text')} AS toks FROM documents
+), hs AS (
+  SELECT doc_id, [{_DUCK_MD5INT.format(x='tok')} FOR tok IN toks] AS hs
+  FROM t WHERE len(toks) >= {_WINNOW_W}
+), wins AS (
+  SELECT doc_id,
+         list_distinct([list_min(hs[i:i+{_WINNOW_W - 1}])
+                        FOR i IN range(1, len(hs) - {_WINNOW_W} + 2)]) AS prints
+  FROM hs
+)
+SELECT doc_id, len(prints) AS n_prints,
+       list_min(prints) AS min_print, list_max(prints) AS max_print
+FROM wins
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: 64-bit digest of whitespace-normalized text —
     the cheap first-pass identity for incremental dedup."""
@@ -764,6 +892,137 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_FINGERPRINT = r"""
 SELECT doc_id,
        substr(md5(trim(regexp_replace(lower(text), '[ \t\n]+', ' ', 'g'))), 1, 16) AS fingerprint
+FROM documents
+"""
+
+
+def q_token_run_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over the token stream: runs of >= 2 consecutive
+    IDENTICAL tokens per document (stutter runs — the run-length shape used
+    for repetition-quality filters), via the lag + row_number-difference
+    pattern.  Exercises ordered-window parity across engines."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH toks AS (
+          SELECT doc_id, pos AS i, tok
+          FROM documents
+          LATERAL VIEW posexplode({_SPARK_TOKENS.format(x='text')}) AS pos, tok
+        ), flagged AS (
+          SELECT doc_id, i, tok,
+                 lag(tok) OVER (PARTITION BY doc_id ORDER BY i) = tok AS is_rep
+          FROM toks
+        ), islands AS (
+          SELECT doc_id, tok,
+                 i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+          FROM flagged WHERE is_rep
+        ), sized AS (
+          SELECT doc_id, tok, count(*) + 1 AS run_len
+          FROM islands GROUP BY doc_id, isl, tok
+        )
+        SELECT doc_id,
+               cast(count(*) as bigint) AS n_runs,
+               cast(max(run_len) as bigint) AS max_run,
+               cast(sum(run_len) as bigint) AS repeated_tokens
+        FROM sized GROUP BY doc_id
+        """,
+    )
+
+
+ORACLE_TOKEN_RUNS = f"""
+WITH tl AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(x='text')} AS ts FROM documents
+), toks AS (
+  SELECT doc_id, u.i, ts[u.i] AS tok
+  FROM tl, LATERAL unnest(range(1, len(ts)+1)) AS u(i)
+), flagged AS (
+  SELECT doc_id, i, tok,
+         lag(tok) OVER (PARTITION BY doc_id ORDER BY i) = tok AS is_rep
+  FROM toks
+), islands AS (
+  SELECT doc_id, tok,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+  FROM flagged WHERE is_rep
+), sized AS (
+  SELECT doc_id, tok, count(*) + 1 AS run_len
+  FROM islands GROUP BY doc_id, isl, tok
+)
+SELECT doc_id,
+       count(*) AS n_runs,
+       max(run_len) AS max_run,
+       sum(run_len) AS repeated_tokens
+FROM sized GROUP BY doc_id
+"""
+
+
+def q_tables_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 pandas-UDF table extraction over transcripts: per-turn nested
+    tables→rows→cells arrays rolled up to counts (A4/A5)."""
+    from .operators.extract import with_tables
+    from .sources.transcripts import transcripts_spark_df
+
+    tx = transcripts_spark_df(spark, _PIPELINE_CONVS, seed=42, skew_every=20)
+    t = with_tables(tx)
+    return t.select(
+        "conv_id", "turn_idx", "num_tables",
+        F.size(F.flatten("tables")).alias("table_rows"),
+        F.size(F.flatten(F.flatten("tables"))).alias("table_cells"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data operators: multimodal binary columns
+# (operators/multimodal.py — blob = utf-8 bytes of text, so the DuckDB
+# oracle reproduces the digest-seeded pseudo-decode exactly in SQL)
+# --------------------------------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: text → blob → mapInPandas metadata
+    (media type, dimensions, digest).  The decode body is a deterministic
+    stub; the Arrow-batched binary pipeline is the real artifact."""
+    from .operators.multimodal import attach_blob, decode_media_meta
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_media_meta(attach_blob(docs))
+
+
+ORACLE_MULTIMODAL_META = """
+WITH s AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         ('0x' || substr(md5(text), 1, 8))::bigint AS seed,
+         substr(md5(text), 1, 16) AS digest16
+  FROM documents
+)
+SELECT doc_id, n_bytes::int AS n_bytes,
+       CASE seed % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+                     WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+       (160 + seed % 1600)::int AS width,
+       (90 + (seed // 7) % 900)::int AS height,
+       digest16
+FROM s
+"""
+
+
+def q_multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame fan-out (1→N mapInPandas) rolled back up per document — checks
+    the sampler's row multiplication, offsets and byte conservation."""
+    from .operators.multimodal import FRAME_BYTES, attach_blob, sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    frames = sample_frames(attach_blob(docs), FRAME_BYTES)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.octet_length("frame")).alias("bytes_total"),
+        F.max("frame_offset").cast("int").alias("last_offset"),
+    )
+
+
+ORACLE_FRAME_STATS = """
+SELECT doc_id,
+       greatest(ceil(octet_length(encode(text)) / 4096.0)::bigint, 1) AS n_frames,
+       octet_length(encode(text))::bigint AS bytes_total,
+       ((greatest(ceil(octet_length(encode(text)) / 4096.0)::bigint, 1) - 1)
+        * 4096)::int AS last_offset
 FROM documents
 """
 
@@ -820,12 +1079,14 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "normalize_native": (q_normalize_native, ORACLE_NORMALIZE),
     "sentence_stats": (q_sentence_stats, ORACLE_SENTENCE),
     "header_shape": (q_header_shape, ORACLE_HEADER_SHAPE),
+    "token_run_islands": (q_token_run_islands, ORACLE_TOKEN_RUNS),
     # training-data ops: dedup
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_LSH_PAIRS),
     "simhash": (q_simhash, ORACLE_SIMHASH),
     "ngram_jaccard_adjacent": (q_ngram_jaccard_adjacent, ORACLE_NGRAM_JACCARD),
+    "embedding_neardup": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
     # training-data ops: similarity search
     "cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
     "ivf_bucket_ann": (q_ivf_bucket_ann, ORACLE_IVF_ANN),
@@ -833,9 +1094,15 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
     "quality_score": (q_quality_score, ORACLE_QUALITY),
     "token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
+    "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE_TOKEN_STATS),
     "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
+    "winnow_fingerprint": (q_winnow_fingerprint, ORACLE_WINNOW),
+    # training-data ops: multimodal binary columns
+    "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
+    "multimodal_frame_stats": (q_multimodal_frame_stats, ORACLE_FRAME_STATS),
     # pipeline (pandas-UDF) operators — rows-only driver check
     "extract_turns_pipeline": (q_extract_turns_pipeline, None),
     "chunk_pipeline": (q_chunk_pipeline, None),
     "documents_pipeline": (q_documents_pipeline, None),
+    "tables_pipeline": (q_tables_pipeline, None),
 }

@@ -1,0 +1,95 @@
+"""Physical-plan shape assertions — the ``.explain`` checks, as tests.
+
+Correct values are not enough at 100 TB: these tests pin the plan
+properties that decide whether the same query survives a 1000-executor
+run — broadcast vs sort-merge, filter/projection pushdown into the scan,
+no accidental cartesian products, whole-stage codegen on native paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from pdf_extractor_spark.queries import QUERY_REGISTRY
+    return QUERY_REGISTRY
+
+
+def test_dim_join_is_broadcast_not_sortmerge(spark, registry):
+    df = registry["broadcast_dim_join"][0](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_scan_pushes_filters_to_parquet(spark, registry):
+    df = registry["range_scan"][0](spark, SF_DIR)
+    fmt = _formatted(df)
+    assert "PushedFilters: [IsNotNull(ts)" in fmt or "GreaterThanOrEqual(ts" in fmt
+
+
+def test_projection_prunes_scan_columns(spark, registry):
+    df = registry["projection_pushdown"][0](spark, SF_DIR)
+    fmt = _formatted(df)
+    # part has 6+ columns; the scan must read only the 4 the query needs
+    read = fmt.split("ReadSchema:")[1].splitlines()[0]
+    assert "p_partkey" in read and "p_brand" in read and "p_size" in read
+    assert "p_retailprice" not in read and "p_comment" not in read
+
+
+def test_extract_pipeline_prunes_unused_input_columns(spark):
+    from pdf_extractor_spark.operators.extract import extract_turns
+    from pdf_extractor_spark.sources.transcripts import TRANSCRIPT_DDL
+
+    df = spark.createDataFrame([], TRANSCRIPT_DDL)
+    plan = _plan(extract_turns(df))
+    # role/tool/ts never cross into the Python stage
+    assert "ArrowEvalPython" in plan
+
+
+def test_tables_udf_pruned_when_unselected(spark):
+    """P1: selecting only extraction outputs must NOT evaluate the table
+    UDF — include_tables=False is literally column pruning."""
+    from pdf_extractor_spark.operators.extract import with_tables
+    from pdf_extractor_spark.sources.transcripts import TRANSCRIPT_DDL
+
+    df = spark.createDataFrame([("c", 0, "u", "a  b\nc  d", None, None)],
+                               TRANSCRIPT_DDL)
+    pruned = with_tables(df).select("conv_id", "turn_idx")
+    assert "detect" not in _plan(pruned)
+    n_python_nodes = _plan(pruned).count("ArrowEvalPython")
+    assert n_python_nodes == 0
+
+
+def test_lsh_pairs_has_no_cartesian(spark, registry):
+    plan = _plan(registry["minhash_lsh_pairs"][0](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_native_queries_stay_jvm_side(spark, registry):
+    """The QA/native catalog queries must not silently fall back to Python
+    UDFs — they exist to stay inside whole-stage codegen."""
+    for name in ("pricing_summary", "normalize_native", "token_stats",
+                 "fingerprint", "simhash", "token_run_islands"):
+        df = registry[name][0](spark, SF_DIR)
+        df.collect()  # materialize the AQE final plan before inspecting
+        plan = _plan(df)
+        assert "EvalPython" not in plan, f"{name} fell back to Python"
+        # '*(n)' operator prefixes mark whole-stage-codegen regions in the
+        # executed-plan string (WholeStageCodegen appears only in -formatted)
+        assert "*(" in plan, f"{name} lost codegen"
