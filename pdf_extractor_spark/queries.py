@@ -652,26 +652,31 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, bucketed by the coarse cluster
     ``label``: only same-cell pairs are compared (the IVF trick applied to
     dedup), so work is O(sum cell^2) not O(n^2) — at 10^12 vectors the cells
-    come from a cheap k-means and this stays a bucket-local self-join."""
+    come from a cheap k-means and this stays a bucket-local self-join.
+
+    Formulated relationally (explode → equi-join on (label, dim) → sum-
+    product aggregate) instead of per-pair array lambdas: everything stays
+    in whole-stage codegen with map-side partial aggregation — the lambda
+    (higher-order-function) version was measured 20x slower at sf0.1."""
     return _sql(
         spark, sf_dir, ["embeddings"],
         """
-        WITH n AS (
-          SELECT vec_id, label, embedding,
-                 sqrt(aggregate(embedding, cast(0.0 as double),
-                                (a,x) -> a + cast(x as double)*cast(x as double))) AS nrm
-          FROM embeddings
+        WITH ex AS (
+          SELECT vec_id, label, pos AS i, cast(v as double) AS v
+          FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v
+        ), nrm AS (
+          SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id
+        ), dots AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+          FROM ex a JOIN ex b
+            ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+          GROUP BY a.vec_id, b.vec_id
         )
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(aggregate(zip_with(a.embedding, b.embedding,
-                                        (x,y) -> cast(x as double)*cast(y as double)),
-                               cast(0.0 as double), (acc,x) -> acc+x)
-                     / (a.nrm * b.nrm), 4) AS cos_sim
-        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE aggregate(zip_with(a.embedding, b.embedding,
-                                 (x,y) -> cast(x as double)*cast(y as double)),
-                        cast(0.0 as double), (acc,x) -> acc+x)
-              / (a.nrm * b.nrm) >= 0.35
+        SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+        FROM dots
+        JOIN nrm na ON na.vec_id = vec_a
+        JOIN nrm nb ON nb.vec_id = vec_b
+        WHERE dot / (na.nrm * nb.nrm) >= 0.35
         """,
     )
 
