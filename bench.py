@@ -92,9 +92,23 @@ def main() -> None:
         tx = spark.read.parquet(tx_path)
         n_turns = tx.count()
 
+        # (a) extraction stage alone — the BASELINE.json headline metric
+        from pyspark.sql import functions as F
+        from pdf_extractor_spark.config import SALT_BUCKETS
+        from pdf_extractor_spark.operators.extract import extract_turns
+
+        salted = tx.repartition(
+            F.xxhash64("conv_id", F.pmod(F.col("turn_idx"), F.lit(SALT_BUCKETS)))
+        )
         t0 = time.time()
-        # salt_stage1: spread skewed long conversations across workers for
-        # the extraction stage (stage 2 regroups whole conversations)
+        extract_turns(salted, with_first_extract=True).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        extract_sec = time.time() - t0
+
+        # (b) full pipeline with parquet sink; salt_stage1 spreads skewed
+        # long conversations across workers (stage 2 regroups them)
+        t0 = time.time()
         build_multiplexed(tx, salt_stage1=True).write.mode("overwrite").parquet(
             f"{tmp}/out"
         )
@@ -102,7 +116,10 @@ def main() -> None:
         turns_per_sec = n_turns / pipeline_sec
 
         # ---- catalog queries at SF_DIR ----
-        query_secs: dict[str, float] = {"pipeline_extract": round(pipeline_sec, 3)}
+        query_secs: dict[str, float] = {
+            "extract_stage1": round(extract_sec, 3),
+            "pipeline_extract": round(pipeline_sec, 3),
+        }
         for name in BENCH_QUERIES:
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
@@ -119,6 +136,7 @@ def main() -> None:
                     "queries": query_secs,
                     "sf": _sf_from_dir(SF_DIR),
                     "pipeline_turns": n_turns,
+                    "extract_turns_per_sec": round(n_turns / extract_sec, 1),
                     "pipeline_turns_per_sec": round(turns_per_sec, 1),
                     "cores": CPUS,
                     "cold_start_sec": cold_start_sec,
