@@ -131,19 +131,26 @@ def run_extraction(
     buckets_per_batch: int = 4,
     salt_stage1: bool = False,
     fail_after_batches: Optional[int] = None,
+    bucket_range: Optional[tuple[int, int]] = None,
 ) -> dict[str, Any]:
     """Checkpointed run over the whole input; resumable and idempotent.
 
     ``fail_after_batches`` simulates a killed run for the resume tests.
-    Returns a summary dict with per-batch manifests and totals.
+    ``bucket_range=(lo, hi)`` restricts this run to buckets lo..hi-1 — the
+    multi-executor work split: each executor process owns a disjoint bucket
+    range and commits into the SAME output root (batch ids are bucket-
+    derived, so ranges never collide; the manifest protocol makes the
+    shared root safe).  Returns a summary dict with per-batch manifests
+    and totals.
     """
     os.makedirs(output_root, exist_ok=True)
     done = committed_batches(output_root)
 
-    all_buckets = list(range(buckets))
+    lo, hi = bucket_range if bucket_range else (0, buckets)
+    all_buckets = list(range(lo, hi))
     batches = [
         all_buckets[i : i + buckets_per_batch]
-        for i in range(0, buckets, buckets_per_batch)
+        for i in range(0, len(all_buckets), buckets_per_batch)
     ]
 
     manifests = []

@@ -146,3 +146,26 @@ class TestResume:
             spark, transcripts, root, buckets=8, buckets_per_batch=2
         )
         assert summary2["executed_now"] == 0
+
+    def test_disjoint_bucket_ranges_compose(self, spark, transcripts, tmp_path):
+        """Multi-executor work split: two runs over disjoint bucket ranges
+        commit into the SAME root (bucket-derived batch ids never collide)
+        and together equal one whole-range run byte-for-byte."""
+        root = str(tmp_path / "mexec")
+        s1 = run_extraction(
+            spark, transcripts, root,
+            buckets=8, buckets_per_batch=2, bucket_range=(0, 4),
+        )
+        s2 = run_extraction(
+            spark, transcripts, root,
+            buckets=8, buckets_per_batch=2, bucket_range=(4, 8),
+        )
+        assert s1["executed_now"] == 2 and s2["executed_now"] == 2
+
+        got = _rows_as_dicts(read_chunks(spark, root), CHUNK_COLS)
+        want = _golden_as_lists(_golden("chunks"), CHUNK_COLS)
+        assert got == want
+
+        # a whole-range pass over the same root finds everything committed
+        s3 = run_extraction(spark, transcripts, root, buckets=8, buckets_per_batch=2)
+        assert s3["executed_now"] == 0
