@@ -580,6 +580,122 @@ FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
 )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup endgame: connected components over the LSH candidate-pair
+    graph; every document gets a ``cluster_id`` (min doc_id of its
+    component) and the cluster minimum is the keeper.
+
+    Spark side runs min-label propagation to a fixpoint — the driver loops
+    DataFrame joins until no label changes (iterations are bounded by
+    component diameter; candidate graphs are sparse by construction, so
+    this is a handful of cheap shuffles even at corpus scale).  The DuckDB
+    oracle computes the same component minima via a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    for _ in range(30):  # diameter bound; sparse LSH graphs converge in a few
+        nbr = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper")
+    )
+
+
+ORACLE_DEDUP_CLUSTERS = (
+    "WITH RECURSIVE e AS (\n"
+    f"  SELECT doc_a, doc_b FROM ({ORACLE_LSH_PAIRS})\n"
+    f"  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM ({ORACLE_LSH_PAIRS})\n"
+    "),\n"
+    "reach(src, dst) AS (\n"
+    "  SELECT doc_id, doc_id FROM documents\n"
+    "  UNION\n"
+    "  SELECT r.src, e.doc_b FROM reach r JOIN e ON e.doc_a = r.dst\n"
+    ")\n"
+    "SELECT src AS doc_id, min(dst) AS cluster_id,\n"
+    "       min(dst) = src AS is_keeper\n"
+    "FROM reach GROUP BY src\n"
+)
+
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus selection composing three operator
+    families: exact-dedup keeper ∧ English (stopword heuristic) ∧ quality
+    band — the final filter a pretraining pipeline applies before
+    tokenization."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH keepers AS (
+          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ), scored AS (
+          SELECT d.doc_id, length(d.text) AS n,
+                 size(regexp_extract_all(d.text, '[.!?,;:]', 0)) AS punct,
+                 {toks} AS toks
+          FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+        )
+        SELECT doc_id, n AS n_chars,
+               round(punct / cast(greatest(n, 1) as double), 4) AS punct_ratio,
+               round(size(filter(toks, x -> x IN ({_STOPWORDS}))) /
+                     cast(greatest(size(toks), 1) as double), 4) AS stopword_ratio
+        FROM scored
+        WHERE n >= 100 AND n <= 50000
+          AND size(filter(toks, x -> x IN ({_STOPWORDS}))) /
+              cast(greatest(size(toks), 1) as double) >= 0.05
+        """,
+    )
+
+
+ORACLE_CORPUS_FILTER = f"""
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), scored AS (
+  SELECT d.doc_id, length(d.text) AS n,
+         len(regexp_extract_all(d.text, '[.!?,;:]')) AS punct,
+         {_DUCK_TOKENS.format(x='d.text')} AS toks
+  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+)
+SELECT doc_id, n AS n_chars,
+       round(punct / cast(greatest(n, 1) as double), 4) AS punct_ratio,
+       round(len(list_filter(toks, x -> x IN ({_STOPWORDS}))) /
+             cast(greatest(len(toks), 1) as double), 4) AS stopword_ratio
+FROM scored
+WHERE n >= 100 AND n <= 50000
+  AND len(list_filter(toks, x -> x IN ({_STOPWORDS}))) /
+      cast(greatest(len(toks), 1) as double) >= 0.05
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data operators: similarity search over embeddings
 # --------------------------------------------------------------------------
@@ -1092,6 +1208,8 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "simhash": (q_simhash, ORACLE_SIMHASH),
     "ngram_jaccard_adjacent": (q_ngram_jaccard_adjacent, ORACLE_NGRAM_JACCARD),
     "embedding_neardup": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
+    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    "corpus_filter": (q_corpus_filter, ORACLE_CORPUS_FILTER),
     # training-data ops: similarity search
     "cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
     "ivf_bucket_ann": (q_ivf_bucket_ann, ORACLE_IVF_ANN),
