@@ -5,8 +5,8 @@
                embeddings) over a deterministic synthetic transcripts table
                at golden-corpus scale; returns the chunk DataFrame.
 ``queries``  — one entry per implemented operator (SURVEY.md §2 + the
-               training-data operator families); see
-               pdf_extractor_spark/queries.py for the catalog.
+               training-data operator families): 35 entries, 31 with
+               DuckDB oracles; see pdf_extractor_spark/queries.py.
 ``oracle_sql`` — DuckDB-parity SQL for every SQL-expressible query; the
                pandas-UDF pipeline queries are rows-only (their byte-level
                contract is pinned by tests/test_spark_parity.py goldens).
