@@ -54,6 +54,7 @@ def run_stream(
     output_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Stream transcripts → extracted/chunked/embedded parquet appends.
 
@@ -68,7 +69,7 @@ def run_stream(
         multiplexed.write.mode("append").parquet(output_dir)
 
     writer = (
-        extract_stream(stream_transcripts(spark, input_dir))
+        extract_stream(stream_transcripts(spark, input_dir, max_files_per_trigger))
         .writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
     )

@@ -70,3 +70,28 @@ def test_windowed_rates_plan_on_stream(spark, stream_dirs):
     assert {f.name for f in agg.schema.fields} == {
         "start", "end", "role", "n_turns", "chars_in",
     }
+
+
+def test_multi_microbatch_drain_same_output(spark, tmp_path):
+    """maxFilesPerTrigger=1 forces several micro-batches; the union of all
+    batch appends must equal the single-batch drain (conversations are
+    file-aligned, honoring the whole-conversation-per-batch contract)."""
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    # write each conversation as its own parquet file
+    pdf = rows_to_pandas(generate_rows(6, seed=7))
+    df = spark.createDataFrame(pdf, TRANSCRIPT_DDL)
+    df.repartition(6, "conv_id").write.parquet(in_dir)
+
+    q = run_stream(
+        spark, in_dir, out_dir, ckpt, available_now=True,
+        max_files_per_trigger=2,
+    )
+    q.awaitTermination(300)
+    assert len(q.recentProgress) >= 3  # really several micro-batches
+
+    got = spark.read.parquet(out_dir)
+    n_sentinels = got.where(got.chunk_index == SENTINEL_INDEX).count()
+    assert n_sentinels == 6
+    assert got.select("conv_id").distinct().count() == 6
