@@ -443,6 +443,7 @@ ORACLE_MINHASH = (
 )
 
 _BAND_DEFS = [(0, 1), (2, 3), (4, 5), (6, 7)]  # 4 bands x 2 rows
+_LSH_BUCKET_CAP = 1000  # super-bucket guard: skip degenerate buckets
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,10 +467,21 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id", F.explode(band_structs).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
-    groups = (
+    # count-first super-bucket guard: a degenerate bucket (boilerplate that
+    # hashes identically across millions of docs) would OOM a collect_list
+    # task at corpus scale; LSH practice skips buckets past a cap — their
+    # members are "too common to be informative" (and would dominate pair
+    # output quadratically anyway)
+    sized = (
         bands.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n"))
+        .where((F.col("n") >= 2) & (F.col("n") <= _LSH_BUCKET_CAP))
+        .select("band", "bucket")
+    )
+    groups = (
+        bands.join(sized, ["band", "bucket"])
+        .groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
     )
     return (
         groups.select(F.posexplode("ids").alias("i", "doc_a"), "ids")
@@ -491,10 +503,16 @@ ORACLE_LSH_PAIRS = (
     .rstrip()
     + _DUCK_HASHED
     + f"SELECT doc_id,\n{_duck_mh_cols()}\nFROM hashed),\n"
-    + f"bands AS ({_duck_band_sql()})\n"
-    + """
+    + f"bands AS ({_duck_band_sql()}),\n"
+    + f"""sized AS (
+  SELECT band, bucket FROM bands
+  GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+), eligible AS (
+  SELECT b.doc_id, b.band, b.bucket
+  FROM bands b JOIN sized s ON b.band = s.band AND b.bucket = s.bucket
+)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
+FROM eligible a JOIN eligible b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
 )
