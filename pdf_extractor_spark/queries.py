@@ -25,6 +25,7 @@ instead.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1087,11 +1088,14 @@ WITH tl AS (
   FROM islands GROUP BY doc_id, isl, tok
 )
 SELECT doc_id,
-       count(*) AS n_runs,
-       max(run_len) AS max_run,
-       sum(run_len) AS repeated_tokens
+       count(*)::bigint AS n_runs,
+       max(run_len)::bigint AS max_run,
+       sum(run_len)::bigint AS repeated_tokens
 FROM sized GROUP BY doc_id
 """
+# ^ sum() over BIGINT is HUGEINT in DuckDB (float64 once through pandas)
+#   while Spark emits bigint; the driver's value-hash is dtype-strict, so
+#   every aggregate is cast ::bigint to match the Spark schema exactly.
 
 
 def q_tables_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1167,11 +1171,34 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
-# Pipeline operators (pandas-UDF path — rows-only driver check; byte parity
-# is pinned by tests/test_spark_parity.py goldens instead)
+# Pipeline operators (pandas-UDF path).  Their DuckDB oracles read COMMITTED
+# GOLDEN PARQUET produced by the single-process pure-Python oracle chain
+# (tools/gen_pipeline_goldens.py — the inspector pattern the reference uses,
+# /root/reference/inspect.py:92-128): the pipeline's input is a
+# deterministic generated table (seed=42, independent of sf_dir), so the
+# Spark side exercises the full distributed plumbing (Arrow round-trip,
+# shuffle, applyInPandas fold, multiplex/split) while DuckDB replays the
+# straight-line expected output.  Byte parity is additionally pinned by
+# tests/test_spark_parity.py.
 # --------------------------------------------------------------------------
 
 _PIPELINE_CONVS = 40
+
+_GOLDEN_PIPELINE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "goldens", "pipeline",
+)
+
+
+def _golden_oracle(name: str) -> str:
+    path = os.path.join(_GOLDEN_PIPELINE_DIR, f"{name}.parquet")
+    return f"SELECT * FROM read_parquet('{path}')"
+
+
+ORACLE_EXTRACT_TURNS_PIPELINE = _golden_oracle("extract_turns")
+ORACLE_CHUNK_PIPELINE = _golden_oracle("chunks")
+ORACLE_DOCUMENTS_PIPELINE = _golden_oracle("documents")
+ORACLE_TABLES_PIPELINE = _golden_oracle("tables")
 
 
 def q_extract_turns_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1183,12 +1210,24 @@ def q_extract_turns_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog variant of the stage-2 output.  The engine API keeps the
+    lineage columns as real arrays (operators/chunk.py MULTIPLEX_SCHEMA);
+    this driver-facing projection renders them with ``concat_ws`` because
+    the driver's canonicalizer sorts every column and cannot hash Python
+    lists.  Content bytes and lineage values are otherwise untouched."""
     from .plans.pipeline import build_multiplexed
     from .operators.enrich import split_chunks
     from .sources.transcripts import transcripts_spark_df
 
     tx = transcripts_spark_df(spark, _PIPELINE_CONVS, seed=42, skew_every=20)
-    return split_chunks(build_multiplexed(tx)).drop("embedding")
+    chunks = split_chunks(build_multiplexed(tx)).drop("embedding")
+    return chunks.select(
+        "conv_id", "chunk_index", "content",
+        F.concat_ws(",", F.col("turns").cast("array<string>")).alias("turns_csv"),
+        F.concat_ws(",", "printed_pages").alias("printed_pages_csv"),
+        F.concat_ws(",", "chapters").alias("chapters_csv"),
+        "char_count", "start_turn", "end_turn",
+    )
 
 
 def q_documents_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1241,9 +1280,9 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     # training-data ops: multimodal binary columns
     "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
     "multimodal_frame_stats": (q_multimodal_frame_stats, ORACLE_FRAME_STATS),
-    # pipeline (pandas-UDF) operators — rows-only driver check
-    "extract_turns_pipeline": (q_extract_turns_pipeline, None),
-    "chunk_pipeline": (q_chunk_pipeline, None),
-    "documents_pipeline": (q_documents_pipeline, None),
-    "tables_pipeline": (q_tables_pipeline, None),
+    # pipeline (pandas-UDF) operators — golden-parquet DuckDB oracles
+    "extract_turns_pipeline": (q_extract_turns_pipeline, ORACLE_EXTRACT_TURNS_PIPELINE),
+    "chunk_pipeline": (q_chunk_pipeline, ORACLE_CHUNK_PIPELINE),
+    "documents_pipeline": (q_documents_pipeline, ORACLE_DOCUMENTS_PIPELINE),
+    "tables_pipeline": (q_tables_pipeline, ORACLE_TABLES_PIPELINE),
 }

@@ -46,8 +46,32 @@ def test_chunk_indices_dense_and_counts_exact(texts):
     chunks = chunk_conversation(_records(texts))
     assert [c["chunk_index"] for c in chunks] == list(range(len(chunks)))
     for c in chunks:
-        assert c["char_count"] == len(c["content"])
+        # Reference quirk preserved by design (/root/reference/api.py:1036,1040):
+        # char_count = len(unstripped accumulator) while content is .strip()'d,
+        # and the 40%-tail overlap fallback can start the accumulator with
+        # whitespace — so char_count >= len(content), never exactly equal in
+        # general.  The delta is bounded by the overlap carry.
+        assert len(c["content"]) <= c["char_count"] <= len(c["content"]) + CHUNK_OVERLAP
         assert len(chunks) <= MAX_CHUNKS_PER_CONV
+
+
+def test_char_count_unstripped_quirk_regression():
+    """Pinned counterexample for the reference's unstripped char_count
+    (/root/reference/api.py:1036 counts the raw accumulator, :1040 strips
+    the emitted text).  The long paragraph forces the 40% overlap-tail
+    fallback, whose carry leaves trailing whitespace in the accumulator —
+    chunk 1 here emits char_count == len(content) + 1."""
+    texts = [
+        "ANOTHER HEADER\n• bullet one\n• bullet two\n",
+        "Chapter 7 Cooling\n\n\n" + "word " * 300 + ". \n\n"
+        + "x" * 50 + "  " + "y" * 40 + "\n",
+        "Plain sentence about torque and valves. " * 3,
+    ]
+    chunks = chunk_conversation(_records(texts))
+    deltas = [c["char_count"] - len(c["content"]) for c in chunks]
+    assert any(d > 0 for d in deltas), "quirk no longer fires — chunker changed?"
+    for c in chunks:
+        assert len(c["content"]) <= c["char_count"] <= len(c["content"]) + CHUNK_OVERLAP
 
 
 @settings(max_examples=60, deadline=None)

@@ -36,15 +36,20 @@ def duck():
 
 
 def _norm(v):
+    """Totally-ordered normalization: every value becomes a (not-null, value)
+    pair so rows containing SQL NULLs still sort (None < any value) without
+    conflating None with '' or 0."""
+    if v is None:
+        return (0, "")
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 6)
+            return (1, "NaN")
+        return (1, round(v, 6))
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        return (1, v.replace(tzinfo=None).isoformat())
     if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
-    return v
+        return (1, tuple(_norm(x) for x in v))
+    return (1, v)
 
 
 def _spark_rows(df):
