@@ -604,13 +604,31 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph; every document gets a ``cluster_id`` (min doc_id of its
     component) and the cluster minimum is the keeper.
 
-    Spark side runs min-label propagation to a fixpoint — the driver loops
-    DataFrame joins until no label changes (iterations are bounded by
-    component diameter; candidate graphs are sparse by construction, so
-    this is a handful of cheap shuffles even at corpus scale).  The DuckDB
-    oracle computes the same component minima via a recursive CTE."""
+    Spark side runs min-label propagation with POINTER DOUBLING (each round
+    a node adopts min(own, neighbors' labels, label-of-its-label) — the
+    large-star trick from the MapReduce connected-components literature),
+    so rounds are O(log diameter), not O(diameter).  Each iteration is ONE
+    Spark action (eager localCheckpoint materializes labels AND truncates
+    the self-join lineage, then the changed-count aggregate reads the
+    checkpoint); non-convergence raises instead of returning partial
+    labels.  The DuckDB oracle computes the same component minima via a
+    recursive CTE."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    labels, _iters = propagate_min_labels(docs, pairs)
+    return labels
+
+
+def propagate_min_labels(
+    docs: DataFrame, pairs: DataFrame, max_iters: int = 15
+) -> tuple[DataFrame, int]:
+    """Connected components by pointer-doubling min-label propagation.
+
+    ``docs`` has a ``doc_id`` column; ``pairs`` has (doc_a, doc_b)
+    undirected edges.  Returns (labels, iterations) where labels is
+    (doc_id, cluster_id, is_keeper).  max_iters=15 covers component
+    diameter 2^15 thanks to doubling; exceeding it raises rather than
+    returning partially-propagated labels."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(
@@ -619,41 +637,83 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
-    for _ in range(30):  # diameter bound; sparse LSH graphs converge in a few
+    converged = False
+    iters = 0
+    for it in range(max_iters):
         nbr = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # pointer doubling (large-star flavor): follow my label's label too,
+        # so chain components resolve in O(log diameter) rounds instead of
+        # O(diameter) — 10^12-doc graphs with long near-dup chains stay cheap
+        grand = (
+            labels.alias("a")
+            .join(labels.alias("b"), F.col("a.cluster_id") == F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.col("b.cluster_id").alias("grand_min"),
+            )
+        )
         new_labels = (
             labels.join(nbr, "doc_id", "left")
+            .join(grand, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
+                    F.col("cluster_id"),
+                    F.coalesce("nbr_min", F.col("cluster_id")),
+                    F.coalesce("grand_min", F.col("cluster_id")),
+                ).alias("new_cluster_id"),
+                (
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce("nbr_min", F.col("cluster_id")),
+                        F.coalesce("grand_min", F.col("cluster_id")),
+                    )
+                    != F.col("cluster_id")
+                ).cast("int").alias("changed"),
             )
-            .persist()
+            .withColumnRenamed("new_cluster_id", "cluster_id")
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        # lineage truncation: without this the analyzed plan doubles every
+        # iteration (self-join on labels) and the driver OOMs on plan size
+        # long before the data is big
+        new_labels = new_labels.localCheckpoint(eager=True)
+        # ONE action per iteration: the eager checkpoint materialized the
+        # labels; this aggregate runs on the checkpointed data, no recompute
+        changed = new_labels.agg(F.sum("changed")).first()[0] or 0
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.drop("changed").persist()
+        iters = it + 1
         if changed == 0:
+            converged = True
             break
-    return labels.select(
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"propagate_min_labels did not converge in {max_iters} "
+            "pointer-doubling rounds (component diameter > 2^15?) — refusing "
+            "to return partially-propagated cluster ids"
+        )
+    out = labels.select(
         "doc_id", "cluster_id", (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper")
-    )
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    return out, iters
 
 
 ORACLE_DEDUP_CLUSTERS = (
-    "WITH RECURSIVE e AS (\n"
-    f"  SELECT doc_a, doc_b FROM ({ORACLE_LSH_PAIRS})\n"
-    f"  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM ({ORACLE_LSH_PAIRS})\n"
+    # the LSH pair subquery is materialized ONCE in a CTE and both edge
+    # directions select from it (it was previously inlined twice, doubling
+    # oracle runtime)
+    "WITH RECURSIVE p AS (\n"
+    f"  {ORACLE_LSH_PAIRS}\n"
+    "),\n"
+    "e AS (\n"
+    "  SELECT doc_a, doc_b FROM p\n"
+    "  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM p\n"
     "),\n"
     "reach(src, dst) AS (\n"
     "  SELECT doc_id, doc_id FROM documents\n"
@@ -779,6 +839,72 @@ WITH q AS (SELECT embedding AS qv, label AS ql FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id, e.label, {_DUCK_COS} AS cos_sim
 FROM embeddings e CROSS JOIN q
 WHERE e.vec_id != 0 AND e.label = q.ql
+ORDER BY cos_sim DESC, vec_id LIMIT 5
+"""
+
+_IVF_PROBES = 2
+
+
+def q_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN: rank the coarse cells by query→centroid cosine
+    and probe the top ``_IVF_PROBES`` cells, not just the query's own — the
+    recall/latency knob every production ANN exposes (a vector near a cell
+    boundary has its true neighbors in the adjacent cell).
+
+    Centroids are the per-cell mean vector, computed relationally
+    (posexplode → groupBy(label, dim) → avg) so the whole plan stays in
+    codegen.  At corpus scale the centroids are a k-means byproduct read
+    from a tiny broadcast table; recomputing them here keeps the query
+    self-contained and oracle-checkable."""
+    return _sql(
+        spark, sf_dir, ["embeddings"],
+        f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        qx AS (
+          SELECT pos AS i, cast(v as double) AS qv
+          FROM q LATERAL VIEW posexplode(qv) AS pos, v
+        ), ex AS (
+          SELECT label, pos AS i, cast(v as double) AS v
+          FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v
+        ), cent AS (
+          SELECT label, i, avg(v) AS c FROM ex GROUP BY label, i
+        ), cscore AS (
+          SELECT c.label,
+                 sum(c.c * qx.qv)
+                   / (sqrt(sum(c.c * c.c)) * sqrt(sum(qx.qv * qx.qv))) AS ccos
+          FROM cent c JOIN qx ON c.i = qx.i GROUP BY c.label
+        ), probes AS (
+          SELECT label FROM cscore ORDER BY ccos DESC, label LIMIT {_IVF_PROBES}
+        )
+        SELECT e.vec_id, e.label, {_SPARK_COS} AS cos_sim
+        FROM embeddings e CROSS JOIN q JOIN probes p ON e.label = p.label
+        WHERE e.vec_id != 0
+        ORDER BY cos_sim DESC, vec_id LIMIT 5
+        """,
+    )
+
+
+ORACLE_IVF_MULTIPROBE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qx AS (
+  SELECT u.i AS i, qv[u.i]::double AS qv
+  FROM q, LATERAL unnest(range(1, len(qv)+1)) AS u(i)
+), ex AS (
+  SELECT label, u.i AS i, embedding[u.i]::double AS v
+  FROM embeddings, LATERAL unnest(range(1, len(embedding)+1)) AS u(i)
+), cent AS (
+  SELECT label, i, avg(v) AS c FROM ex GROUP BY label, i
+), cscore AS (
+  SELECT c.label,
+         sum(c.c * qx.qv)
+           / (sqrt(sum(c.c * c.c)) * sqrt(sum(qx.qv * qx.qv))) AS ccos
+  FROM cent c JOIN qx ON c.i = qx.i GROUP BY c.label
+), probes AS (
+  SELECT label FROM cscore ORDER BY ccos DESC, label LIMIT {_IVF_PROBES}
+)
+SELECT e.vec_id, e.label, {_DUCK_COS} AS cos_sim
+FROM embeddings e CROSS JOIN q JOIN probes p ON e.label = p.label
+WHERE e.vec_id != 0
 ORDER BY cos_sim DESC, vec_id LIMIT 5
 """
 
@@ -1270,6 +1396,7 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     # training-data ops: similarity search
     "cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
     "ivf_bucket_ann": (q_ivf_bucket_ann, ORACLE_IVF_ANN),
+    "ivf_multiprobe": (q_ivf_multiprobe, ORACLE_IVF_MULTIPROBE),
     # training-data ops: text analysis
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
     "quality_score": (q_quality_score, ORACLE_QUALITY),

@@ -82,3 +82,33 @@ def test_rows_only_query_runs(spark, name, fn):
     df = fn(spark, SF_DIR)
     assert df.count() > 0
     assert len(df.schema.fields) > 0
+
+
+def test_min_label_propagation_pointer_doubling(spark):
+    """A 33-node chain (diameter 32) must converge in O(log diameter)
+    rounds — pointer doubling gives <= ~7; plain neighbor propagation
+    would need 32 and trip the max_iters guard at corpus scale."""
+    from pdf_extractor_spark.queries import propagate_min_labels
+
+    n = 33
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id int")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a int, doc_b int"
+    )
+    labels, iters = propagate_min_labels(docs, pairs)
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_keeper"]) for r in labels.collect()}
+    assert all(rows[i][0] == 0 for i in range(n))
+    assert rows[0][1] and not any(rows[i][1] for i in range(1, n))
+    assert iters <= 8, f"chain took {iters} rounds — doubling regressed"
+
+
+def test_min_label_propagation_raises_on_budget_exhaustion(spark):
+    from pdf_extractor_spark.queries import propagate_min_labels
+
+    n = 12
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id int")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a int, doc_b int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        propagate_min_labels(docs, pairs, max_iters=1)
