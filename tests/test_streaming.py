@@ -1,9 +1,12 @@
 """Streaming ingest: availableNow drain equals the batch pipeline output,
-checkpointed restart ingests nothing new, watermark aggregation plan is
-valid on a stream.
+checkpointed restart ingests nothing new, per-batch writes are idempotent
+under foreachBatch replay, cross-batch conversations are quarantined (never
+silently mis-chunked), watermark aggregation plan is valid on a stream.
 """
 
 from __future__ import annotations
+
+import time
 
 import pandas as pd
 import pytest
@@ -15,6 +18,10 @@ from pdf_extractor_spark.sources.transcripts import (
     rows_to_pandas,
 )
 from pdf_extractor_spark.streaming.ingest import (
+    process_micro_batch,
+    quarantined_convs,
+    read_quarantine,
+    read_stream_output,
     run_stream,
     stream_transcripts,
     windowed_turn_rates,
@@ -37,7 +44,7 @@ def test_stream_drain_matches_batch(spark, stream_dirs):
     q = run_stream(spark, in_dir, out_dir, ckpt, available_now=True)
     q.awaitTermination(300)
 
-    got = spark.read.parquet(out_dir)
+    got = read_stream_output(spark, out_dir)
     from pdf_extractor_spark.operators.chunk import chunk_conversations
     from pdf_extractor_spark.operators.enrich import add_embeddings
     from pdf_extractor_spark.operators.extract import extract_turns
@@ -53,14 +60,15 @@ def test_stream_drain_matches_batch(spark, stream_dirs):
         g.reset_index(drop=True), w.reset_index(drop=True)
     )
     assert (g["chunk_index"] == SENTINEL_INDEX).sum() == N_CONVS
+    assert quarantined_convs(spark, out_dir) == 0
 
 
 def test_stream_restart_is_noop(spark, stream_dirs):
     in_dir, out_dir, ckpt = stream_dirs
-    before = spark.read.parquet(out_dir).count()
+    before = read_stream_output(spark, out_dir).count()
     q = run_stream(spark, in_dir, out_dir, ckpt, available_now=True)
     q.awaitTermination(300)
-    assert spark.read.parquet(out_dir).count() == before
+    assert read_stream_output(spark, out_dir).count() == before
 
 
 def test_windowed_rates_plan_on_stream(spark, stream_dirs):
@@ -73,8 +81,8 @@ def test_windowed_rates_plan_on_stream(spark, stream_dirs):
 
 
 def test_multi_microbatch_drain_same_output(spark, tmp_path):
-    """maxFilesPerTrigger=1 forces several micro-batches; the union of all
-    batch appends must equal the single-batch drain (conversations are
+    """maxFilesPerTrigger forces several micro-batches; the union of all
+    batch partitions must equal the single-batch drain (conversations are
     file-aligned, honoring the whole-conversation-per-batch contract)."""
     in_dir, out_dir, ckpt = (
         str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
@@ -91,7 +99,97 @@ def test_multi_microbatch_drain_same_output(spark, tmp_path):
     q.awaitTermination(300)
     assert len(q.recentProgress) >= 3  # really several micro-batches
 
-    got = spark.read.parquet(out_dir)
+    got = read_stream_output(spark, out_dir)
     n_sentinels = got.where(got.chunk_index == SENTINEL_INDEX).count()
     assert n_sentinels == 6
     assert got.select("conv_id").distinct().count() == 6
+    assert quarantined_convs(spark, out_dir) == 0
+
+
+def _extracted(spark, pdf):
+    from pdf_extractor_spark.operators.extract import extract_turns
+
+    df = spark.createDataFrame(pdf, TRANSCRIPT_DDL)
+    return extract_turns(df, with_first_extract=True)
+
+
+def test_process_micro_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying the same (batch_df,
+    batch_id) after a simulated crash must reproduce identical output,
+    not a duplicate copy."""
+    out_dir = str(tmp_path / "out")
+    pdf = rows_to_pandas(generate_rows(3, seed=11))
+    batch = _extracted(spark, pdf)
+
+    process_micro_batch(batch, 0, out_dir)
+    first = read_stream_output(spark, out_dir).orderBy("conv_id", "chunk_index").toPandas()
+    process_micro_batch(batch, 0, out_dir)  # replay
+    second = read_stream_output(spark, out_dir).orderBy("conv_id", "chunk_index").toPandas()
+
+    pd.testing.assert_frame_equal(
+        first.reset_index(drop=True), second.reset_index(drop=True)
+    )
+    assert quarantined_convs(spark, out_dir) == 0  # replay never self-quarantines
+
+
+def test_cross_batch_conversation_is_quarantined(spark, tmp_path):
+    """A conversation whose turns straddle two micro-batches violates the
+    whole-conversation-per-batch contract: its later rows must land in
+    quarantine (explicit, counted) — never be silently chunked as if they
+    were a fresh conversation."""
+    out_dir = str(tmp_path / "out")
+    rows = generate_rows(2, seed=13)  # conv-000000, conv-000001 complete
+    conv0 = [r for r in rows if r[0] == "conv-000000"]
+    conv1 = [r for r in rows if r[0] == "conv-000001"]
+    split = len(conv0) // 2
+
+    batch0 = _extracted(spark, rows_to_pandas(conv0[:split] + conv1))
+    batch1 = _extracted(spark, rows_to_pandas(conv0[split:]))
+
+    process_micro_batch(batch0, 0, out_dir)
+    process_micro_batch(batch1, 1, out_dir)
+
+    assert quarantined_convs(spark, out_dir) == 1
+    quar = read_quarantine(spark, out_dir)
+    assert {r["conv_id"] for r in quar.select("conv_id").distinct().collect()} == {
+        "conv-000000"
+    }
+    assert quar.count() == len(conv0) - split
+
+    # the main output contains chunks only from batch-0's view of conv0
+    # (flagged suspect by the quarantine record) and all of conv1
+    got = read_stream_output(spark, out_dir)
+    assert got.where(got.chunk_index == SENTINEL_INDEX).count() == 2
+
+    # replaying the violating batch must not double-quarantine
+    process_micro_batch(batch1, 1, out_dir)
+    assert quarantined_convs(spark, out_dir) == 1
+    assert read_quarantine(spark, out_dir).count() == len(conv0) - split
+
+
+def test_stream_end_to_end_quarantine(spark, tmp_path):
+    """Same contract violation driven through the real stream: one
+    conversation split across two input files, one file per trigger."""
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    rows = generate_rows(2, seed=13)
+    conv0 = [r for r in rows if r[0] == "conv-000000"]
+    conv1 = [r for r in rows if r[0] == "conv-000001"]
+    split = len(conv0) // 2
+
+    df1 = spark.createDataFrame(rows_to_pandas(conv0[:split] + conv1), TRANSCRIPT_DDL)
+    df1.coalesce(1).write.mode("append").parquet(in_dir)
+    time.sleep(1.1)  # distinct mtimes → deterministic oldest-first ordering
+    df2 = spark.createDataFrame(rows_to_pandas(conv0[split:]), TRANSCRIPT_DDL)
+    df2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = run_stream(
+        spark, in_dir, out_dir, ckpt, available_now=True, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+
+    assert quarantined_convs(spark, out_dir) == 1
+    assert read_stream_output(spark, out_dir).where(
+        "chunk_index = %d" % SENTINEL_INDEX
+    ).count() == 2
