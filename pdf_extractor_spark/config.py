@@ -13,7 +13,11 @@ CHUNK_OVERLAP = 400        # chars carried into the next chunk
 
 # --- Resource caps (reference: api.py:85-90, api.py:1107-1109) --------------
 MAX_FILE_SIZE = 200 * 1024 * 1024   # per-turn raw payload cap (bytes analog)
-MIN_FILE_SIZE = 1                   # a turn must have at least 1 char to parse
+# DELIBERATE DEVIATION from the reference's 100-byte floor (api.py:86):
+# that floor rejects truncated PDF *files*, but transcript *turns* are
+# routinely shorter than 100 chars ("ok", tool acks) and must still parse.
+# The spirit of the check (reject empty payloads) is kept at 1 char.
+MIN_FILE_SIZE = 1
 MAX_TURNS_PER_CONV = 10_000         # = MAX_PDF_PAGES; longer convs are rejected
 MAX_CHUNKS_PER_CONV = 10_000        # = MAX_CHUNKS_PER_PDF
 MAX_TEXT_LENGTH = 100_000           # sanitize truncation cap (= MAX_CHUNK_LENGTH)

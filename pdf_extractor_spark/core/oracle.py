@@ -21,7 +21,7 @@ from ..config import MAX_FILE_SIZE, MAX_TURNS_PER_CONV, MIN_FILE_SIZE
 from .chunker import TurnRecord, chunk_conversation
 from .html_extract import extract_html_main_content, looks_like_html
 from .layout import extract_turn
-from .security import is_dangerous
+from .security import count_structure_warnings, is_dangerous
 from .textnorm import normalize_text, sanitize_text
 from .title import infer_title
 
@@ -59,6 +59,8 @@ def extract_turn_fields(raw: Optional[str]) -> dict[str, Any]:
         "char_count": len(clean),
         "parse_ok": parse_ok,
         "rejected_xss": flagged,
+        # F3 warn-level flags (api.py:299-350): logged/counted, never reject
+        "struct_warn": count_structure_warnings(raw),
     }
 
 

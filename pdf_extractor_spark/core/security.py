@@ -94,3 +94,21 @@ def is_dangerous(text: str) -> bool:
         and _maybe_dangerous(text)
         and _COMBINED.search(text) is not None
     )
+
+
+# F3 warn-level structure validation (api.py:299-350): the reference LOGS
+# the presence of the /JavaScript and /EmbeddedFiles names without
+# rejecting (rejection needs the action-invocation form, e.g.
+# "/JavaScript (" — covered by the patterns above).  Warn hits surface as
+# a counter in the lineage roll-up, mirroring the reference's warning log.
+STRUCT_WARN_PATTERNS: list[tuple[re.Pattern, str]] = [
+    (re.compile(r"/JavaScript\b", re.IGNORECASE), "PDF /JavaScript name present"),
+    (re.compile(r"/EmbeddedFiles\b", re.IGNORECASE), "PDF /EmbeddedFiles name present"),
+]
+
+
+def count_structure_warnings(text: str) -> int:
+    """Number of distinct warn-level structure flags present (0-2)."""
+    if not text or "/" not in text:
+        return 0
+    return sum(1 for pat, _why in STRUCT_WARN_PATTERNS if pat.search(text))

@@ -40,13 +40,15 @@ MULTIPLEX_SCHEMA = (
     "conv_id string, chunk_index int, content string, turns array<int>, "
     "printed_pages array<string>, chapters array<string>, char_count int, "
     "start_turn int, end_turn int, "
-    "status string, title string, num_turns int, bytes_in long, parse_failures int"
+    "status string, title string, num_turns int, bytes_in long, "
+    "parse_failures int, struct_warnings int"
 )
 
 MULTIPLEX_COLS = [
     "conv_id", "chunk_index", "content", "turns", "printed_pages", "chapters",
     "char_count", "start_turn", "end_turn",
     "status", "title", "num_turns", "bytes_in", "parse_failures",
+    "struct_warnings",
 ]
 
 CHUNK_COLS = MULTIPLEX_COLS[:9]
@@ -97,6 +99,8 @@ def process_conversation_group(group: pd.DataFrame) -> pd.DataFrame:
             "num_turns": n_turns,
             "bytes_in": int(group["bytes_in"].sum()),
             "parse_failures": int((~group["parse_ok"].astype(bool)).sum()),
+            # F3 warn-level structure flags: counted, never rejected
+            "struct_warnings": int(group["struct_warn"].sum()),
         }
     )
 
@@ -105,7 +109,7 @@ def process_conversation_group(group: pd.DataFrame) -> pd.DataFrame:
     full = [{col: r.get(col) for col in MULTIPLEX_COLS} for r in rows]
     out = pd.DataFrame(full, columns=MULTIPLEX_COLS)
     for col in ("chunk_index", "char_count", "start_turn", "end_turn",
-                "num_turns", "parse_failures"):
+                "num_turns", "parse_failures", "struct_warnings"):
         out[col] = out[col].astype("Int32")
     out["bytes_in"] = out["bytes_in"].astype("Int64")
     return out
@@ -115,7 +119,7 @@ def chunk_conversations(extracted: DataFrame) -> DataFrame:
     """Extracted turns → multiplexed chunk+sentinel rows (one shuffle)."""
     pruned = extracted.select(
         "conv_id", "turn_idx", "clean_text", "printed_page", "chapter",
-        "rejected_xss", "parse_ok", "bytes_in", "first_extract",
+        "rejected_xss", "parse_ok", "struct_warn", "bytes_in", "first_extract",
     )
     return pruned.groupBy("conv_id").applyInPandas(
         process_conversation_group, schema=MULTIPLEX_SCHEMA

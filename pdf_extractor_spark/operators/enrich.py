@@ -83,6 +83,7 @@ def batch_lineage(multiplexed: DataFrame) -> DataFrame:
         F.sum("num_turns").alias("turns_in"),
         F.sum("bytes_in").alias("bytes_in"),
         F.sum("parse_failures").alias("parse_failures"),
+        F.sum("struct_warnings").alias("struct_warnings"),
         F.sum((F.col("status") != "embedded").cast("int")).alias("convs_rejected"),
     )
     b = chunk_rows.agg(

@@ -35,7 +35,7 @@ from ..core.oracle import extract_turn_fields
 EXTRACT_STRUCT_SCHEMA = (
     "clean_text: string, printed_page: string, chapter: string, "
     "char_count: int, parse_ok: boolean, rejected_xss: boolean, "
-    "bytes_in: long, first_extract: string"
+    "struct_warn: int, bytes_in: long, first_extract: string"
 )
 
 _FIELD_ORDER = [
@@ -45,6 +45,7 @@ _FIELD_ORDER = [
     "char_count",
     "parse_ok",
     "rejected_xss",
+    "struct_warn",
     "bytes_in",
     "first_extract",
 ]
@@ -60,6 +61,7 @@ def _extract_batch(texts: pd.Series, turn_idxs: pd.Series) -> pd.DataFrame:
         rows.append(fields)
     out = pd.DataFrame(rows, columns=_FIELD_ORDER)
     out["char_count"] = out["char_count"].astype("int32")
+    out["struct_warn"] = out["struct_warn"].astype("int32")
     out["bytes_in"] = out["bytes_in"].astype("int64")
     return out
 

@@ -6,17 +6,16 @@ Topology (SURVEY.md §7.1):
       Stage 1  extract_turns        pandas UDF, embarrassingly parallel
       Stage 2  chunk_conversations  ONE shuffle: groupBy(conv_id), multiplexed
       Stage 3  add_embeddings       pandas UDF on chunk rows (pre-commit)
-      commit   parquet → rename → manifest JSON      (atomic per batch)
+      commit   Sink.commit(batch)                    (atomic per batch)
 
-The commit protocol is the local-filesystem analog of an Iceberg snapshot
-append (reference sink: bulk insert with verified ``affected_rows``,
-/root/reference/api.py:1390-1445): data lands in a staging dir, is renamed
-into place, and only then does the manifest appear — a batch without a
-manifest is invisible to readers and is re-done wholesale on resume, so a
-killed run resumes without duplicates or reprocessing of completed batches
-(north rule).  On a real cluster swap `_commit_batch`/`read_*` for
-``writeTo(...).append()`` on an Iceberg catalog table and snapshot-summary
-verification; everything upstream is unchanged.
+The commit protocol lives behind the ``Sink`` protocol (plans/sinks.py):
+``ParquetManifestSink`` (stage → rename → manifest; the local analog of an
+Iceberg snapshot append — a batch without a manifest is invisible and is
+redone wholesale on resume, so a killed run resumes without duplicates) is
+the in-sandbox default; ``IcebergSink`` is the production
+``writeTo(...).append()`` path with snapshot-summary count verification
+(reference sink contract: bulk insert with verified ``affected_rows``,
+/root/reference/api.py:1390-1445).  Everything upstream is sink-agnostic.
 
 Skew handling: stage 1 runs on scan partitions (no shuffle; AQE balances),
 stage 2's only shuffle keys on conv_id — per-group cost is bounded by the
@@ -27,10 +26,6 @@ salt)) pattern for inputs whose file layout clusters giant conversations.
 
 from __future__ import annotations
 
-import json
-import os
-import shutil
-import time
 from typing import Any, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,72 +33,18 @@ from pyspark.sql import functions as F
 
 from ..config import CHECKPOINT_BUCKETS, SALT_BUCKETS
 from ..operators.chunk import chunk_conversations
-from ..operators.enrich import add_embeddings, batch_lineage, split_chunks, split_documents
+from ..operators.enrich import add_embeddings, split_chunks, split_documents
 from ..operators.extract import extract_turns
-
-_BATCH_DIR = "batches"
-_CKPT_DIR = "_checkpoints"
+from .sinks import ParquetManifestSink, Sink
 
 
 def bucket_col(buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(buckets)).cast("int")
 
 
-def _manifest_path(root: str, batch_id: str) -> str:
-    return os.path.join(root, _CKPT_DIR, f"batch_{batch_id}.json")
-
-
-def _data_path(root: str, batch_id: str) -> str:
-    return os.path.join(root, _BATCH_DIR, f"batch_{batch_id}", "data.parquet")
-
-
 def committed_batches(root: str) -> dict[str, dict[str, Any]]:
-    ckpt = os.path.join(root, _CKPT_DIR)
-    if not os.path.isdir(ckpt):
-        return {}
-    out = {}
-    for name in sorted(os.listdir(ckpt)):
-        if name.startswith("batch_") and name.endswith(".json"):
-            with open(os.path.join(ckpt, name), encoding="utf-8") as f:
-                m = json.load(f)
-            out[m["batch_id"]] = m
-    return out
-
-
-def _commit_batch(
-    spark: SparkSession, multiplexed: DataFrame, root: str, batch_id: str,
-    bucket_ids: list[int],
-) -> dict[str, Any]:
-    final = _data_path(root, batch_id)
-    staging = final + ".staging"
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
-    if os.path.exists(final):
-        shutil.rmtree(final)  # uncommitted leftovers from a killed run
-
-    t0 = time.time()
-    multiplexed.write.mode("overwrite").parquet(staging)
-    os.makedirs(os.path.dirname(final), exist_ok=True)
-    os.rename(staging, final)
-
-    # counters from the *written* data — exactly-once, like the reference's
-    # verified affected_rows (api.py:1417-1445)
-    written = spark.read.parquet(final)
-    counters = batch_lineage(written).collect()[0].asDict()
-
-    manifest = {
-        "batch_id": batch_id,
-        "buckets": bucket_ids,
-        "path": final,
-        "elapsed_sec": round(time.time() - t0, 3),
-        "counters": {k: (int(v) if v is not None else 0) for k, v in counters.items()},
-    }
-    os.makedirs(os.path.join(root, _CKPT_DIR), exist_ok=True)
-    tmp = _manifest_path(root, batch_id) + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(manifest, f, indent=2)
-    os.rename(tmp, _manifest_path(root, batch_id))
-    return manifest
+    """Manifest map of the default parquet sink rooted at ``root``."""
+    return ParquetManifestSink(root).committed()
 
 
 def build_multiplexed(
@@ -126,25 +67,30 @@ def build_multiplexed(
 def run_extraction(
     spark: SparkSession,
     transcripts: DataFrame,
-    output_root: str,
+    output_root: Optional[str] = None,
     buckets: int = CHECKPOINT_BUCKETS,
     buckets_per_batch: int = 4,
     salt_stage1: bool = False,
     fail_after_batches: Optional[int] = None,
     bucket_range: Optional[tuple[int, int]] = None,
+    sink: Optional[Sink] = None,
 ) -> dict[str, Any]:
     """Checkpointed run over the whole input; resumable and idempotent.
 
+    ``sink`` defaults to ``ParquetManifestSink(output_root)``; pass an
+    ``IcebergSink`` on a cluster with a catalog.
     ``fail_after_batches`` simulates a killed run for the resume tests.
     ``bucket_range=(lo, hi)`` restricts this run to buckets lo..hi-1 — the
     multi-executor work split: each executor process owns a disjoint bucket
-    range and commits into the SAME output root (batch ids are bucket-
-    derived, so ranges never collide; the manifest protocol makes the
-    shared root safe).  Returns a summary dict with per-batch manifests
-    and totals.
+    range and commits into the SAME sink (batch ids are bucket-derived, so
+    ranges never collide; the commit protocol makes the shared sink safe).
+    Returns a summary dict with per-batch manifests and totals.
     """
-    os.makedirs(output_root, exist_ok=True)
-    done = committed_batches(output_root)
+    if sink is None:
+        if output_root is None:
+            raise ValueError("run_extraction needs output_root or an explicit sink")
+        sink = ParquetManifestSink(output_root)
+    done = sink.committed()
 
     lo, hi = bucket_range if bucket_range else (0, buckets)
     all_buckets = list(range(lo, hi))
@@ -166,9 +112,7 @@ def run_extraction(
             )
         sub = transcripts.where(bucket_col(buckets).isin(batch_buckets))
         multiplexed = build_multiplexed(sub, salt_stage1=salt_stage1)
-        manifests.append(
-            _commit_batch(spark, multiplexed, output_root, batch_id, batch_buckets)
-        )
+        manifests.append(sink.commit(multiplexed, batch_id, batch_buckets))
         executed += 1
 
     totals: dict[str, int] = {}
@@ -179,10 +123,7 @@ def run_extraction(
 
 
 def read_multiplexed(spark: SparkSession, root: str) -> DataFrame:
-    paths = [_data_path(root, b) for b in committed_batches(root)]
-    if not paths:
-        raise FileNotFoundError(f"no committed batches under {root}")
-    return spark.read.parquet(*paths)
+    return ParquetManifestSink(root).read_multiplexed(spark)
 
 
 def read_chunks(spark: SparkSession, root: str) -> DataFrame:

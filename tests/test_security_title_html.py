@@ -5,7 +5,11 @@ from pdf_extractor_spark.core.html_extract import (
     looks_like_html,
     score_block,
 )
-from pdf_extractor_spark.core.security import is_dangerous, scan_dangerous
+from pdf_extractor_spark.core.security import (
+    count_structure_warnings,
+    is_dangerous,
+    scan_dangerous,
+)
 from pdf_extractor_spark.core.title import infer_title
 
 
@@ -36,6 +40,30 @@ class TestSecurity:
     def test_empty(self):
         assert not is_dangerous("")
         assert scan_dangerous("") == (False, None)
+
+
+class TestStructureWarnings:
+    """F3 parity (api.py:299-350): /JavaScript and /EmbeddedFiles NAMES are
+    warn-level — counted, never rejected; the action-invocation forms stay
+    reject-level."""
+
+    def test_bare_names_warn_without_reject(self):
+        text = "catalog has /JavaScript and /EmbeddedFiles entries"
+        assert count_structure_warnings(text) == 2
+        assert not is_dangerous(text)
+
+    def test_single_warn(self):
+        assert count_structure_warnings("/EmbeddedFiles dictionary") == 1
+        assert count_structure_warnings("see /javascript name") == 1  # case-insensitive
+
+    def test_action_form_still_rejects(self):
+        text = "/JavaScript (app.alert(1))"
+        assert is_dangerous(text)
+        assert count_structure_warnings(text) == 1  # warned AND rejected
+
+    def test_clean_text_no_warn(self):
+        assert count_structure_warnings("plain prose, no pdf names") == 0
+        assert count_structure_warnings("") == 0
 
 
 class TestTitle:

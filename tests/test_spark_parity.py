@@ -114,6 +114,10 @@ class TestLineage:
         assert totals["convs_rejected"] == sum(
             1 for d in _golden("docs") if d["status"] != "embedded"
         )
+        # F3 warn-level structure flags roll up exactly-once into lineage
+        assert totals["struct_warnings"] == sum(
+            t["struct_warn"] for t in _golden("turns")
+        )
         lineage = read_lineage(spark, root)
         assert lineage.count() == len(summary["batches"])
 

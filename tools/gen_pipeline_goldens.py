@@ -77,9 +77,9 @@ def build_goldens() -> dict[str, pd.DataFrame]:
 
     turns = pd.DataFrame(turn_rows, columns=[
         "conv_id", "turn_idx", "clean_text", "printed_page", "chapter",
-        "char_count", "parse_ok", "rejected_xss", "bytes_in",
+        "char_count", "parse_ok", "rejected_xss", "struct_warn", "bytes_in",
     ])
-    for col in ("turn_idx", "char_count"):
+    for col in ("turn_idx", "char_count", "struct_warn"):
         turns[col] = turns[col].astype("int32")
     turns["bytes_in"] = turns["bytes_in"].astype("int64")
 
