@@ -86,6 +86,17 @@ def process_conversation_group(group: pd.DataFrame) -> pd.DataFrame:
         for c in chunk_conversation(records):
             rows.append({"conv_id": conv_id, **c})
 
+    # Title precedence mirrors api.py:1314-1319: metadata title wins, the
+    # first-turn inference is the fallback.  Transcript inputs carry no
+    # metadata title by default (input_hint schema), so callers opt in by
+    # providing a ``meta_title`` column; absent that, inference always runs
+    # — the documented deviation from the reference's PDF-metadata path.
+    meta_title = None
+    if "meta_title" in group.columns:
+        non_null = group["meta_title"].dropna()
+        if len(non_null) and isinstance(non_null.iloc[0], str) and non_null.iloc[0].strip():
+            meta_title = non_null.iloc[0].strip()
+
     # title from turn 0's pre-normalize extract (api.py:782-788 'page_1' path)
     first = group.loc[group["turn_idx"] == 0, "first_extract"]
     first_text = first.iloc[0] if len(first) and isinstance(first.iloc[0], str) else ""
@@ -95,7 +106,7 @@ def process_conversation_group(group: pd.DataFrame) -> pd.DataFrame:
             "conv_id": conv_id,
             "chunk_index": SENTINEL_INDEX,
             "status": status,
-            "title": infer_title(first_text),
+            "title": meta_title or infer_title(first_text),
             "num_turns": n_turns,
             "bytes_in": int(group["bytes_in"].sum()),
             "parse_failures": int((~group["parse_ok"].astype(bool)).sum()),
@@ -117,10 +128,13 @@ def process_conversation_group(group: pd.DataFrame) -> pd.DataFrame:
 
 def chunk_conversations(extracted: DataFrame) -> DataFrame:
     """Extracted turns → multiplexed chunk+sentinel rows (one shuffle)."""
-    pruned = extracted.select(
+    cols = [
         "conv_id", "turn_idx", "clean_text", "printed_page", "chapter",
         "rejected_xss", "parse_ok", "struct_warn", "bytes_in", "first_extract",
-    )
+    ]
+    if "meta_title" in extracted.columns:  # optional metadata-title column
+        cols.append("meta_title")
+    pruned = extracted.select(*cols)
     return pruned.groupBy("conv_id").applyInPandas(
         process_conversation_group, schema=MULTIPLEX_SCHEMA
     )

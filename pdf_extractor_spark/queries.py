@@ -959,6 +959,48 @@ WHERE list_sum([a.embedding[i]::double * b.embedding[i]::double
 """
 
 
+def q_embedding_neardup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for embedding near-dup: grouped-pandas numpy GEMM per
+    coarse cell instead of the relational dimension explode.
+
+    The relational variant (q_embedding_neardup) is exact and fast at
+    sandbox scale but multiplies shuffle rows ×dim (1536-d → 10^15 exploded
+    rows at 10^12 vectors).  Here each cell's vectors shuffle ONCE as Arrow
+    arrays, and the all-pairs cosine is one float32 matrix multiply per
+    cell (BLAS, cache-friendly, zero per-dim rows).  Within-cell memory is
+    O(cell²) floats — bounded by the same cell-size cap that keeps any
+    bucketed near-dup scheme alive; chunk the GEMM row-block-wise for
+    bigger cells.  Same output contract as the relational variant, so the
+    SAME DuckDB oracle verifies both."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def cell_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+            )
+        g = group.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((m * m).sum(axis=1))
+        cos = (m @ m.T) / np.outer(nrm, nrm)
+        ia, ib = np.triu_indices(len(g), k=1)
+        keep = cos[ia, ib] >= 0.35
+        return pd.DataFrame(
+            {
+                "vec_a": g["vec_id"].to_numpy()[ia[keep]],
+                "vec_b": g["vec_id"].to_numpy()[ib[keep]],
+                "cos_sim": np.round(cos[ia, ib][keep], 4),
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        cell_pairs, "vec_a bigint, vec_b bigint, cos_sim double"
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-data operators: text analysis
 # --------------------------------------------------------------------------
@@ -1356,6 +1398,37 @@ def q_chunk_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_db_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 chunk→DB projection (reference api.py:1392-1407): the sink row
+    keeps only the FIRST element of each lineage set — ``pages[0]``,
+    ``printed_pages[0]``, ``chapters[0]`` — as the chunk's nominal page/
+    chapter.  Native ``get()`` (NULL-safe under ANSI, unlike element_at)
+    over the real array columns; no Python."""
+    from .plans.pipeline import build_multiplexed
+    from .operators.enrich import split_chunks
+    from .sources.transcripts import transcripts_spark_df
+
+    tx = transcripts_spark_df(spark, _PIPELINE_CONVS, seed=42, skew_every=20)
+    chunks = split_chunks(build_multiplexed(tx)).drop("embedding")
+    return chunks.select(
+        "conv_id", "chunk_index",
+        F.get("turns", 0).alias("page"),
+        F.get("printed_pages", 0).alias("printed_page"),
+        F.get("chapters", 0).alias("chapter"),
+        "char_count",
+    )
+
+
+ORACLE_CHUNK_DB_PROJECTION = f"""
+SELECT conv_id, chunk_index,
+       CAST(split_part(turns_csv, ',', 1) AS int) AS page,
+       nullif(split_part(printed_pages_csv, ',', 1), '') AS printed_page,
+       nullif(split_part(chapters_csv, ',', 1), '') AS chapter,
+       char_count
+FROM read_parquet('{os.path.join(_GOLDEN_PIPELINE_DIR, "chunks.parquet")}')
+"""
+
+
 def q_documents_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.pipeline import build_multiplexed
     from .operators.enrich import split_documents
@@ -1391,6 +1464,7 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "simhash": (q_simhash, ORACLE_SIMHASH),
     "ngram_jaccard_adjacent": (q_ngram_jaccard_adjacent, ORACLE_NGRAM_JACCARD),
     "embedding_neardup": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
+    "embedding_neardup_gemm": (q_embedding_neardup_gemm, ORACLE_EMBEDDING_NEARDUP),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "corpus_filter": (q_corpus_filter, ORACLE_CORPUS_FILTER),
     # training-data ops: similarity search
@@ -1410,6 +1484,7 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     # pipeline (pandas-UDF) operators — golden-parquet DuckDB oracles
     "extract_turns_pipeline": (q_extract_turns_pipeline, ORACLE_EXTRACT_TURNS_PIPELINE),
     "chunk_pipeline": (q_chunk_pipeline, ORACLE_CHUNK_PIPELINE),
+    "chunk_db_projection": (q_chunk_db_projection, ORACLE_CHUNK_DB_PROJECTION),
     "documents_pipeline": (q_documents_pipeline, ORACLE_DOCUMENTS_PIPELINE),
     "tables_pipeline": (q_tables_pipeline, ORACLE_TABLES_PIPELINE),
 }

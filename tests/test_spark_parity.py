@@ -173,3 +173,34 @@ class TestResume:
         # a whole-range pass over the same root finds everything committed
         s3 = run_extraction(spark, transcripts, root, buckets=8, buckets_per_batch=2)
         assert s3["executed_now"] == 0
+
+
+class TestTitlePrecedence:
+    """api.py:1314-1319 parity: metadata title wins over inference when a
+    caller provides the optional meta_title column; absent or blank
+    metadata falls back to first-turn inference."""
+
+    def test_meta_title_wins_and_null_falls_back(self, spark):
+        from pyspark.sql import functions as F
+
+        from pdf_extractor_spark.operators.chunk import (
+            SENTINEL_INDEX,
+            chunk_conversations,
+        )
+
+        rows = generate_rows(2, seed=42)
+        extracted = extract_turns(
+            spark.createDataFrame(rows_to_pandas(rows)), with_first_extract=True
+        ).withColumn(
+            "meta_title",
+            F.when(F.col("conv_id") == "conv-000000", F.lit("Official Manual Title")),
+        )
+        sentinels = {
+            r["conv_id"]: r["title"]
+            for r in chunk_conversations(extracted)
+            .where(F.col("chunk_index") == SENTINEL_INDEX)
+            .collect()
+        }
+        assert sentinels["conv-000000"] == "Official Manual Title"
+        golden_titles = {d["conv_id"]: d["title"] for d in _golden("docs")}
+        assert sentinels["conv-000001"] == golden_titles["conv-000001"]
