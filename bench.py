@@ -103,7 +103,7 @@ def main() -> None:
         salted = tx.repartition(
             F.xxhash64("conv_id", F.pmod(F.col("turn_idx"), F.lit(SALT_BUCKETS)))
         )
-        extract_sec = pipeline_sec = float("inf")
+        extract_sec = pipeline_sec = packed_sec = float("inf")
         for _ in range(2):
             t0 = time.time()
             extract_turns(salted, with_first_extract=True).write.format(
@@ -118,12 +118,20 @@ def main() -> None:
                 "overwrite"
             ).parquet(f"{tmp}/out")
             pipeline_sec = min(pipeline_sec, time.time() - t0)
+
+            # schema-v2 packed embedding column (binary float32): the
+            # throughput path for the memory-bound embed+sink tail
+            t0 = time.time()
+            build_multiplexed(tx, salt_stage1=True, packed_embeddings=True)\
+                .write.mode("overwrite").parquet(f"{tmp}/out_packed")
+            packed_sec = min(packed_sec, time.time() - t0)
         turns_per_sec = n_turns / pipeline_sec
 
         # ---- catalog queries at SF_DIR ----
         query_secs: dict[str, float] = {
             "extract_stage1": round(extract_sec, 3),
             "pipeline_extract": round(pipeline_sec, 3),
+            "pipeline_extract_packed": round(packed_sec, 3),
         }
         for name in BENCH_QUERIES:
             fn = QUERY_REGISTRY[name][0]
@@ -143,6 +151,7 @@ def main() -> None:
                     "pipeline_turns": n_turns,
                     "extract_turns_per_sec": round(n_turns / extract_sec, 1),
                     "pipeline_turns_per_sec": round(turns_per_sec, 1),
+                    "pipeline_packed_turns_per_sec": round(n_turns / packed_sec, 1),
                     "cores": CPUS,
                     "cold_start_sec": cold_start_sec,
                 }

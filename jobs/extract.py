@@ -49,6 +49,11 @@ def main() -> int:
                     help="simulate a killed run after N batches (resume demo)")
     ap.add_argument("--cores", type=int, default=None,
                     help="local[] cores when no cluster master is set")
+    ap.add_argument("--iceberg-table", default=None,
+                    help="commit to this Iceberg catalog table instead of the "
+                         "parquet+manifest sink (needs the Iceberg runtime)")
+    ap.add_argument("--packed-embeddings", action="store_true",
+                    help="schema-v2 packed float32 binary embedding column")
     args = ap.parse_args()
 
     from pdf_extractor_spark.config import CHECKPOINT_BUCKETS
@@ -75,6 +80,12 @@ def main() -> int:
     else:
         transcripts = spark.read.parquet(args.input)
 
+    sink = None
+    if args.iceberg_table:
+        from pdf_extractor_spark.plans.sinks import IcebergSink
+
+        sink = IcebergSink(spark, args.iceberg_table)
+
     summary = run_extraction(
         spark,
         transcripts,
@@ -83,6 +94,8 @@ def main() -> int:
         buckets_per_batch=args.buckets_per_batch,
         salt_stage1=args.salt_stage1,
         fail_after_batches=args.kill_after,
+        sink=sink,
+        packed_embeddings=args.packed_embeddings or None,
     )
     print(json.dumps({"totals": summary["totals"],
                       "batches": len(summary["batches"]),

@@ -48,6 +48,11 @@ HEADER_BAND_PT = 8.0       # reference: pdf_extractor.py:219
 
 # --- Embeddings (reference: vector(1536), DB_ST_2.md:80-86) ------------------
 EMBED_DIM = 1536
+# Schema-version flag: False = array<float> (v1, reference-shaped, default);
+# True = packed little-endian float32 binary (v2) — same bytes, no
+# per-element Arrow offsets/list encoding, ~30% lighter embed+sink tail.
+# Readers use operators.enrich.unpack_embeddings (or np.frombuffer).
+EMBED_PACKED = False
 
 # --- Spark execution defaults ------------------------------------------------
 DEFAULT_SHUFFLE_PARTITIONS = 32

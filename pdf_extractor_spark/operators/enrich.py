@@ -26,9 +26,32 @@ from ..core.embed import embed_batch
 from .chunk import CHUNK_COLS, SENTINEL_INDEX
 
 
-@lru_cache(maxsize=1)
-def embed_udf():
-    """Lazy: pandas_udf DDL parsing needs an active SparkSession."""
+@lru_cache(maxsize=2)
+def embed_udf(packed: bool = False):
+    """Lazy: pandas_udf DDL parsing needs an active SparkSession.
+
+    ``packed=True`` emits the vector as a single ``binary`` cell
+    (little-endian float32, 4·EMBED_DIM bytes) instead of
+    ``array<float>``.  Same bytes of signal, but the packed column skips
+    per-element Arrow offsets and parquet list encoding — measurably
+    lighter on the memory subsystem in the embed+sink tail (the schema-v2
+    path for throughput-critical runs; see BENCH.md).  Unpack with
+    ``unpack_embeddings`` or ``numpy.frombuffer(cell, dtype='<f4')``.
+    """
+
+    if packed:
+
+        @pandas_udf("binary")
+        def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for texts in batches:
+                mat = embed_batch(["" if t is None else t for t in texts], EMBED_DIM)
+                out = [
+                    None if t is None else mat[i].tobytes()
+                    for i, t in enumerate(texts)
+                ]
+                yield pd.Series(out)
+
+        return _udf
 
     @pandas_udf("array<float>")
     def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -40,8 +63,36 @@ def embed_udf():
     return _udf
 
 
-def add_embeddings(df: DataFrame, text_col: str = "content") -> DataFrame:
-    return df.withColumn("embedding", embed_udf()(F.col(text_col)))
+def add_embeddings(
+    df: DataFrame, text_col: str = "content", packed: bool | None = None
+) -> DataFrame:
+    if packed is None:
+        from ..config import EMBED_PACKED
+
+        packed = EMBED_PACKED
+    return df.withColumn("embedding", embed_udf(packed)(F.col(text_col)))
+
+
+@lru_cache(maxsize=1)
+def _unpack_udf():
+    import numpy as np
+
+    @pandas_udf("array<float>")
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for blobs in batches:
+            yield pd.Series(
+                [
+                    None if b is None else np.frombuffer(b, dtype="<f4")
+                    for b in blobs
+                ]
+            )
+
+    return _udf
+
+
+def unpack_embeddings(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """binary (packed float32) → array<float> — the schema-v2 read adapter."""
+    return df.withColumn(col, _unpack_udf()(F.col(col)))
 
 
 def split_chunks(multiplexed: DataFrame) -> DataFrame:

@@ -48,9 +48,17 @@ def committed_batches(root: str) -> dict[str, dict[str, Any]]:
 
 
 def build_multiplexed(
-    transcripts: DataFrame, salt_stage1: bool = False, salt: int = SALT_BUCKETS
+    transcripts: DataFrame,
+    salt_stage1: bool = False,
+    salt: int = SALT_BUCKETS,
+    packed_embeddings: Optional[bool] = None,
 ) -> DataFrame:
-    """The logical plan: stage 1 → stage 2 → stage 3 (no IO)."""
+    """The logical plan: stage 1 → stage 2 → stage 3 (no IO).
+
+    ``packed_embeddings`` selects the embedding schema version (None →
+    config.EMBED_PACKED): v1 ``array<float>`` or v2 packed float32
+    ``binary`` — see operators/enrich.embed_udf.
+    """
     src = transcripts
     if salt_stage1:
         # spread any pathological file layout before the Python stage;
@@ -61,7 +69,7 @@ def build_multiplexed(
         )
     extracted = extract_turns(src, with_first_extract=True)
     multiplexed = chunk_conversations(extracted)
-    return add_embeddings(multiplexed)
+    return add_embeddings(multiplexed, packed=packed_embeddings)
 
 
 def run_extraction(
@@ -74,6 +82,7 @@ def run_extraction(
     fail_after_batches: Optional[int] = None,
     bucket_range: Optional[tuple[int, int]] = None,
     sink: Optional[Sink] = None,
+    packed_embeddings: Optional[bool] = None,
 ) -> dict[str, Any]:
     """Checkpointed run over the whole input; resumable and idempotent.
 
@@ -111,7 +120,9 @@ def run_extraction(
                 f"simulated kill after {executed} batches (resume test)"
             )
         sub = transcripts.where(bucket_col(buckets).isin(batch_buckets))
-        multiplexed = build_multiplexed(sub, salt_stage1=salt_stage1)
+        multiplexed = build_multiplexed(
+            sub, salt_stage1=salt_stage1, packed_embeddings=packed_embeddings
+        )
         manifests.append(sink.commit(multiplexed, batch_id, batch_buckets))
         executed += 1
 

@@ -93,3 +93,24 @@ def test_native_queries_stay_jvm_side(spark, registry):
         # '*(n)' operator prefixes mark whole-stage-codegen regions in the
         # executed-plan string (WholeStageCodegen appears only in -formatted)
         assert "*(" in plan, f"{name} lost codegen"
+
+
+def test_gemm_neardup_single_shuffle_arrow_arrays(spark, registry):
+    """The GEMM near-dup scale path must shuffle each vector ONCE as an
+    Arrow array (one groupBy(label) exchange into FlatMapGroupsInPandas) —
+    no posexplode, no per-dimension rows, no join."""
+    plan = _plan(registry["embedding_neardup_gemm"][0](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange") == 1
+    assert "Generate" not in plan  # posexplode would appear as Generate
+    assert "Join" not in plan
+
+
+def test_multiprobe_probes_are_limited_before_scan_join(spark, registry):
+    """Multi-probe ANN must rank cells and LIMIT to P probes before the
+    corpus join — the join input is P cells, not the corpus squared."""
+    plan = _plan(registry["ivf_multiprobe"][0](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the probes subtree carries a global limit of _IVF_PROBES
+    from pdf_extractor_spark.queries import _IVF_PROBES
+    assert f"limit={_IVF_PROBES}" in plan.lower() or "TakeOrderedAndProject" in plan

@@ -204,3 +204,40 @@ class TestTitlePrecedence:
         assert sentinels["conv-000000"] == "Official Manual Title"
         golden_titles = {d["conv_id"]: d["title"] for d in _golden("docs")}
         assert sentinels["conv-000001"] == golden_titles["conv-000001"]
+
+
+class TestPackedEmbeddings:
+    """Schema-v2 packed embeddings: binary cells carry the identical
+    float32 stream as the v1 array column, and the unpack adapter
+    round-trips exactly."""
+
+    def test_packed_roundtrip_equals_array(self, spark, tmp_path):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from pdf_extractor_spark.config import EMBED_DIM
+        from pdf_extractor_spark.operators.enrich import unpack_embeddings
+        from pdf_extractor_spark.plans.pipeline import build_multiplexed
+
+        rows = generate_rows(3, seed=21)
+        tx = spark.createDataFrame(rows_to_pandas(rows))
+
+        out_v2 = str(tmp_path / "v2")
+        build_multiplexed(tx, packed_embeddings=True).write.parquet(out_v2)
+        packed = spark.read.parquet(out_v2).where(F.col("chunk_index") != -1)
+
+        row = packed.select("content", "embedding").orderBy("content").first()
+        assert isinstance(row.embedding, (bytes, bytearray))
+        assert len(row.embedding) == 4 * EMBED_DIM
+
+        from pdf_extractor_spark.core.embed import embed_text
+
+        np.testing.assert_array_equal(
+            np.frombuffer(row.embedding, dtype="<f4"), embed_text(row.content)
+        )
+
+        unpacked = unpack_embeddings(packed).select("content", "embedding")
+        r2 = unpacked.orderBy("content").first()
+        np.testing.assert_array_equal(
+            np.asarray(r2.embedding, dtype=np.float32), embed_text(r2.content)
+        )

@@ -51,8 +51,9 @@ from pdf_extractor_spark.sources.transcripts import transcripts_spark_df
 from pdf_extractor_spark.plans.pipeline import build_multiplexed
 from pdf_extractor_spark.operators.extract import extract_turns
 from pdf_extractor_spark.config import SALT_BUCKETS
-tx_path, out_path, cores, repeats = (
-    sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
+tx_path, out_path, cores, repeats, packed = (
+    sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4]),
+    sys.argv[5] == "1")
 spark = build_session(f"scaling-{cores}", cores=cores, shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
 # untimed warmup: import-warm every Python worker
@@ -73,7 +74,8 @@ for _ in range(repeats):
     # (b) full pipeline to parquet (extract + chunk + embed + sink)
     shutil.rmtree(out_path, ignore_errors=True)
     t0 = time.time()
-    build_multiplexed(tx, salt_stage1=True).write.mode("overwrite").parquet(out_path)
+    build_multiplexed(tx, salt_stage1=True, packed_embeddings=packed)\\
+        .write.mode("overwrite").parquet(out_path)
     secs.append(time.time() - t0)
 print(json.dumps({"cores": cores, "turns": n,
                   "ex_secs": [round(s, 2) for s in ex_secs],
@@ -104,6 +106,8 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     ap.add_argument("--append", action="store_true",
                     help="append a results section to --out instead of rewriting")
+    ap.add_argument("--packed", action="store_true",
+                    help="schema-v2 packed float32 binary embedding column")
     args = ap.parse_args()
     levels = sorted(args.levels)
 
@@ -120,7 +124,8 @@ def main() -> None:
         for cores in levels:
             print(f"round {rnd}: local[{cores}] ...", flush=True)
             r = json.loads(
-                _run(_RUN_SNIPPET, tx_path, f"{tmp}/out{cores}", str(cores), "1")
+                _run(_RUN_SNIPPET, tx_path, f"{tmp}/out{cores}", str(cores), "1",
+                     "1" if args.packed else "0")
             )
             results[cores]["turns"] = r["turns"]
             results[cores]["secs"] += r["secs"]
@@ -199,7 +204,7 @@ Generated {time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime())}.
     if args.append:
         md = f"""
 
-## Additional pair — levels {levels}, {args.convs} conversations ({n_turns} turns)
+## Additional pair — levels {levels}, {args.convs} conversations ({n_turns} turns){", PACKED (schema-v2) embeddings" if args.packed else ""}
 
 | cores | extract runs (sec) | extract turns/sec | full runs (sec) | full turns/sec |
 |---|---|---|---|---|
