@@ -1075,6 +1075,174 @@ FROM t
 """
 
 
+def q_tf_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document — the classic two-pass corpus
+    statistic: per-doc term frequencies, a GLOBAL document-frequency
+    relation (the genuinely distributed part: DF must see every doc), a
+    join back, and a per-doc ranking window.  At corpus scale the DF
+    table is Zipf-truncated and broadcast.  Scores round to 4 decimals
+    BEFORE ranking so ordering is ulp-stable across engines; ties break
+    on term."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH toks AS (
+          SELECT doc_id, explode({_SPARK_TOKENS.format(x='text')}) AS tok
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+        ), df AS (
+          SELECT tok, count(*) AS df FROM tf GROUP BY tok
+        ), n AS (SELECT count(*) AS n FROM documents
+        ), scored AS (
+          SELECT tf.doc_id, tf.tok,
+                 round(tf.tf * ln(n.n / cast(df.df as double)), 4) AS tfidf
+          FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+        )
+        SELECT doc_id, tok, tfidf FROM (
+          SELECT doc_id, tok, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, tok) AS rk
+          FROM scored
+        ) WHERE rk <= 5
+        """,
+    )
+
+
+ORACLE_TF_IDF_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS.format(x='text')}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), n AS (SELECT count(*) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.tok,
+         round(tf.tf * ln(n.n / cast(df.df as double)), 4) AS tfidf
+  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+)
+SELECT doc_id, tok, tfidf FROM (
+  SELECT doc_id, tok, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, tok) AS rk
+  FROM scored
+) t WHERE rk <= 5
+"""
+
+
+def q_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality signal (CCNet-style, one order down): per-doc mean
+    negative log-probability of its token bigrams under the corpus bigram
+    distribution.  Fluent text reuses common bigrams (low surprise); junk
+    and boilerplate-mangled text scores high.  Shape: windowed bigram
+    extraction → global bigram counts → join back → per-doc aggregate —
+    at 10^12 turns the bigram table is count-thresholded and broadcast."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH toks AS (
+          SELECT doc_id, pos, tok
+          FROM documents
+          LATERAL VIEW posexplode({_SPARK_TOKENS.format(x='text')}) AS pos, tok
+        ), bg AS (
+          SELECT doc_id, tok,
+                 lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+          FROM toks
+        ), bigrams AS (
+          SELECT doc_id, tok, nxt FROM bg WHERE nxt IS NOT NULL
+        ), counts AS (
+          SELECT tok, nxt, count(*) AS c FROM bigrams GROUP BY tok, nxt
+        ), total AS (SELECT count(*) AS t FROM bigrams)
+        SELECT b.doc_id,
+               cast(count(*) as bigint) AS n_bigrams,
+               round(avg(-ln(c.c / cast(total.t as double))), 4) AS mean_surprise
+        FROM bigrams b
+        JOIN counts c ON b.tok = c.tok AND b.nxt = c.nxt
+        CROSS JOIN total
+        GROUP BY b.doc_id
+        """,
+    )
+
+
+ORACLE_BIGRAM_SURPRISE = f"""
+WITH tl AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(x='text')} AS ts FROM documents
+), toks AS (
+  SELECT doc_id, u.i AS pos, ts[u.i] AS tok
+  FROM tl, LATERAL unnest(range(1, len(ts)+1)) AS u(i)
+), bg AS (
+  SELECT doc_id, tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM toks
+), bigrams AS (
+  SELECT doc_id, tok, nxt FROM bg WHERE nxt IS NOT NULL
+), counts AS (
+  SELECT tok, nxt, count(*) AS c FROM bigrams GROUP BY tok, nxt
+), total AS (SELECT count(*) AS t FROM bigrams)
+SELECT b.doc_id,
+       count(*)::bigint AS n_bigrams,
+       round(avg(-ln(c.c / cast(total.t as double))), 4) AS mean_surprise
+FROM bigrams b
+JOIN counts c ON b.tok = c.tok AND b.nxt = c.nxt
+CROSS JOIN total
+GROUP BY b.doc_id
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the training-mix knob: keep a
+    per-stratum rate (50% of 'en', 10% of everything else) chosen by a
+    hash of the stable doc key, so the sample is reproducible across runs,
+    engines and cluster sizes (no RNG state, no seed plumbing)."""
+    h = _SPARK_MD5INT.format(x="cast(doc_id as string)")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        SELECT doc_id, lang, pmod({h}, 100) AS bucket
+        FROM documents
+        WHERE pmod({h}, 100) <
+              CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+        """,
+    )
+
+
+_DUCK_HASH_DOC = _DUCK_MD5INT.format(x="cast(doc_id as varchar)")
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, {_DUCK_HASH_DOC} % 100 AS bucket
+FROM documents
+WHERE {_DUCK_HASH_DOC} % 100 <
+      CASE WHEN lang = 'en' THEN 50 ELSE 10 END
+"""
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus telemetry: document-length histogram (500-char buckets) with
+    per-bucket mean punctuation ratio — the pre-training 'know your data'
+    profile, one map-side-combinable aggregation over the whole corpus."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        r"""
+        SELECT cast(floor(length(text) / 500) as bigint) AS len_bucket,
+               cast(count(*) as bigint) AS n_docs,
+               round(avg(size(regexp_extract_all(text, '[.!?,;:]', 0)) /
+                         cast(greatest(length(text), 1) as double)), 4)
+                 AS mean_punct_ratio
+        FROM documents GROUP BY floor(length(text) / 500)
+        """,
+    )
+
+
+ORACLE_LENGTH_HISTOGRAM = r"""
+SELECT cast(floor(length(text) / 500) as bigint) AS len_bucket,
+       count(*)::bigint AS n_docs,
+       round(avg(len(regexp_extract_all(text, '[.!?,;:]')) /
+                 cast(greatest(length(text), 1) as double)), 4)
+         AS mean_punct_ratio
+FROM documents GROUP BY floor(length(text) / 500)
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: total + distinct + type-token ratio."""
     toks = _SPARK_TOKENS.format(x="text")
@@ -1474,6 +1642,10 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     # training-data ops: text analysis
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
     "quality_score": (q_quality_score, ORACLE_QUALITY),
+    "tf_idf_topk": (q_tf_idf_topk, ORACLE_TF_IDF_TOPK),
+    "bigram_surprise": (q_bigram_surprise, ORACLE_BIGRAM_SURPRISE),
+    "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
+    "length_histogram": (q_length_histogram, ORACLE_LENGTH_HISTOGRAM),
     "token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
     "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE_TOKEN_STATS),
     "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
