@@ -193,3 +193,66 @@ def test_stream_end_to_end_quarantine(spark, tmp_path):
     assert read_stream_output(spark, out_dir).where(
         "chunk_index = %d" % SENTINEL_INDEX
     ).count() == 2
+
+
+def test_stateful_assembly_chunks_cross_batch_conversation(spark, tmp_path):
+    """The ASSEMBLE alternative to quarantine: a conversation split across
+    micro-batches buffers in group state and, once idle past the timeout,
+    is chunked WHOLE — output equals the batch pipeline on the complete
+    conversation, byte for byte."""
+    import os
+
+    from pdf_extractor_spark.operators.chunk import chunk_conversations
+    from pdf_extractor_spark.operators.extract import extract_turns
+    from pdf_extractor_spark.streaming.stateful import run_stream_stateful
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    rows = generate_rows(2, seed=13)
+    conv0 = sorted((r for r in rows if r[0] == "conv-000000"), key=lambda r: r[1])
+    conv1 = sorted((r for r in rows if r[0] == "conv-000001"), key=lambda r: r[1])
+    split = len(conv0) // 2
+
+    df1 = spark.createDataFrame(rows_to_pandas(conv0[:split] + conv1), TRANSCRIPT_DDL)
+    df1.coalesce(1).write.mode("append").parquet(in_dir)
+    time.sleep(1.1)
+    df2 = spark.createDataFrame(rows_to_pandas(conv0[split:]), TRANSCRIPT_DDL)
+    df2.coalesce(1).write.mode("append").parquet(in_dir)
+
+    q = run_stream_stateful(
+        spark, in_dir, out_dir, ckpt,
+        idle_timeout_ms=2000, max_files_per_trigger=1,
+    )
+    try:
+        deadline = time.time() + 120
+        got = None
+        while time.time() < deadline:
+            # the file sink commits its _spark_metadata log after the batch
+            # write; reads race that commit, so tolerate every failure mode
+            # until both sentinels are visible
+            try:
+                cand = spark.read.parquet(out_dir)
+                if cand.where(cand.chunk_index == SENTINEL_INDEX).count() == 2:
+                    got = cand
+                    break
+            except Exception:
+                pass
+            time.sleep(2)
+        assert got is not None, "no output produced before deadline"
+        n_sent = got.where(got.chunk_index == SENTINEL_INDEX).count()
+        assert n_sent == 2, f"expected both conversations to emit, saw {n_sent}"
+    finally:
+        q.stop()
+
+    want = chunk_conversations(
+        extract_turns(
+            spark.createDataFrame(rows_to_pandas(rows), TRANSCRIPT_DDL),
+            with_first_extract=True,
+        )
+    )
+    g = got.orderBy("conv_id", "chunk_index").toPandas()
+    w = want.orderBy("conv_id", "chunk_index").toPandas()
+    pd.testing.assert_frame_equal(
+        g.reset_index(drop=True), w[g.columns].reset_index(drop=True)
+    )
