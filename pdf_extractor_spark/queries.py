@@ -1075,6 +1075,32 @@ FROM t
 """
 
 
+def q_windowed_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute event-time windows over the events table — the
+    batch spelling of streaming/ingest.windowed_turn_rates (same epoch
+    bucketing Structured Streaming's ``window()`` performs), so the
+    streaming aggregation's semantics are oracle-checkable."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        SELECT cast(floor(unix_timestamp(ts) / 300) * 300 as bigint) AS window_start,
+               cast(count(*) as bigint) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM events
+        GROUP BY floor(unix_timestamp(ts) / 300) * 300
+        """,
+    )
+
+
+ORACLE_WINDOWED_RATES = """
+SELECT cast(floor(epoch(ts) / 300) * 300 as bigint) AS window_start,
+       count(*)::bigint AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY floor(epoch(ts) / 300) * 300
+"""
+
+
 def q_tf_idf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document — the classic two-pass corpus
     statistic: per-doc term frequencies, a GLOBAL document-frequency
@@ -1643,6 +1669,7 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
     "quality_score": (q_quality_score, ORACLE_QUALITY),
     "tf_idf_topk": (q_tf_idf_topk, ORACLE_TF_IDF_TOPK),
+    "windowed_rates": (q_windowed_rates, ORACLE_WINDOWED_RATES),
     "bigram_surprise": (q_bigram_surprise, ORACLE_BIGRAM_SURPRISE),
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "length_histogram": (q_length_histogram, ORACLE_LENGTH_HISTOGRAM),

@@ -41,9 +41,10 @@ import json, os, sys, time
 from pdf_extractor_spark.session import build_session
 from pdf_extractor_spark.sources.transcripts import transcripts_spark_df
 from pdf_extractor_spark.plans.pipeline import build_multiplexed, run_extraction
-tx_path, out_root, cores, b_lo, b_hi, buckets, bpb, go_file = (
+tx_path, out_root, cores, b_lo, b_hi, buckets, bpb, go_file, packed = (
     sys.argv[1], sys.argv[2], int(sys.argv[3]), int(sys.argv[4]),
-    int(sys.argv[5]), int(sys.argv[6]), int(sys.argv[7]), sys.argv[8])
+    int(sys.argv[5]), int(sys.argv[6]), int(sys.argv[7]), sys.argv[8],
+    sys.argv[9] == "1")
 spark = build_session(f"exec-{b_lo}", cores=cores, shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
 # untimed: import-warm this executor's Python workers
@@ -56,7 +57,8 @@ while not os.path.exists(go_file):
 t0 = time.time()
 summary = run_extraction(spark, tx, out_root, buckets=buckets,
                          buckets_per_batch=bpb, salt_stage1=True,
-                         bucket_range=(b_lo, b_hi))
+                         bucket_range=(b_lo, b_hi),
+                         packed_embeddings=packed or None)
 print(json.dumps({"elapsed": round(time.time() - t0, 2),
                   "turns_in": summary["totals"].get("turns_in", 0),
                   "chunks_out": summary["totals"].get("chunks_out", 0)}),
@@ -80,7 +82,9 @@ spark.stop()
 BUCKETS = 16
 
 
-def run_cluster(tx_path: str, out_root: str, n_exec: int, cores: int) -> dict:
+def run_cluster(
+    tx_path: str, out_root: str, n_exec: int, cores: int, packed: bool = False
+) -> dict:
     shutil.rmtree(out_root, ignore_errors=True)
     go_file = out_root + ".go"
     if os.path.exists(go_file):
@@ -94,7 +98,7 @@ def run_cluster(tx_path: str, out_root: str, n_exec: int, cores: int) -> dict:
         p = subprocess.Popen(
             [sys.executable, "-c", _EXEC_SNIPPET, tx_path, out_root,
              str(cores), str(e * per), str((e + 1) * per), str(BUCKETS),
-             str(bpb), go_file],
+             str(bpb), go_file, "1" if packed else "0"],
             cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
             text=True, bufsize=1,
         )
@@ -126,6 +130,8 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--execs", type=int, nargs=2, default=[1, 4])
+    ap.add_argument("--packed", action="store_true",
+                    help="schema-v2 packed float32 binary embedding column")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     args = ap.parse_args()
 
@@ -143,7 +149,8 @@ def main() -> None:
     best: dict[int, dict] = {}
     for rnd in range(args.repeats):
         for n_exec in (e_lo, e_hi):
-            r = run_cluster(tx_path, f"{tmp}/out{n_exec}", n_exec, args.cores)
+            r = run_cluster(tx_path, f"{tmp}/out{n_exec}", n_exec, args.cores,
+                            packed=args.packed)
             print(f"round {rnd}: {r}", flush=True)
             if n_exec not in best or r["wall_sec"] < best[n_exec]["wall_sec"]:
                 best[n_exec] = r
@@ -153,7 +160,7 @@ def main() -> None:
     verdict = "PASS" if round(eff, 3) >= 0.8 else "MISS"
     md = f"""
 
-## Multi-executor study — N vs 4N executor PROCESSES (the faithful analog)
+## Multi-executor study — N vs 4N executor PROCESSES{" (PACKED schema-v2 embeddings)" if args.packed else ""}
 
 Each executor = its own Spark JVM (local[{args.cores}], 8g heap, own Python
 workers) over a disjoint bucket range of the same {n_turns}-turn input,
