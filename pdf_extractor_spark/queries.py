@@ -1623,6 +1623,49 @@ FROM read_parquet('{os.path.join(_GOLDEN_PIPELINE_DIR, "chunks.parquet")}')
 """
 
 
+def q_qa_plausibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 plausibility QA (reference inspect.py:168-194) as a catalog
+    query instead of an eyeball tool: per chunk, flag a printed_page that
+    looks like a YEAR (1800-2099 — the header parser must never emit one,
+    its year guard exists exactly for this) and one implausibly far ahead
+    of the turn span (printed number >> end_turn + 500).  ``try_cast``
+    keeps non-numeric printed pages NULL-safe under ANSI mode."""
+    from .plans.pipeline import build_multiplexed
+    from .operators.enrich import split_chunks
+    from .sources.transcripts import transcripts_spark_df
+
+    tx = transcripts_spark_df(spark, _PIPELINE_CONVS, seed=42, skew_every=20)
+    chunks = split_chunks(build_multiplexed(tx)).drop("embedding")
+    pp = F.get("printed_pages", 0)
+    num = F.expr("try_cast(get(printed_pages, 0) AS int)")
+    return chunks.select(
+        "conv_id", "chunk_index",
+        pp.alias("printed_first"),
+        F.coalesce(pp.rlike(r"^(18|19|20)\d{2}$"), F.lit(False)).alias(
+            "year_suspect"
+        ),
+        F.coalesce(num > (F.col("end_turn") + F.lit(500)), F.lit(False)).alias(
+            "far_suspect"
+        ),
+    )
+
+
+ORACLE_QA_PLAUSIBILITY = f"""
+WITH c AS (
+  SELECT conv_id, chunk_index,
+         nullif(split_part(printed_pages_csv, ',', 1), '') AS printed_first,
+         end_turn
+  FROM read_parquet('{os.path.join(_GOLDEN_PIPELINE_DIR, "chunks.parquet")}')
+)
+SELECT conv_id, chunk_index, printed_first,
+       coalesce(regexp_matches(printed_first, '^(18|19|20)[0-9]{{2}}$'), false)
+         AS year_suspect,
+       coalesce(try_cast(printed_first AS int) > end_turn + 500, false)
+         AS far_suspect
+FROM c
+"""
+
+
 def q_documents_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.pipeline import build_multiplexed
     from .operators.enrich import split_documents
@@ -1684,6 +1727,7 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "extract_turns_pipeline": (q_extract_turns_pipeline, ORACLE_EXTRACT_TURNS_PIPELINE),
     "chunk_pipeline": (q_chunk_pipeline, ORACLE_CHUNK_PIPELINE),
     "chunk_db_projection": (q_chunk_db_projection, ORACLE_CHUNK_DB_PROJECTION),
+    "qa_plausibility": (q_qa_plausibility, ORACLE_QA_PLAUSIBILITY),
     "documents_pipeline": (q_documents_pipeline, ORACLE_DOCUMENTS_PIPELINE),
     "tables_pipeline": (q_tables_pipeline, ORACLE_TABLES_PIPELINE),
 }
