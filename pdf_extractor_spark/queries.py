@@ -1075,6 +1075,65 @@ FROM t
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization — the upstream operator that MAKES the
+    whole-conversation contract the streaming engine consumes: events with
+    >30 min of silence start a new session (classic lag + cumulative-sum
+    windowing; one shuffle on the session key).  Emits per-session span
+    and size."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH gaps AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN unix_timestamp(ts)
+                           - unix_timestamp(lag(ts) OVER
+                               (PARTITION BY user_id ORDER BY ts)) > 1800
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS is_start
+          FROM events
+        ), sess AS (
+          SELECT user_id, ts, value,
+                 sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM gaps
+        )
+        SELECT user_id, cast(session_no as bigint) AS session_no,
+               cast(count(*) as bigint) AS n_events,
+               cast(unix_timestamp(max(ts)) - unix_timestamp(min(ts)) as bigint)
+                 AS span_sec,
+               round(sum(value), 4) AS total_value
+        FROM sess GROUP BY user_id, session_no
+        """,
+    )
+
+
+# floor(epoch(...)) everywhere: Spark's unix_timestamp() truncates each
+# timestamp to whole seconds BEFORE any arithmetic, DuckDB's epoch() keeps
+# the fraction — gaps and spans must round identically
+ORACLE_SESSIONIZE = """
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         CASE WHEN floor(epoch(ts))
+                   - floor(epoch(lag(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts))) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps
+)
+SELECT user_id, cast(session_no as bigint) AS session_no,
+       count(*)::bigint AS n_events,
+       cast(floor(epoch(max(ts))) - floor(epoch(min(ts))) as bigint) AS span_sec,
+       round(sum(value), 4) AS total_value
+FROM sess GROUP BY user_id, session_no
+"""
+
+
 def q_windowed_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-minute event-time windows over the events table — the
     batch spelling of streaming/ingest.windowed_turn_rates (same epoch
@@ -1713,6 +1772,7 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "quality_score": (q_quality_score, ORACLE_QUALITY),
     "tf_idf_topk": (q_tf_idf_topk, ORACLE_TF_IDF_TOPK),
     "windowed_rates": (q_windowed_rates, ORACLE_WINDOWED_RATES),
+    "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "bigram_surprise": (q_bigram_surprise, ORACLE_BIGRAM_SURPRISE),
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "length_histogram": (q_length_histogram, ORACLE_LENGTH_HISTOGRAM),
