@@ -113,3 +113,30 @@ def test_chunk_size_bounded(texts):
     )
     for c in chunk_conversation(recs):
         assert c["char_count"] <= CHUNK_SIZE + CHUNK_OVERLAP + max_unit + 4
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.text(max_size=400))
+def test_extract_turn_fields_total_on_arbitrary_unicode(raw):
+    """Stage-1 extraction is TOTAL: any unicode payload (surrogate-free —
+    parquet/Arrow reject lone surrogates upstream) produces a well-formed
+    field dict within the sanitize caps, never an exception."""
+    from pdf_extractor_spark.config import MAX_TEXT_LENGTH
+
+    f = extract_turn_fields(raw)
+    assert isinstance(f["clean_text"], str)
+    assert len(f["clean_text"]) <= MAX_TEXT_LENGTH
+    assert f["char_count"] == len(f["clean_text"])
+    assert isinstance(f["parse_ok"], bool)
+    assert isinstance(f["rejected_xss"], bool)
+    assert 0 <= f["struct_warn"] <= 2
+    # no control chars survive sanitize (newlines/tabs normalized earlier)
+    assert not any(ord(c) < 32 and c not in "\n" for c in f["clean_text"])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=300))
+def test_chunk_fold_total_on_arbitrary_unicode(raw):
+    chunks = chunk_conversation(_records([raw, raw[::-1]]))
+    for c in chunks:
+        assert c["chunk_index"] >= 0 and c["content"]
