@@ -26,8 +26,9 @@ instead.
 from __future__ import annotations
 
 import os
-from typing import Callable, Optional
+from typing import Callable, Iterator, Optional
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1682,6 +1683,45 @@ FROM read_parquet('{os.path.join(_GOLDEN_PIPELINE_DIR, "chunks.parquet")}')
 """
 
 
+def q_html_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule HTML boilerplate strip made driver-visible: per turn,
+    whether the cheap tag dispatch routed it to the DOM-heuristic scorer
+    (core/html_extract.py — Kohlschütter-style text/link-density tiers,
+    tag-depth pruning) and how much survived.  Iterator pandas UDF over
+    Arrow batches; golden-parquet oracle from the same pure-Python body."""
+    from pyspark.sql.functions import pandas_udf
+    from .core.html_extract import extract_html_main_content, looks_like_html
+    from .sources.transcripts import transcripts_spark_df
+
+    @pandas_udf("is_html boolean, raw_len int, main_len int")
+    def _stats(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for texts in batches:
+            rows = []
+            for t in texts:
+                t = t if isinstance(t, str) else ""
+                h = looks_like_html(t)
+                rows.append({
+                    "is_html": h,
+                    "raw_len": len(t),
+                    "main_len": len(extract_html_main_content(t)) if h else None,
+                })
+            out = pd.DataFrame(rows, columns=["is_html", "raw_len", "main_len"])
+            out["raw_len"] = out["raw_len"].astype("int32")
+            out["main_len"] = out["main_len"].astype("Int32")
+            yield out
+
+    tx = transcripts_spark_df(spark, _PIPELINE_CONVS, seed=42, skew_every=20)
+    return tx.select(
+        "conv_id", "turn_idx", _stats(F.col("text")).alias("s")
+    ).select("conv_id", "turn_idx", "s.*")
+
+
+ORACLE_HTML_EXTRACT_STATS = (
+    "SELECT * FROM read_parquet("
+    f"'{os.path.join(_GOLDEN_PIPELINE_DIR, 'html_stats.parquet')}')"
+)
+
+
 def q_qa_plausibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W5 plausibility QA (reference inspect.py:168-194) as a catalog
     query instead of an eyeball tool: per chunk, flag a printed_page that
@@ -1788,6 +1828,7 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "chunk_pipeline": (q_chunk_pipeline, ORACLE_CHUNK_PIPELINE),
     "chunk_db_projection": (q_chunk_db_projection, ORACLE_CHUNK_DB_PROJECTION),
     "qa_plausibility": (q_qa_plausibility, ORACLE_QA_PLAUSIBILITY),
+    "html_extract_stats": (q_html_extract_stats, ORACLE_HTML_EXTRACT_STATS),
     "documents_pipeline": (q_documents_pipeline, ORACLE_DOCUMENTS_PIPELINE),
     "tables_pipeline": (q_tables_pipeline, ORACLE_TABLES_PIPELINE),
 }

@@ -25,6 +25,10 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pdf_extractor_spark.core.html_extract import (  # noqa: E402
+    extract_html_main_content,
+    looks_like_html,
+)
 from pdf_extractor_spark.core.oracle import process_conversation  # noqa: E402
 from pdf_extractor_spark.core.tables import detect_tables  # noqa: E402
 from pdf_extractor_spark.sources.transcripts import (  # noqa: E402
@@ -43,6 +47,7 @@ SKEW_EVERY = 20
 
 def build_goldens() -> dict[str, pd.DataFrame]:
     turn_rows, chunk_rows, doc_rows, table_rows = [], [], [], []
+    html_rows = []
 
     for conv_i in range(N_CONVS):
         raw = list(generate_conversation(SEED, conv_i, skew_every=SKEW_EVERY))
@@ -58,6 +63,14 @@ def build_goldens() -> dict[str, pd.DataFrame]:
                 "num_tables": len(tables),
                 "table_rows": sum(len(t) for t in tables),
                 "table_cells": sum(len(row) for t in tables for row in t),
+            })
+            h = looks_like_html(text)
+            html_rows.append({
+                "conv_id": conv_id,
+                "turn_idx": r["turn_idx"],
+                "is_html": h,
+                "raw_len": len(text),
+                "main_len": len(extract_html_main_content(text)) if h else None,
             })
 
         for c in result["chunks"]:
@@ -97,11 +110,19 @@ def build_goldens() -> dict[str, pd.DataFrame]:
     for col in ("turn_idx", "num_tables", "table_rows", "table_cells"):
         tables[col] = tables[col].astype("int32")
 
+    html = pd.DataFrame(
+        html_rows, columns=["conv_id", "turn_idx", "is_html", "raw_len", "main_len"]
+    )
+    for col in ("turn_idx", "raw_len"):
+        html[col] = html[col].astype("int32")
+    html["main_len"] = html["main_len"].astype("Int32")
+
     return {
         "extract_turns": turns,
         "chunks": chunks,
         "documents": docs,
         "tables": tables,
+        "html_stats": html,
     }
 
 
