@@ -256,3 +256,62 @@ def test_stateful_assembly_chunks_cross_batch_conversation(spark, tmp_path):
     pd.testing.assert_frame_equal(
         g.reset_index(drop=True), w[g.columns].reset_index(drop=True)
     )
+
+
+def test_stateful_assembly_state_survives_restart(spark, tmp_path):
+    """Kill the stateful query after it buffered half a conversation; a
+    restarted query (same checkpoint) must still assemble the WHOLE
+    conversation once the second half arrives — group state lives in the
+    state store, not the process."""
+    from pdf_extractor_spark.operators.chunk import chunk_conversations
+    from pdf_extractor_spark.operators.extract import extract_turns
+    from pdf_extractor_spark.streaming.stateful import run_stream_stateful
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    rows = generate_rows(1, seed=17)
+    conv0 = sorted(rows, key=lambda r: r[1])
+    split = len(conv0) // 2
+
+    # run 1: long timeout so nothing can emit; buffer the first half
+    spark.createDataFrame(rows_to_pandas(conv0[:split]), TRANSCRIPT_DDL)\
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    q1 = run_stream_stateful(spark, in_dir, out_dir, ckpt, idle_timeout_ms=120_000)
+    deadline = time.time() + 60
+    while time.time() < deadline and not q1.recentProgress:
+        time.sleep(1)
+    assert q1.recentProgress, "first run never processed a batch"
+    q1.stop()
+
+    # run 2: same checkpoint, short timeout; second half arrives
+    spark.createDataFrame(rows_to_pandas(conv0[split:]), TRANSCRIPT_DDL)\
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    q2 = run_stream_stateful(spark, in_dir, out_dir, ckpt, idle_timeout_ms=2000)
+    try:
+        got = None
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                cand = spark.read.parquet(out_dir)
+                if cand.where(cand.chunk_index == SENTINEL_INDEX).count() == 1:
+                    got = cand
+                    break
+            except Exception:
+                pass
+            time.sleep(2)
+        assert got is not None, "restarted query never emitted the conversation"
+    finally:
+        q2.stop()
+
+    want = chunk_conversations(
+        extract_turns(
+            spark.createDataFrame(rows_to_pandas(conv0), TRANSCRIPT_DDL),
+            with_first_extract=True,
+        )
+    )
+    g = got.orderBy("chunk_index").toPandas()
+    w = want.orderBy("chunk_index").toPandas()
+    pd.testing.assert_frame_equal(
+        g.reset_index(drop=True), w[g.columns].reset_index(drop=True)
+    )
