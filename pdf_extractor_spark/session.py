@@ -48,6 +48,10 @@ def build_session(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # measured (BENCH.md codec sweep, 32-core packed pipeline): zstd is
+        # both the fastest sink codec AND ~9% smaller than snappy — strictly
+        # dominant for this workload's write-bound tail
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
