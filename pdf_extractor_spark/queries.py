@@ -1076,6 +1076,60 @@ FROM t
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the eval-leak filter every serious
+    pretraining pipeline runs: corpus documents sharing any 8-token
+    shingle with the held-out benchmark set (here: doc_id < 10 plays the
+    benchmark) are flagged with their overlap count.  Word 8-grams are
+    long enough that chance collisions are nil — a hit means copied text.
+
+    Scale shape: the benchmark shingle set is tiny (thousands of eval
+    docs) → broadcast hash join against the corpus's exploded shingles;
+    the corpus side streams, nothing materializes per-pair."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH toks AS (
+          SELECT doc_id, {_SPARK_TOKENS.format(x='text')} AS t FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN size(t) >= 8 THEN transform(sequence(1, size(t)-7),
+                   i -> concat_ws(' ', slice(t, i, 8)))
+                 ELSE array() END AS shingles
+          FROM toks
+        ), bench AS (
+          SELECT DISTINCT explode(shingles) AS g FROM sh WHERE doc_id < 10
+        ), corpus AS (
+          SELECT doc_id, explode(shingles) AS g FROM sh WHERE doc_id >= 10
+        )
+        SELECT doc_id,
+               cast(count(DISTINCT g) as bigint) AS matched_shingles
+        FROM corpus JOIN bench USING (g)
+        GROUP BY doc_id
+        """,
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(x='text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 8 THEN
+           [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t)-6)]
+         ELSE [] END AS shingles
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE doc_id < 10
+), corpus AS (
+  SELECT doc_id, unnest(shingles) AS g FROM sh WHERE doc_id >= 10
+)
+SELECT doc_id, count(DISTINCT g)::bigint AS matched_shingles
+FROM corpus JOIN bench USING (g)
+GROUP BY doc_id
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization — the upstream operator that MAKES the
     whole-conversation contract the streaming engine consumes: events with
@@ -1815,6 +1869,7 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "bigram_surprise": (q_bigram_surprise, ORACLE_BIGRAM_SURPRISE),
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
+    "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
     "length_histogram": (q_length_histogram, ORACLE_LENGTH_HISTOGRAM),
     "token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
     "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE_TOKEN_STATS),
