@@ -114,3 +114,13 @@ def test_multiprobe_probes_are_limited_before_scan_join(spark, registry):
     # the probes subtree carries a global limit of _IVF_PROBES
     from pdf_extractor_spark.queries import _IVF_PROBES
     assert f"limit={_IVF_PROBES}" in plan.lower() or "TakeOrderedAndProject" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, registry):
+    """The benchmark shingle set is tiny; the corpus join against it must
+    resolve as a broadcast, never sort-merge or cartesian."""
+    df = registry["decontaminate"][0](spark, SF_DIR)
+    df.collect()  # AQE final plan
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
