@@ -60,12 +60,27 @@ def _opt_str(v) -> Optional[str]:
     return v if isinstance(v, str) else None
 
 
-def process_conversation_group(group: pd.DataFrame) -> pd.DataFrame:
-    """One conversation's extracted turns → chunk rows + sentinel doc row."""
+def process_conversation_group(
+    group: pd.DataFrame, *, max_turns: int = MAX_TURNS_PER_CONV
+) -> pd.DataFrame:
+    # max_turns is KEYWORD-ONLY: applyInPandas dispatches on the positional
+    # arity of the group function (2 positionals → the (key, pdf) form), so a
+    # second positional would silently change the calling convention
+    """One conversation's extracted turns → chunk rows + sentinel doc row.
+
+    Sorts by turn_idx HERE, inside the group body: neither batch
+    ``applyInPandas`` nor ``applyInPandasWithState`` guarantees intra-group
+    row order (shuffle readers interleave map outputs; the stateful path
+    buffers in arrival order across micro-batches), and the overlap fold is
+    order-dependent — this is the W1 stable-ordering invariant
+    (reference sorts pages before chunking, api.py:964-968) enforced at the
+    only place every code path funnels through.
+    """
+    group = group.sort_values("turn_idx", kind="stable").reset_index(drop=True)
     conv_id = group["conv_id"].iloc[0]
     n_turns = len(group)
 
-    if n_turns > MAX_TURNS_PER_CONV:
+    if n_turns > max_turns:
         status = STATUS_TOO_LONG
     elif bool(group["rejected_xss"].any()):
         status = STATUS_XSS
