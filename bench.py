@@ -140,6 +140,16 @@ def main() -> None:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             query_secs[name] = round(time.time() - t0, 3)
 
+        # decontamination spellings compared head-to-head (VERDICT r02 #5);
+        # top-level like pipeline_packed_sec so the headline total stays
+        # comparable across rounds
+        decontam_secs: dict[str, float] = {}
+        for name in ("decontaminate", "decontaminate_external", "decontaminate_bloom"):
+            fn = QUERY_REGISTRY[name][0]
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            decontam_secs[name] = round(time.time() - t0, 3)
+
         total = round(sum(query_secs.values()), 3)
         print(
             json.dumps(
@@ -154,6 +164,7 @@ def main() -> None:
                     "pipeline_turns_per_sec": round(turns_per_sec, 1),
                     "pipeline_packed_sec": round(packed_sec, 3),
                     "pipeline_packed_turns_per_sec": round(n_turns / packed_sec, 1),
+                    "decontam_secs": decontam_secs,
                     "cores": CPUS,
                     "cold_start_sec": cold_start_sec,
                 }

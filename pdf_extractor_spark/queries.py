@@ -1083,13 +1083,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark) are flagged with their overlap count.  Word 8-grams are
     long enough that chance collisions are nil — a hit means copied text.
 
-    Scale shape: shingles are HASHED before the join (32-bit md5 prefix —
-    the hashed-n-gram / Bloom-filter formulation production
-    decontamination actually uses, e.g. Dolma/FineWeb): join keys shrink
-    from ~60-byte strings to 8 bytes, and the tiny benchmark hash set
-    broadcasts against the streaming corpus side.  Both engines hash
-    identically, so the oracle sees the same (rare, corpus-irrelevant)
-    collisions."""
+    Scale shape: shingles are HASHED before comparison (32-bit md5 prefix —
+    the hashed-n-gram formulation production decontamination actually
+    uses, e.g. Dolma/FineWeb): keys shrink from ~60-byte strings to 8
+    bytes.  THIS spelling computes bench membership with a window over the
+    shingle hash — correct and single-scan ONLY because the bench here is
+    a cut of the same table (one tokenize→shingle→hash chain, one shuffle
+    on hg, no second scan).  With a genuine held-out eval table the window
+    would shuffle every corpus shingle hash to test membership in a tiny
+    set — use ``q_decontaminate_external`` (broadcast semi-join, zero
+    corpus-side shuffle before the per-doc aggregate) or
+    ``q_decontaminate_bloom`` (Bloom prefilter + exact verify) instead.
+    Both engines hash identically, so the oracle sees the same (rare,
+    corpus-irrelevant) collisions."""
     h = _SPARK_MD5INT.format(x="g")
     return _sql(
         spark, sf_dir, ["documents"],
@@ -1143,6 +1149,162 @@ SELECT doc_id, count(*)::bigint AS matched_shingles
 FROM marked WHERE in_bench = 1 AND doc_id >= 10
 GROUP BY doc_id
 """
+
+
+def _shingle_hashes(df: DataFrame) -> DataFrame:
+    """(doc_id, text) → one row per word-8-gram with its 32-bit hash ``hg``
+    (duplicates kept — callers dedupe where it matters)."""
+    toks = _SPARK_TOKENS.format(x="text")
+    h = _SPARK_MD5INT.format(x="g")
+    return (
+        df.selectExpr("doc_id", f"{toks} AS t")
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN size(t) >= 8 THEN transform(sequence(1, size(t)-7), "
+            "i -> concat_ws(' ', slice(t, i, 8))) ELSE array() END AS shingles",
+        )
+        .selectExpr("doc_id", "explode(shingles) AS g")
+        .selectExpr("doc_id", f"{h} AS hg")
+    )
+
+
+def q_decontaminate_external(
+    spark: SparkSession, sf_dir: str, bench: DataFrame | None = None
+) -> DataFrame:
+    """External-benchmark decontamination — the production spelling, where
+    the benchmark is a HELD-OUT relation (``bench``: any DataFrame with a
+    ``text`` column), not a cut of the corpus.  Flags corpus documents
+    sharing any hashed word-8-gram with the bench set, with overlap counts.
+
+    Scale shape (the 100-TB plan): the bench shingle-hash set is tiny
+    relative to the corpus (10^6–10^9 rows vs ~10^14 corpus shingles), so
+    it BROADCASTS and the corpus stream is filtered map-side via a
+    broadcast LEFT SEMI join — ONE corpus scan, ZERO corpus-side shuffle
+    before the final per-doc aggregate, which runs only on the (rare)
+    matched rows.  Contrast ``q_decontaminate``, whose window-over-hg plan
+    shuffles every distinct corpus shingle hash and is only justified for
+    a same-table bench cut.  Plan pinned by tests/test_plans.py
+    (BroadcastHashJoin LeftSemi, no Window, no SortMergeJoin).
+
+    Default ``bench`` is ``doc_id < 10`` of the same documents table purely
+    so the driver/oracle can replay it self-contained; production callers
+    pass their eval table."""
+    docs = _t(spark, sf_dir, "documents")
+    if bench is None:
+        bench = docs.where("doc_id < 10")
+    corpus = docs.where("doc_id >= 10")
+
+    bench_hashes = _shingle_hashes(bench).select("hg").distinct()
+    matched = _shingle_hashes(corpus).join(
+        F.broadcast(bench_hashes), "hg", "left_semi"
+    )
+    return matched.groupBy("doc_id").agg(
+        F.countDistinct("hg").alias("matched_shingles")
+    )
+
+
+ORACLE_DECONTAMINATE_EXTERNAL = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(x='text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 8 THEN
+           [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t)-6)]
+         ELSE [] END AS shingles
+  FROM toks
+), pairs AS (
+  SELECT doc_id, {_DUCK_MD5INT.format(x='g')} AS hg
+  FROM (SELECT doc_id, unnest(shingles) AS g FROM sh)
+), bench AS (
+  SELECT DISTINCT hg FROM pairs WHERE doc_id < 10
+)
+SELECT doc_id, count(DISTINCT hg)::bigint AS matched_shingles
+FROM pairs
+WHERE doc_id >= 10 AND hg IN (SELECT hg FROM bench)
+GROUP BY doc_id
+"""
+
+# Bloom geometry for the prefilter: bits-per-key 16 with k = 11 hash probes
+# gives FPR ≈ 0.0005 (= (1 - e^(-kn/m))^k at m/n = 16).  DEPLOYMENT.md
+# carries the full size/FPR table for 10^6–10^9-shingle bench sets.
+_BLOOM_BITS_PER_KEY = 16
+_BLOOM_K = 11
+_BLOOM_MIX = 0x9E3779B97F4A7C15  # golden-ratio odd multiplier (splitmix64)
+
+
+def _bloom_build(keys, bits_per_key: int = _BLOOM_BITS_PER_KEY):
+    """Deterministic double-hashing Bloom filter over int64 keys → packed
+    uint64 bit array.  Probe i sets bit (h1 + i*h2) mod m, the classic
+    Kirsch–Mitzenmacher construction — no RNG, identical across builds."""
+    import numpy as np
+
+    n = max(len(keys), 1)
+    m = 1 << max(int(n * bits_per_key - 1).bit_length(), 6)  # pow2 ≥ n*bpk
+    words = np.zeros(m // 64, dtype=np.uint64)
+    h = np.asarray(keys, dtype=np.uint64)
+    h2 = (h * np.uint64(_BLOOM_MIX)) | np.uint64(1)
+    for i in range(_BLOOM_K):
+        idx = (h + np.uint64(i) * h2) & np.uint64(m - 1)
+        np.bitwise_or.at(words, idx >> np.uint64(6),
+                         np.uint64(1) << (idx & np.uint64(63)))
+    return words, m
+
+
+def _bloom_probe(words, m: int, h):
+    """Vectorized membership probe; True = possibly present."""
+    import numpy as np
+
+    h = np.asarray(h, dtype=np.uint64)
+    h2 = (h * np.uint64(_BLOOM_MIX)) | np.uint64(1)
+    out = np.ones(len(h), dtype=bool)
+    for i in range(_BLOOM_K):
+        idx = (h + np.uint64(i) * h2) & np.uint64(m - 1)
+        out &= ((words[idx >> np.uint64(6)] >> (idx & np.uint64(63)))
+                & np.uint64(1)).astype(bool)
+    return out
+
+
+def q_decontaminate_bloom(
+    spark: SparkSession, sf_dir: str, bench: DataFrame | None = None
+) -> DataFrame:
+    """Bloom-prefiltered external decontamination: same contract and output
+    as ``q_decontaminate_external``, for bench sets too large to broadcast
+    as an exact hash join (≳10^8 shingles: 8 B/key exact vs 2 bits-per-key-
+    tunable Bloom — see DEPLOYMENT.md sizing table).
+
+    Plan: (1) the bench shingle-hash set folds into a ~2 B/key Bloom bit
+    array (built here on the driver — at 10^9 keys build it distributed
+    with a treeAggregate of per-partition arrays, identical bit math);
+    (2) the corpus shingle stream is prefiltered map-side by a vectorized
+    Arrow-batched probe (zero shuffle, drops ~everything: clean docs never
+    leave the scan stage); (3) survivors — true matches plus the ~0.05%
+    Bloom false positives — are verified EXACTLY against the broadcast
+    bench set, so the output is byte-identical to the exact spelling and
+    the SAME oracle checks both."""
+    import numpy as np
+
+    docs = _t(spark, sf_dir, "documents")
+    if bench is None:
+        bench = docs.where("doc_id < 10")
+    corpus = docs.where("doc_id >= 10")
+
+    bench_hashes = _shingle_hashes(bench).select("hg").distinct()
+    keys = np.fromiter(
+        (r["hg"] for r in bench_hashes.collect()), dtype=np.int64
+    )
+    words, m = _bloom_build(keys)
+    bc = spark.sparkContext.broadcast((words, m))
+
+    @F.pandas_udf("boolean")
+    def bloom_hit(hg: pd.Series) -> pd.Series:
+        w, mm = bc.value
+        return pd.Series(_bloom_probe(w, mm, hg.to_numpy(dtype=np.int64)))
+
+    survivors = _shingle_hashes(corpus).where(bloom_hit(F.col("hg")))
+    verified = survivors.join(F.broadcast(bench_hashes), "hg", "left_semi")
+    return verified.groupBy("doc_id").agg(
+        F.countDistinct("hg").alias("matched_shingles")
+    )
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1885,6 +2047,8 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "bigram_surprise": (q_bigram_surprise, ORACLE_BIGRAM_SURPRISE),
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
+    "decontaminate_external": (q_decontaminate_external, ORACLE_DECONTAMINATE_EXTERNAL),
+    "decontaminate_bloom": (q_decontaminate_bloom, ORACLE_DECONTAMINATE_EXTERNAL),
     "length_histogram": (q_length_histogram, ORACLE_LENGTH_HISTOGRAM),
     "token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
     "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE_TOKEN_STATS),

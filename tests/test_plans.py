@@ -127,3 +127,49 @@ def test_decontaminate_single_pass_no_join(spark, registry):
     assert "Join" not in final and "CartesianProduct" not in final
     assert final.count("FileScan parquet") == 1
     assert "Window" in final
+
+
+def _streamed_side(final_plan: str) -> str:
+    """Plan text of the broadcast join's STREAMED (corpus) subtree: between
+    the BroadcastHashJoin node and its BroadcastQueryStage build side."""
+    after_join = final_plan.split("BroadcastHashJoin", 1)[1]
+    return after_join.split("BroadcastQueryStage", 1)[0]
+
+
+def test_decontaminate_external_is_broadcast_semi_no_corpus_shuffle(
+    spark, registry
+):
+    """The external-bench spelling must broadcast the (tiny) bench hash set
+    and filter the corpus stream map-side: BroadcastHashJoin LeftSemi, no
+    window over the corpus shingle set, no sort-merge fallback, and ZERO
+    corpus-side exchange between the scan and the join — the only shuffles
+    run on the (rare) matched rows in the final per-doc aggregate."""
+    df = registry["decontaminate_external"][0](spark, SF_DIR)
+    df.collect()  # AQE final plan
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final and "LeftSemi" in final
+    assert "SortMergeJoin" not in final
+    assert "Window" not in final
+    # corpus branch: scan → shingle/hash → join with no Exchange in between
+    assert "Exchange" not in _streamed_side(final)
+    # the corpus-side predicate reaches the parquet scan
+    assert "GreaterThanOrEqual(doc_id,10)" in final
+    # one corpus scan + one bench scan (the in-table stand-in for the
+    # held-out eval table); a genuinely external bench would make this 1
+    assert final.count("FileScan parquet") == 2
+
+
+def test_decontaminate_bloom_prefilters_map_side_then_verifies(
+    spark, registry
+):
+    """The Bloom spelling must probe the corpus stream map-side (Arrow-
+    batched Python, BEFORE the join, zero shuffle) and verify survivors
+    with the exact broadcast semi join."""
+    df = registry["decontaminate_bloom"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final and "LeftSemi" in final
+    assert "SortMergeJoin" not in final and "Window" not in final
+    streamed = _streamed_side(final)
+    assert "ArrowEvalPython" in streamed  # Bloom probe on the corpus branch
+    assert "Exchange" not in streamed     # ... with no shuffle before the join
