@@ -845,43 +845,74 @@ ORDER BY cos_sim DESC, vec_id LIMIT 5
 
 _IVF_PROBES = 2
 
+# query-vector ↔ centroid cosine, pure array lambdas (runs on k rows — the
+# number of IVF cells — never on the corpus)
+_SPARK_CENTROID_COS = """
+aggregate(zip_with(centroid, qv, (a,b) -> a * cast(b as double)),
+          cast(0.0 as double), (acc,x) -> acc + x)
+/ (sqrt(aggregate(centroid, cast(0.0 as double), (a,x) -> a + x*x))
+ * sqrt(aggregate(qv, cast(0.0 as double),
+                  (a,x) -> a + cast(x as double)*cast(x as double))))
+"""
 
-def q_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def compute_centroids(emb: DataFrame) -> DataFrame:
+    """Per-cell mean vector — the k-means-byproduct centroid table, computed
+    with NO dimension explode: each cell's vectors shuffle ONCE as Arrow
+    arrays (the same single-shuffle shape as the GEMM near-dup) and the mean
+    is one numpy reduction per cell.  Output is k rows (one per cell) —
+    small enough to broadcast at any corpus scale."""
+    import numpy as np
+
+    def cell_mean(g: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {"label": [g["label"].iloc[0]], "centroid": [m.mean(axis=0)]}
+        )
+
+    return emb.select("label", "embedding").groupBy("label").applyInPandas(
+        cell_mean, "label int, centroid array<double>"
+    )
+
+
+def q_ivf_multiprobe(
+    spark: SparkSession, sf_dir: str, centroids: DataFrame | None = None
+) -> DataFrame:
     """Multi-probe IVF ANN: rank the coarse cells by query→centroid cosine
     and probe the top ``_IVF_PROBES`` cells, not just the query's own — the
     recall/latency knob every production ANN exposes (a vector near a cell
     boundary has its true neighbors in the adjacent cell).
 
-    Centroids are the per-cell mean vector, computed relationally
-    (posexplode → groupBy(label, dim) → avg) so the whole plan stays in
-    codegen.  At corpus scale the centroids are a k-means byproduct read
-    from a tiny broadcast table; recomputing them here keeps the query
-    self-contained and oracle-checkable."""
-    return _sql(
-        spark, sf_dir, ["embeddings"],
-        f"""
-        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        qx AS (
-          SELECT pos AS i, cast(v as double) AS qv
-          FROM q LATERAL VIEW posexplode(qv) AS pos, v
-        ), ex AS (
-          SELECT label, pos AS i, cast(v as double) AS v
-          FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v
-        ), cent AS (
-          SELECT label, i, avg(v) AS c FROM ex GROUP BY label, i
-        ), cscore AS (
-          SELECT c.label,
-                 sum(c.c * qx.qv)
-                   / (sqrt(sum(c.c * c.c)) * sqrt(sum(qx.qv * qx.qv))) AS ccos
-          FROM cent c JOIN qx ON c.i = qx.i GROUP BY c.label
-        ), probes AS (
-          SELECT label FROM cscore ORDER BY ccos DESC, label LIMIT {_IVF_PROBES}
-        )
-        SELECT e.vec_id, e.label, {_SPARK_COS} AS cos_sim
-        FROM embeddings e CROSS JOIN q JOIN probes p ON e.label = p.label
-        WHERE e.vec_id != 0
-        ORDER BY cos_sim DESC, vec_id LIMIT 5
-        """,
+    Scale shape: ``centroids`` is a TINY side table (k rows — at corpus
+    scale the k-means byproduct, passed in by the caller) that BROADCASTS;
+    ranking is k array-lambda cosines, and the corpus is touched exactly
+    once, by the probed-cell semi join.  Nothing dim-explodes — the default
+    self-contained centroid recompute (``compute_centroids``) shuffles each
+    vector once as an Arrow array and reduces per cell in numpy, the same
+    single-shuffle shape as the GEMM near-dup.  Plan pinned by
+    tests/test_plans.py: no posexplode (Generate) of the embeddings table
+    anywhere, no cartesian.  The DuckDB oracle recomputes centroids
+    relationally (avg over unnested dims) — same math, engine-idiomatic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    if centroids is None:
+        centroids = compute_centroids(emb)
+    q = emb.where("vec_id = 0").select(F.col("embedding").alias("qv"))
+
+    probes = (
+        centroids.crossJoin(F.broadcast(q))
+        .selectExpr("label", f"{_SPARK_CENTROID_COS} AS ccos")
+        .orderBy(F.desc("ccos"), "label")
+        .limit(_IVF_PROBES)
+        .select("label")
+    )
+    return (
+        emb.alias("e")
+        .where("vec_id != 0")
+        .join(F.broadcast(probes), "label", "inner")
+        .crossJoin(F.broadcast(q.alias("q")))
+        .selectExpr("vec_id", "label", f"{_SPARK_COS} AS cos_sim")
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(5)
     )
 
 

@@ -108,12 +108,38 @@ def test_gemm_neardup_single_shuffle_arrow_arrays(spark, registry):
 
 def test_multiprobe_probes_are_limited_before_scan_join(spark, registry):
     """Multi-probe ANN must rank cells and LIMIT to P probes before the
-    corpus join — the join input is P cells, not the corpus squared."""
+    corpus join — the join input is P cells, not the corpus squared — and
+    nothing may dim-explode the embeddings table (the centroid recompute is
+    a single Arrow shuffle + per-cell numpy mean, not a posexplode)."""
     plan = _plan(registry["ivf_multiprobe"][0](spark, SF_DIR))
     assert "CartesianProduct" not in plan
+    assert "Generate" not in plan  # posexplode of embeddings would be Generate
+    assert "FlatMapGroupsInPandas" in plan  # the Arrow-shuffle centroid mean
     # the probes subtree carries a global limit of _IVF_PROBES
     from pdf_extractor_spark.queries import _IVF_PROBES
     assert f"limit={_IVF_PROBES}" in plan.lower() or "TakeOrderedAndProject" in plan
+
+
+def test_multiprobe_side_table_path_skips_recompute(spark, registry):
+    """With a caller-supplied centroids table (the k-means byproduct at
+    corpus scale) the plan must not touch the embeddings table for
+    centroids at all: no Arrow group shuffle, no explode — just the
+    broadcast rank + probed-cell join."""
+    from pdf_extractor_spark.queries import _t, compute_centroids, q_ivf_multiprobe
+
+    emb = _t(spark, SF_DIR, "embeddings")
+    side = spark.createDataFrame(
+        compute_centroids(emb).toPandas(), "label int, centroid array<double>"
+    )
+    df = q_ivf_multiprobe(spark, SF_DIR, centroids=side)
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" not in plan  # no recompute on this path
+    assert "Generate" not in plan
+    assert "CartesianProduct" not in plan
+    # and it returns the same result as the self-contained path
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, registry["ivf_multiprobe"][0](spark, SF_DIR).collect()))
+    assert a == b
 
 
 def test_decontaminate_single_pass_no_join(spark, registry):
