@@ -148,15 +148,23 @@ class IcebergSink:
     one row per committed batch (the resume ledger — the Iceberg analog of
     the manifest JSON).  Commit sequence per batch:
 
-    1. ``DELETE FROM table WHERE batch_id = X``  (idempotence: a crash
+    1. first-ever commit CREATES the data table from the batch schema
+       (``writeTo(...).using('iceberg').create()``); otherwise
+       ``DELETE FROM table WHERE batch_id = X``  (idempotence: a crash
        after append but before the checkpoint row leaves orphan rows; the
        redo wipes them before re-appending)
     2. ``df.withColumn('batch_id', lit(X)).writeTo(table).append()`` —
-       ONE atomic snapshot commit
-    3. verify snapshot summary ``added-records`` == df row count
-       (reference: verified affected_rows, api.py:1417-1445)
+       ONE atomic snapshot commit, stamped with
+       ``snapshot-property.spark_graft_batch_id = X``
+    3. verify ``added-records`` == df row count against OUR OWN snapshot,
+       located by the batch_id stamped into its summary — concurrent
+       disjoint-bucket drivers committing interleaved snapshots can never
+       be misread as ours (reference: verified affected_rows,
+       api.py:1417-1445)
     4. insert the checkpoint row (batch becomes visible to resume)
     """
+
+    _SNAP_PROP = "spark_graft_batch_id"
 
     def __init__(self, spark: SparkSession, table: str):
         if not iceberg_available(spark):
@@ -192,19 +200,36 @@ class IcebergSink:
         spark = self.spark
         stamped = multiplexed.withColumn("batch_id", F.lit(batch_id))
 
-        # 1. idempotence: wipe any orphan rows from a crashed attempt
-        spark.sql(f"DELETE FROM {self.table} WHERE batch_id = '{batch_id}'")
-
-        # 2. one atomic snapshot append
         t0 = time.time()
-        stamped.writeTo(self.table).append()
+        writer = stamped.writeTo(self.table).option(
+            f"snapshot-property.{self._SNAP_PROP}", batch_id
+        )
+        if spark.catalog.tableExists(self.table):
+            # 1. idempotence: wipe any orphan rows from a crashed attempt
+            spark.sql(f"DELETE FROM {self.table} WHERE batch_id = '{batch_id}'")
+            # 2. one atomic snapshot append
+            writer.append()
+        else:
+            # very first commit: create the data table from the batch schema
+            # (a DELETE-first sequence would die on a fresh catalog)
+            writer.using("iceberg").create()
 
-        # 3. snapshot-summary verification
+        # 3. snapshot verification against OUR OWN commit, found by the
+        # batch_id stamped into the snapshot summary — never the global
+        # latest, which a concurrent disjoint-bucket driver may own; a
+        # replayed batch takes its newest stamped snapshot
         snap = spark.sql(
             f"SELECT snapshot_id, summary FROM {self.table}.snapshots "
+            f"WHERE summary['{self._SNAP_PROP}'] = '{batch_id}' "
             "ORDER BY committed_at DESC LIMIT 1"
         ).first()
-        added = int(snap["summary"]["added-records"])
+        if snap is None:
+            raise RuntimeError(
+                f"no snapshot stamped {self._SNAP_PROP}={batch_id} found "
+                f"after append to {self.table} — refusing to checkpoint"
+            )
+        # an all-empty append may omit the counter: absent means 0 rows
+        added = int((snap["summary"] or {}).get("added-records", 0))
         written = spark.table(self.table).where(F.col("batch_id") == batch_id)
         n_written = written.count()
         if added != n_written:

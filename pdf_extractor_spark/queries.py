@@ -629,7 +629,16 @@ def propagate_min_labels(
     undirected edges.  Returns (labels, iterations) where labels is
     (doc_id, cluster_id, is_keeper).  max_iters=15 covers component
     diameter 2^15 thanks to doubling; exceeding it raises rather than
-    returning partially-propagated labels."""
+    returning partially-propagated labels.
+
+    Fault-tolerance tradeoff, explicit: ``localCheckpoint(eager=True)``
+    truncates lineage by storing blocks on executors WITHOUT a reliable
+    copy — losing any executor mid-propagation fails the job, which then
+    restarts from the (cheap, deterministic) pair generation.  That is the
+    right trade for a ≤~8-round iteration; on a 1000-executor run where a
+    lost executor per hour is routine, swap in reliable
+    ``checkpoint()`` against a checkpoint dir (or persist each round to
+    the job's scratch Iceberg table) at ~2× per-round IO cost."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(

@@ -50,6 +50,24 @@ from ..sources.transcripts import TRANSCRIPT_DDL
 _SEEN_DIR = "_seen"
 _QUARANTINE_DIR = "_quarantine"
 
+_URI_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
+def _require_local(output_dir: str) -> None:
+    """The seen-conv ledger and quarantine listings use driver-local
+    ``os.listdir`` — against an ``hdfs://``/``s3a://`` output_dir they would
+    resolve to "no prior batches" and silently DISABLE the enforced
+    whole-conversation contract.  Degrade loudly instead: at cluster scale
+    the ledger moves to an Iceberg table (module docstring) or the fold to
+    ``run_stream_stateful``."""
+    if _URI_SCHEME.match(output_dir):
+        raise ValueError(
+            f"run_stream's ledger/quarantine protocol is driver-local-"
+            f"filesystem only; got {output_dir!r}. Use a local/NFS path, "
+            "an Iceberg-backed ledger, or run_stream_stateful — refusing "
+            "to run with the whole-conversation contract silently disabled."
+        )
+
 
 def stream_transcripts(
     spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
@@ -75,6 +93,7 @@ def _prior_seen_paths(output_dir: str, batch_id: int) -> list[str]:
     """Ledger partitions committed by batches STRICTLY BEFORE batch_id —
     a replayed batch must not see its own previous (possibly partial)
     attempt as 'prior', or every replay would quarantine itself."""
+    _require_local(output_dir)
     seen_root = os.path.join(output_dir, _SEEN_DIR)
     if not os.path.isdir(seen_root):
         return []
@@ -137,6 +156,7 @@ def run_stream(
     micro-batch.  See module docstring for the idempotent-write and
     conversation-quarantine protocols.
     """
+    _require_local(output_dir)  # fail at start, not silently per batch
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         process_micro_batch(batch_df, batch_id, output_dir)
@@ -160,6 +180,7 @@ def read_stream_output(spark: SparkSession, output_dir: str) -> DataFrame:
 def read_quarantine(spark: SparkSession, output_dir: str) -> DataFrame:
     """Extracted turn rows of conversations that violated the whole-
     conversation-per-batch contract (empty DataFrame if none)."""
+    _require_local(output_dir)
     q_root = os.path.join(output_dir, _QUARANTINE_DIR)
     if not os.path.isdir(q_root) or not os.listdir(q_root):
         from ..operators.extract import EXTRACT_STRUCT_SCHEMA

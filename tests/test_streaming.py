@@ -315,3 +315,15 @@ def test_stateful_assembly_state_survives_restart(spark, tmp_path):
     pd.testing.assert_frame_equal(
         g.reset_index(drop=True), w[g.columns].reset_index(drop=True)
     )
+
+
+def test_run_stream_rejects_remote_output_dir(spark, tmp_path):
+    """A non-local output_dir would silently disable the ledger/quarantine
+    contract (driver-local listings see nothing there) — it must fail fast
+    at stream start instead."""
+    with pytest.raises(ValueError, match="driver-local"):
+        run_stream(spark, str(tmp_path / "in"), "hdfs://nn/out", str(tmp_path / "c"))
+    with pytest.raises(ValueError, match="driver-local"):
+        read_quarantine(spark, "s3a://bucket/out")
+    with pytest.raises(ValueError, match="driver-local"):
+        quarantined_convs(spark, "abfss://c@a.dfs.core.windows.net/out")
