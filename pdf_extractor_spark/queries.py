@@ -950,6 +950,112 @@ ORDER BY cos_sim DESC, vec_id LIMIT 5
 """
 
 
+_KMEANS_K = 8
+_KMEANS_ITERS = 2
+
+
+def kmeans_centroids(
+    emb: DataFrame, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS
+) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd k-means over the embedding
+    column — the generator of the centroid side table ``q_ivf_multiprobe``
+    consumes (IVF index build).
+
+    Deterministic by construction (seeds = the k lowest vec_ids, cosine
+    assignment with lowest-cid tie-break, fixed iteration count — no RNG),
+    so the numpy reference implementation in tests reproduces it exactly.
+
+    Scale shape per iteration: centroids (k × dim doubles) collect to the
+    driver and BROADCAST; assignment is one vectorized numpy GEMM per
+    Arrow batch map-side (``batch × k`` — zero shuffle); the mean update
+    is ONE shuffle of vectors as Arrow arrays into a per-cluster numpy
+    reduction (``applyInPandas``) — the compute_centroids shape, keyed by
+    the new assignment.  Total: ``iters`` shuffles of the corpus, each
+    carrying vectors once, no dim-explode anywhere.  Empty clusters keep
+    their previous centroid (classic Lloyd fallback), so k is stable."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    sc = spark.sparkContext
+    base = emb.select("vec_id", "embedding")
+
+    seeds = (
+        base.orderBy("vec_id").limit(k).toPandas().sort_values("vec_id")
+    )
+    cents = np.stack(seeds["embedding"].to_numpy()).astype(np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    for _ in range(iters):
+        bc = sc.broadcast(cents)
+
+        @F.pandas_udf("int")
+        def assign(embedding: pd.Series) -> pd.Series:
+            c = bc.value  # (k, dim), rows unit-norm
+            m = np.stack(embedding.to_numpy()).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            # cosine == dot with unit-norm rows; argmax takes lowest cid on ties
+            return pd.Series(np.argmax(m @ c.T, axis=1).astype("int32"))
+
+        def cluster_mean(g: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+            return pd.DataFrame(
+                {"cid": [int(g["cid"].iloc[0])], "centroid": [m.mean(axis=0)]}
+            )
+
+        means = (
+            base.withColumn("cid", assign("embedding"))
+            .groupBy("cid")
+            .applyInPandas(cluster_mean, "cid int, centroid array<double>")
+            .toPandas()
+        )
+        new = cents.copy()  # empty clusters keep their previous centroid
+        for _, row in means.iterrows():
+            new[int(row["cid"])] = np.asarray(row["centroid"])
+        new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-30)
+        cents = new
+
+    pdf = pd.DataFrame(
+        {"cid": np.arange(k, dtype="int32"), "centroid": list(cents)}
+    )
+    return spark.createDataFrame(pdf, "cid int, centroid array<double>")
+
+
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry for the IVF index build: final cluster sizes + rounded
+    centroid norms (stable scalars; the raw centroid table is the
+    programmatic product, used as ``q_ivf_multiprobe``'s side table).
+    Iterative — not SQL-expressible — so this is a rows-only driver row;
+    exactness vs a pure-numpy Lloyd reference is pinned by
+    tests/test_kmeans.py."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb)
+    cent_pdf = cents.toPandas().sort_values("cid")
+    bc = spark.sparkContext.broadcast(
+        np.stack(cent_pdf["centroid"].to_numpy())
+    )
+
+    @F.pandas_udf("int")
+    def assign_final(embedding: pd.Series) -> pd.Series:
+        c = bc.value
+        m = np.stack(embedding.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype("int32"))
+
+    sizes = (
+        emb.withColumn("cid", assign_final("embedding"))
+        .groupBy("cid")
+        .agg(F.count("*").alias("n_members"))
+    )
+    norms = cents.selectExpr(
+        "cid",
+        "round(sqrt(aggregate(centroid, cast(0.0 as double),"
+        " (a,x) -> a + x*x)), 4) AS centroid_norm",
+    )
+    return sizes.join(norms, "cid").select("cid", "n_members", "centroid_norm")
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, bucketed by the coarse cluster
     ``label``: only same-cell pairs are compared (the IVF trick applied to
@@ -2078,6 +2184,9 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
     "ivf_bucket_ann": (q_ivf_bucket_ann, ORACLE_IVF_ANN),
     "ivf_multiprobe": (q_ivf_multiprobe, ORACLE_IVF_MULTIPROBE),
+    # iterative (Lloyd) — not SQL-expressible; rows-only driver check,
+    # exactness pinned vs a numpy reference in tests/test_kmeans.py
+    "kmeans_centroids": (q_kmeans_centroids, None),
     # training-data ops: text analysis
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
     "quality_score": (q_quality_score, ORACLE_QUALITY),
