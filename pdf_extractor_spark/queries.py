@@ -1378,21 +1378,67 @@ _BLOOM_K = 11
 _BLOOM_MIX = 0x9E3779B97F4A7C15  # golden-ratio odd multiplier (splitmix64)
 
 
-def _bloom_build(keys, bits_per_key: int = _BLOOM_BITS_PER_KEY):
-    """Deterministic double-hashing Bloom filter over int64 keys → packed
-    uint64 bit array.  Probe i sets bit (h1 + i*h2) mod m, the classic
-    Kirsch–Mitzenmacher construction — no RNG, identical across builds."""
+def _bloom_sizing(n_keys: int, bits_per_key: int = _BLOOM_BITS_PER_KEY) -> int:
+    """Bit-array size: power of two ≥ n*bits_per_key (mask addressing)."""
+    return 1 << max(int(max(n_keys, 1) * bits_per_key - 1).bit_length(), 6)
+
+
+def _bloom_set_bits(words, m: int, keys) -> None:
+    """Set the _BLOOM_K double-hash bits for ``keys`` in-place — the ONE
+    definition of the bit math, shared by the driver-side and distributed
+    builders so their outputs are bit-identical by construction."""
     import numpy as np
 
-    n = max(len(keys), 1)
-    m = 1 << max(int(n * bits_per_key - 1).bit_length(), 6)  # pow2 ≥ n*bpk
-    words = np.zeros(m // 64, dtype=np.uint64)
     h = np.asarray(keys, dtype=np.uint64)
     h2 = (h * np.uint64(_BLOOM_MIX)) | np.uint64(1)
     for i in range(_BLOOM_K):
         idx = (h + np.uint64(i) * h2) & np.uint64(m - 1)
         np.bitwise_or.at(words, idx >> np.uint64(6),
                          np.uint64(1) << (idx & np.uint64(63)))
+
+
+def _bloom_build(keys, bits_per_key: int = _BLOOM_BITS_PER_KEY):
+    """Deterministic double-hashing Bloom filter over int64 keys → packed
+    uint64 bit array.  Probe i sets bit (h1 + i*h2) mod m, the classic
+    Kirsch–Mitzenmacher construction — no RNG, identical across builds."""
+    import numpy as np
+
+    m = _bloom_sizing(len(keys), bits_per_key)
+    words = np.zeros(m // 64, dtype=np.uint64)
+    _bloom_set_bits(words, m, keys)
+    return words, m
+
+
+def bloom_build_distributed(
+    bench_hashes: DataFrame, bits_per_key: int = _BLOOM_BITS_PER_KEY
+):
+    """Cluster-side Bloom build for bench sets too large to collect: each
+    partition folds its keys into a local bit array (`_bloom_set_bits` —
+    the same bit math as the driver builder, so the result is
+    bit-identical regardless of partitioning), and the arrays OR-merge up
+    a tree (``treeReduce``: log-depth, never all partitions at the
+    driver at once).
+
+    ``bench_hashes`` must have an int64 ``hg`` column.  At 10^9 keys the
+    driver receives one final ~2 GB array instead of 8 GB of raw keys —
+    and nothing else ever leaves the executors.  (Beyond ~10^10 keys,
+    shard the bit array by key range and build each shard independently —
+    same math, disjoint ranges.)"""
+    import numpy as np
+
+    m = _bloom_sizing(bench_hashes.count(), bits_per_key)
+
+    def fold_partition(rows):
+        keys = np.fromiter((r["hg"] for r in rows), dtype=np.int64)
+        words = np.zeros(m // 64, dtype=np.uint64)
+        if len(keys):
+            _bloom_set_bits(words, m, keys)
+        yield words
+
+    words = (
+        bench_hashes.select("hg").rdd.mapPartitions(fold_partition)
+        .treeReduce(np.bitwise_or)
+    )
     return words, m
 
 
@@ -1411,7 +1457,10 @@ def _bloom_probe(words, m: int, h):
 
 
 def q_decontaminate_bloom(
-    spark: SparkSession, sf_dir: str, bench: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    bench: DataFrame | None = None,
+    distributed_build: bool = False,
 ) -> DataFrame:
     """Bloom-prefiltered external decontamination: same contract and output
     as ``q_decontaminate_external``, for bench sets too large to broadcast
@@ -1419,8 +1468,10 @@ def q_decontaminate_bloom(
     tunable Bloom — see DEPLOYMENT.md sizing table).
 
     Plan: (1) the bench shingle-hash set folds into a ~2 B/key Bloom bit
-    array (built here on the driver — at 10^9 keys build it distributed
-    with a treeAggregate of per-partition arrays, identical bit math);
+    array — on the driver by default, or cluster-side via
+    ``distributed_build=True`` (``bloom_build_distributed``: per-partition
+    arrays OR-merged with treeReduce, bit-identical to the driver build —
+    the 10^9-key path where raw keys must never be collected);
     (2) the corpus shingle stream is prefiltered map-side by a vectorized
     Arrow-batched probe (zero shuffle, drops ~everything: clean docs never
     leave the scan stage); (3) survivors — true matches plus the ~0.05%
@@ -1435,10 +1486,13 @@ def q_decontaminate_bloom(
     corpus = docs.where("doc_id >= 10")
 
     bench_hashes = _shingle_hashes(bench).select("hg").distinct()
-    keys = np.fromiter(
-        (r["hg"] for r in bench_hashes.collect()), dtype=np.int64
-    )
-    words, m = _bloom_build(keys)
+    if distributed_build:
+        words, m = bloom_build_distributed(bench_hashes)
+    else:
+        keys = np.fromiter(
+            (r["hg"] for r in bench_hashes.collect()), dtype=np.int64
+        )
+        words, m = _bloom_build(keys)
     bc = spark.sparkContext.broadcast((words, m))
 
     @F.pandas_udf("boolean")

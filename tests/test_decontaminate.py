@@ -92,3 +92,35 @@ class TestSpellingsAgree:
         assert 42 in flagged
         for r in out:
             assert r["matched_shingles"] >= 1
+
+
+class TestDistributedBloomBuild:
+    def test_bit_identical_to_driver_build(self, spark):
+        """The cluster-side build must produce the SAME bit array as the
+        driver build, regardless of partitioning — same m, same words."""
+        import numpy as np
+
+        from pdf_extractor_spark.queries import (
+            _bloom_build,
+            _shingle_hashes,
+            bloom_build_distributed,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        bench_hashes = (
+            _shingle_hashes(docs.where("doc_id < 10")).select("hg").distinct()
+        )
+        keys = np.fromiter(
+            (r["hg"] for r in bench_hashes.collect()), dtype=np.int64
+        )
+        w_driver, m_driver = _bloom_build(keys)
+        w_dist, m_dist = bloom_build_distributed(bench_hashes.repartition(7))
+        assert m_driver == m_dist
+        assert (w_driver == w_dist).all()
+
+    def test_bloom_query_identical_under_distributed_build(self, spark):
+        a = _sorted_pdf(q_decontaminate_bloom(spark, SF_DIR))
+        b = _sorted_pdf(
+            q_decontaminate_bloom(spark, SF_DIR, distributed_build=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
