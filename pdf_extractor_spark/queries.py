@@ -828,6 +828,95 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+_ANN_BATCH_Q = 4
+_ANN_BATCH_K = 5
+
+
+def q_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact similarity scoring — the production retrieval shape:
+    Q query vectors score the corpus in ONE pass instead of Q scans.
+
+    Scale shape: the (tiny) query matrix broadcasts; each Arrow batch is
+    scored against ALL queries with one numpy GEMM (batch × Q) map-side,
+    and only each partition's per-query top-k survives (``mapInPandas``
+    local top-k) — so the single shuffle carries ≤ partitions × Q × k
+    rows into the global top-k window, never corpus × Q rows.  Local
+    top-k on (rounded cos desc, vec_id asc) makes the global merge exact:
+    the global top-k of a union of per-partition top-ks is the corpus
+    top-k.  Scores round to 4dp BEFORE ranking (cross-engine float
+    parity), ties break on vec_id — fully deterministic."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qpdf = (
+        emb.where(f"vec_id < {_ANN_BATCH_Q}")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    qids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+    qm = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+    bc = spark.sparkContext.broadcast((qids, qm))
+
+    def score_partition(batches):
+        q_ids, q_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            cos = np.round(m @ q_mat.T, 4)  # (batch, Q), rounded pre-rank
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out = []
+            for j, qid in enumerate(q_ids):
+                mask = vec_ids != qid  # a query never matches itself
+                order = np.lexsort((vec_ids[mask], -cos[mask][:, j]))
+                take = order[:_ANN_BATCH_K]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": vec_ids[mask][take],
+                            "cos_sim": cos[mask][take, j],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        score_partition, "query_id bigint, vec_id bigint, cos_sim double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _ANN_BATCH_K)
+        .select("query_id", "vec_id", "cos_sim")
+    )
+
+
+ORACLE_COSINE_TOPK_BATCH = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id < {_ANN_BATCH_Q}
+), scored AS (
+  SELECT q.qid AS query_id, e.vec_id, {_DUCK_COS} AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.qid
+), ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim FROM ranked WHERE rn <= {_ANN_BATCH_K}
+"""
+
+
 def q_ivf_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN scale path: probe only the query's coarse cell (the
     ``label`` column is the cluster assignment) instead of the full corpus —
@@ -2236,6 +2325,7 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "corpus_filter": (q_corpus_filter, ORACLE_CORPUS_FILTER),
     # training-data ops: similarity search
     "cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
+    "cosine_topk_batch": (q_cosine_topk_batch, ORACLE_COSINE_TOPK_BATCH),
     "ivf_bucket_ann": (q_ivf_bucket_ann, ORACLE_IVF_ANN),
     "ivf_multiprobe": (q_ivf_multiprobe, ORACLE_IVF_MULTIPROBE),
     # iterative (Lloyd) — not SQL-expressible; rows-only driver check,

@@ -199,3 +199,16 @@ def test_decontaminate_bloom_prefilters_map_side_then_verifies(
     streamed = _streamed_side(final)
     assert "ArrowEvalPython" in streamed  # Bloom probe on the corpus branch
     assert "Exchange" not in streamed     # ... with no shuffle before the join
+
+
+def test_cosine_topk_batch_single_shuffle_local_topk(spark, registry):
+    """Batched ANN scoring must stay map-side until the tiny global merge:
+    GEMM + local top-k inside MapInPandas (no Generate, no join), then
+    exactly ONE exchange into the per-query window — shuffle volume is
+    partitions x Q x k rows, never corpus x Q."""
+    df = registry["cosine_topk_batch"][0](spark, SF_DIR)
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    assert "Window" in plan
+    assert plan.count("Exchange") == 1
+    assert "Generate" not in plan and "Join" not in plan
