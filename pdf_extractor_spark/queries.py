@@ -1344,8 +1344,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ELSE array() END AS shingles
           FROM toks
         ), pairs AS (
+          -- explode_outer + null filter: plain explode's inferred
+          -- size(shingles)>0 predicate collapses the whole shingle chain
+          -- into the scan as a row-at-a-time DataFilter (11x slower)
           SELECT DISTINCT doc_id, {h} AS hg
-          FROM (SELECT doc_id, explode(shingles) AS g FROM sh)
+          FROM (SELECT doc_id, explode_outer(shingles) AS g FROM sh)
+          WHERE g IS NOT NULL
         ), marked AS (
           SELECT doc_id, hg,
                  max(CASE WHEN doc_id < 10 THEN 1 ELSE 0 END)
@@ -1388,7 +1392,15 @@ GROUP BY doc_id
 
 def _shingle_hashes(df: DataFrame) -> DataFrame:
     """(doc_id, text) → one row per word-8-gram with its 32-bit hash ``hg``
-    (duplicates kept — callers dedupe where it matters)."""
+    (duplicates kept — callers dedupe where it matters).
+
+    ``explode_outer`` + a post-explode null filter, NOT plain ``explode``:
+    Catalyst's infer-filters-from-generate turns plain explode into a
+    ``size(shingles) > 0`` predicate that COLLAPSES INTO THE SCAN as a
+    DataFilter, re-evaluating the whole tokenize→shingle chain per row,
+    row-at-a-time, inside the scan stage — measured 11x slower at sf0.1
+    (6.2 s → 0.5 s; BENCH.md round-3 section).  The outer explode carries
+    empty docs as one null row, dropped for the price of a null check."""
     toks = _SPARK_TOKENS.format(x="text")
     h = _SPARK_MD5INT.format(x="g")
     return (
@@ -1398,7 +1410,8 @@ def _shingle_hashes(df: DataFrame) -> DataFrame:
             "CASE WHEN size(t) >= 8 THEN transform(sequence(1, size(t)-7), "
             "i -> concat_ws(' ', slice(t, i, 8))) ELSE array() END AS shingles",
         )
-        .selectExpr("doc_id", "explode(shingles) AS g")
+        .selectExpr("doc_id", "explode_outer(shingles) AS g")
+        .where("g IS NOT NULL")
         .selectExpr("doc_id", f"{h} AS hg")
     )
 
