@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -112,6 +113,11 @@ def main() -> None:
     levels = sorted(args.levels)
 
     tmp = tempfile.mkdtemp(prefix="scaling_")
+    import atexit
+
+    # each study writes ~5 GB of transcripts + outputs; leaked temp dirs
+    # from repeated studies filled the sandbox disk — always clean up
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     tx_path = f"{tmp}/transcripts"
     print(f"generating {args.convs} conversations -> {tx_path}", flush=True)
     n_turns = int(_run(_GEN_SNIPPET, tx_path, str(args.convs)))
