@@ -1472,6 +1472,149 @@ WHERE doc_id >= 10 AND hg IN (SELECT hg FROM bench)
 GROUP BY doc_id
 """
 
+# --------------------------------------------------------------------------
+# Training-data operators: PII scrubbing + duplicated-span detection
+# --------------------------------------------------------------------------
+
+# Patterns deliberately restricted to syntax valid in BOTH Java regex
+# (Spark) and RE2 (DuckDB): no lookbehind, no backrefs.  Order matters —
+# cards before phones so a 16-digit run is not half-eaten as a phone.
+PII_PATTERNS = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("card", r"\b\d{16}\b", "<CARD>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
+]
+
+
+def _pii_pat(pat: str, engine: str) -> str:
+    """Spark SQL single-quoted literals process backslash ESCAPES ('\\b' →
+    backspace); DuckDB's are standard-SQL raw.  Double the backslashes for
+    Spark so both engines see the identical regex."""
+    return pat.replace("\\", "\\\\") if engine == "spark" else pat
+
+
+def _pii_redact_sql(col: str, engine: str) -> str:
+    """Nested regexp_replace chain — same regexes both dialects.  DuckDB
+    replaces only the FIRST match unless given the 'g' flag; Spark always
+    replaces all."""
+    expr = col
+    for _name, pat, token in PII_PATTERNS:
+        g = ", 'g'" if engine == "duck" else ""
+        expr = f"regexp_replace({expr}, '{_pii_pat(pat, engine)}', '{token}'{g})"
+    return expr
+
+
+def _pii_counts_sql(col: str, engine: str) -> list[str]:
+    if engine == "spark":
+        return [
+            f"cast(regexp_count({col}, '{_pii_pat(pat, engine)}') as bigint)"
+            f" AS n_{name}"
+            for name, pat, _ in PII_PATTERNS
+        ]
+    return [
+        f"len(regexp_extract_all({col}, '{pat}'))::bigint AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every production corpus runs
+    before training: count and replace emails / 16-digit cards / SSNs /
+    phones / IPv4s.  Pure native regexp chain, whole-stage codegen, zero
+    shuffle before the output — the cheapest possible map over 100 TB.
+
+    The synthetic corpus carries no PII (all counts 0), so the oracle row
+    proves cross-engine parity of the full chain (counts + md5 of the
+    redacted text); redaction behavior on actual PII strings is pinned by
+    tests/test_pii_spans.py, which routes PII-bearing fixtures through
+    BOTH engines with these same pattern strings."""
+    counts = ", ".join(_pii_counts_sql("text", "spark"))
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        SELECT doc_id, {counts},
+               md5({_pii_redact_sql('text', 'spark')}) AS redacted_md5
+        FROM documents
+        """,
+    )
+
+
+ORACLE_PII_SCRUB = f"""
+SELECT doc_id, {", ".join(_pii_counts_sql("text", "duck"))},
+       md5({_pii_redact_sql('text', 'duck')}) AS redacted_md5
+FROM documents
+"""
+
+_SPAN_N = 16  # word n-gram size for duplicated-span detection
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span detection (the exact-substring dedup signal of
+    Lee et al. 2022 at n-gram granularity, as FineWeb/Dolma-style span
+    flagging): for every document, the fraction of its word-{_SPAN_N}-gram
+    hashes that also appear in at least one OTHER document.  High
+    dup_fraction → boilerplate/copied spans → downweight or strip.
+
+    Scale shape: one scan builds distinct (doc, hash) pairs (the
+    explode_outer spelling — see _shingle_hashes); one shuffle aggregates
+    hash → doc-count; the pairs↔dup-hashes join is left to AQE (the dup
+    set is usually far smaller than the pair set — broadcast at sandbox
+    scale); one final per-doc aggregate.  No string n-grams cross a
+    shuffle — only 8-byte hashes."""
+    toks = _SPARK_TOKENS.format(x="text")
+    h = _SPARK_MD5INT.format(x="g")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH sh AS (
+          SELECT doc_id,
+                 CASE WHEN size(t) >= {_SPAN_N} THEN
+                   transform(sequence(1, size(t)-{_SPAN_N - 1}),
+                             i -> concat_ws(' ', slice(t, i, {_SPAN_N})))
+                 ELSE array() END AS spans
+          FROM (SELECT doc_id, {toks} AS t FROM documents)
+        ), pairs AS (
+          SELECT DISTINCT doc_id, {h} AS hg
+          FROM (SELECT doc_id, explode_outer(spans) AS g FROM sh)
+          WHERE g IS NOT NULL
+        ), dup AS (
+          SELECT hg FROM pairs GROUP BY hg HAVING count(*) >= 2
+        )
+        SELECT p.doc_id,
+               cast(count(*) as bigint) AS n_spans,
+               cast(count(d.hg) as bigint) AS n_dup_spans,
+               round(count(d.hg) / cast(count(*) as double), 4) AS dup_fraction
+        FROM pairs p LEFT JOIN dup d ON p.hg = d.hg
+        GROUP BY p.doc_id
+        """,
+    )
+
+
+ORACLE_DUP_SPANS = f"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {_SPAN_N} THEN
+           [array_to_string(t[i:i+{_SPAN_N - 1}], ' ')
+            FOR i IN range(1, len(t)-{_SPAN_N - 2})]
+         ELSE [] END AS spans
+  FROM (SELECT doc_id, {_DUCK_TOKENS.format(x='text')} AS t FROM documents)
+), pairs AS (
+  SELECT DISTINCT doc_id, {_DUCK_MD5INT.format(x='g')} AS hg
+  FROM (SELECT doc_id, unnest(spans) AS g FROM sh)
+), dup AS (
+  SELECT hg FROM pairs GROUP BY hg HAVING count(*) >= 2
+)
+SELECT p.doc_id,
+       count(*)::bigint AS n_spans,
+       count(d.hg)::bigint AS n_dup_spans,
+       round(count(d.hg) / count(*)::double, 4) AS dup_fraction
+FROM pairs p LEFT JOIN dup d ON p.hg = d.hg
+GROUP BY p.doc_id
+"""
+
+
 # Bloom geometry for the prefilter: bits-per-key 16 with k = 11 hash probes
 # gives FPR ≈ 0.0005 (= (1 - e^(-kn/m))^k at m/n = 16).  DEPLOYMENT.md
 # carries the full size/FPR table for 10^6–10^9-shingle bench sets.
@@ -2352,6 +2495,8 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "bigram_surprise": (q_bigram_surprise, ORACLE_BIGRAM_SURPRISE),
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
+    "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
+    "dup_spans": (q_dup_spans, ORACLE_DUP_SPANS),
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
     "decontaminate_external": (q_decontaminate_external, ORACLE_DECONTAMINATE_EXTERNAL),
     "decontaminate_bloom": (q_decontaminate_bloom, ORACLE_DECONTAMINATE_EXTERNAL),
