@@ -26,9 +26,13 @@ each batch is checked against a per-batch ledger of previously-seen
 conv_ids: a conversation that reappears in a later batch has its new rows
 QUARANTINED (written to ``_quarantine/batch_id=N``, counted via
 ``quarantined_convs``) and the earlier chunks for that conversation are
-thereby flagged as suspect — never silent wrong output.  At corpus scale
-the ledger becomes an indexed Iceberg table (or the fold moves to
-``applyInPandasWithState``); the protocol is identical.
+thereby flagged as suspect — never silent wrong output.  Ledger storage
+is the pluggable ``streaming.ledger.StreamLedger`` protocol:
+``LocalParquetLedger`` (default, driver-local side dirs, refuses remote
+URIs loudly) or ``IcebergLedger`` (catalog tables, the corpus-scale
+path; runtime-gated) — the contract logic is identical either way.
+Alternatively the fold moves to ``applyInPandasWithState``
+(streaming/stateful.py).
 
 ``windowed_turn_rates`` shows the watermark + event-time window shape for
 late-data-tolerant operational metrics.
@@ -37,7 +41,6 @@ late-data-tolerant operational metrics.
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,27 +49,7 @@ from ..operators.chunk import chunk_conversations
 from ..operators.enrich import add_embeddings
 from ..operators.extract import extract_turns
 from ..sources.transcripts import TRANSCRIPT_DDL
-
-_SEEN_DIR = "_seen"
-_QUARANTINE_DIR = "_quarantine"
-
-_URI_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
-
-
-def _require_local(output_dir: str) -> None:
-    """The seen-conv ledger and quarantine listings use driver-local
-    ``os.listdir`` — against an ``hdfs://``/``s3a://`` output_dir they would
-    resolve to "no prior batches" and silently DISABLE the enforced
-    whole-conversation contract.  Degrade loudly instead: at cluster scale
-    the ledger moves to an Iceberg table (module docstring) or the fold to
-    ``run_stream_stateful``."""
-    if _URI_SCHEME.match(output_dir):
-        raise ValueError(
-            f"run_stream's ledger/quarantine protocol is driver-local-"
-            f"filesystem only; got {output_dir!r}. Use a local/NFS path, "
-            "an Iceberg-backed ledger, or run_stream_stateful — refusing "
-            "to run with the whole-conversation contract silently disabled."
-        )
+from .ledger import LocalParquetLedger, StreamLedger
 
 
 def stream_transcripts(
@@ -89,44 +72,31 @@ def _batch_path(root: str, batch_id: int) -> str:
     return os.path.join(root, f"batch_id={batch_id}")
 
 
-def _prior_seen_paths(output_dir: str, batch_id: int) -> list[str]:
-    """Ledger partitions committed by batches STRICTLY BEFORE batch_id —
-    a replayed batch must not see its own previous (possibly partial)
-    attempt as 'prior', or every replay would quarantine itself."""
-    _require_local(output_dir)
-    seen_root = os.path.join(output_dir, _SEEN_DIR)
-    if not os.path.isdir(seen_root):
-        return []
-    out = []
-    for name in os.listdir(seen_root):
-        m = re.fullmatch(r"batch_id=(\d+)", name)
-        if m and int(m.group(1)) < batch_id:
-            out.append(os.path.join(seen_root, name))
-    return out
-
-
 def process_micro_batch(
-    batch_df: DataFrame, batch_id: int, output_dir: str
+    batch_df: DataFrame,
+    batch_id: int,
+    output_dir: str,
+    ledger: StreamLedger | None = None,
 ) -> None:
     """One micro-batch: quarantine contract violations, fold the rest.
 
     Idempotent by construction — every write targets a batch_id-derived
-    path with overwrite, so an at-least-once replay reproduces byte-
-    identical output instead of duplicating it.
+    path (or DELETEs its batch_id first, IcebergLedger) with overwrite,
+    so an at-least-once replay reproduces byte-identical output instead
+    of duplicating it.
     """
     spark = batch_df.sparkSession
+    if ledger is None:
+        ledger = LocalParquetLedger(output_dir)
     batch_df = batch_df.persist()
 
-    prior = _prior_seen_paths(output_dir, batch_id)
-    if prior:
-        seen = spark.read.parquet(*prior).select("conv_id").distinct()
+    seen = ledger.prior_seen(spark, batch_id)
+    if seen is not None:
         violations = batch_df.join(seen, "conv_id", "left_semi").persist()
         good = batch_df.join(seen, "conv_id", "left_anti")
         n_violating = violations.select("conv_id").distinct().count()
         if n_violating:
-            violations.write.mode("overwrite").parquet(
-                _batch_path(os.path.join(output_dir, _QUARANTINE_DIR), batch_id)
-            )
+            ledger.write_quarantine(violations, batch_id)
         violations.unpersist()
     else:
         good = batch_df
@@ -136,9 +106,7 @@ def process_micro_batch(
 
     # ledger entry: every conv_id this batch carried (including quarantined
     # ones — re-reappearance stays quarantined)
-    batch_df.select("conv_id").distinct().write.mode("overwrite").parquet(
-        _batch_path(os.path.join(output_dir, _SEEN_DIR), batch_id)
-    )
+    ledger.record_seen(batch_df, batch_id)
     batch_df.unpersist()
 
 
@@ -149,17 +117,22 @@ def run_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    ledger: StreamLedger | None = None,
 ):
     """Stream transcripts → extracted/chunked/embedded parquet partitions.
 
     Stage 2's groupBy(conv_id) fold runs inside ``foreachBatch`` on each
     micro-batch.  See module docstring for the idempotent-write and
-    conversation-quarantine protocols.
+    conversation-quarantine protocols.  ``ledger`` defaults to
+    ``LocalParquetLedger(output_dir)`` — constructed HERE so a remote
+    output_dir fails at stream start, not silently per batch; pass an
+    ``IcebergLedger`` for catalog-backed contract state at cluster scale.
     """
-    _require_local(output_dir)  # fail at start, not silently per batch
+    if ledger is None:
+        ledger = LocalParquetLedger(output_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        process_micro_batch(batch_df, batch_id, output_dir)
+        process_micro_batch(batch_df, batch_id, output_dir, ledger=ledger)
 
     writer = (
         extract_stream(stream_transcripts(spark, input_dir, max_files_per_trigger))
@@ -177,23 +150,28 @@ def read_stream_output(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.parquet(output_dir).drop("batch_id")
 
 
-def read_quarantine(spark: SparkSession, output_dir: str) -> DataFrame:
+def read_quarantine(
+    spark: SparkSession, output_dir: str, ledger: StreamLedger | None = None
+) -> DataFrame:
     """Extracted turn rows of conversations that violated the whole-
     conversation-per-batch contract (empty DataFrame if none)."""
-    _require_local(output_dir)
-    q_root = os.path.join(output_dir, _QUARANTINE_DIR)
-    if not os.path.isdir(q_root) or not os.listdir(q_root):
+    if ledger is None:
+        ledger = LocalParquetLedger(output_dir)
+    df = ledger.read_quarantine(spark)
+    if df is None:
         from ..operators.extract import EXTRACT_STRUCT_SCHEMA
 
         return spark.createDataFrame(
             [], f"conv_id string, turn_idx int, {EXTRACT_STRUCT_SCHEMA.replace(': ', ' ')}"
         )
-    return spark.read.parquet(q_root).drop("batch_id")
+    return df
 
 
-def quarantined_convs(spark: SparkSession, output_dir: str) -> int:
+def quarantined_convs(
+    spark: SparkSession, output_dir: str, ledger: StreamLedger | None = None
+) -> int:
     """Operator metric: number of distinct conversations quarantined."""
-    df = read_quarantine(spark, output_dir)
+    df = read_quarantine(spark, output_dir, ledger=ledger)
     return df.select("conv_id").distinct().count()
 
 
