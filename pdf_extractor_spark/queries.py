@@ -785,6 +785,150 @@ WHERE n >= 100 AND n <= 50000
 """
 
 
+_SPAN_N = 16  # word n-gram size for duplicated-span detection
+_CURATION_DUP_FRAC_MAX = 0.5
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining-corpus curation decision, one plan per doc:
+    exact-dedup keeper ∧ quality band ∧ NOT benchmark-contaminated ∧
+    duplicated-span fraction under threshold — every signal emitted as a
+    column so downstream mixing can re-weight instead of hard-drop.
+
+    Composes the catalog's operator families into the decision table a
+    production pipeline materializes before tokenization; each family is
+    separately oracled elsewhere, this row pins their composition.  Scale
+    shape: the bench shingle set is a subquery semi-join (tiny → AQE
+    broadcasts it); span-dup counts shuffle only 8-byte hashes; one scan
+    per signal family, all joins on doc_id."""
+    toks = _SPARK_TOKENS.format(x="text")
+    h = _SPARK_MD5INT.format(x="g")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH keepers AS (
+          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ), corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id >= 10
+        ), quality AS (
+          SELECT doc_id,
+                 length(text) >= 100 AND length(text) <= 50000 AND
+                 size(filter({toks}, x -> x IN ({_STOPWORDS}))) /
+                   cast(greatest(size({toks}), 1) as double) >= 0.05
+                   AS quality_ok
+          FROM corpus
+        ), sh8 AS (
+          SELECT doc_id,
+                 CASE WHEN size(t) >= 8 THEN transform(sequence(1, size(t)-7),
+                   i -> concat_ws(' ', slice(t, i, 8)))
+                 ELSE array() END AS shingles
+          FROM (SELECT doc_id, {toks} AS t FROM documents)
+        ), pairs8 AS (
+          SELECT doc_id, {h} AS hg
+          FROM (SELECT doc_id, explode_outer(shingles) AS g FROM sh8)
+          WHERE g IS NOT NULL
+        ), contaminated AS (
+          SELECT DISTINCT doc_id FROM pairs8
+          WHERE doc_id >= 10
+            AND hg IN (SELECT hg FROM pairs8 WHERE doc_id < 10)
+        ), sh16 AS (
+          SELECT doc_id,
+                 CASE WHEN size(t) >= {_SPAN_N} THEN
+                   transform(sequence(1, size(t)-{_SPAN_N - 1}),
+                             i -> concat_ws(' ', slice(t, i, {_SPAN_N})))
+                 ELSE array() END AS spans
+          FROM (SELECT doc_id, {toks} AS t FROM corpus)
+        ), pairs16 AS (
+          SELECT DISTINCT doc_id, {h} AS hg
+          FROM (SELECT doc_id, explode_outer(spans) AS g FROM sh16)
+          WHERE g IS NOT NULL
+        ), dup16 AS (
+          SELECT hg FROM pairs16 GROUP BY hg HAVING count(*) >= 2
+        ), dupfrac AS (
+          SELECT p.doc_id,
+                 round(count(d.hg) / cast(count(*) as double), 4) AS dup_fraction
+          FROM pairs16 p LEFT JOIN dup16 d ON p.hg = d.hg
+          GROUP BY p.doc_id
+        )
+        SELECT c.doc_id,
+               k.doc_id IS NOT NULL AS is_keeper,
+               q.quality_ok,
+               ct.doc_id IS NOT NULL AS contaminated,
+               coalesce(df.dup_fraction, cast(0.0 as double)) AS dup_fraction,
+               (k.doc_id IS NOT NULL AND q.quality_ok
+                AND ct.doc_id IS NULL
+                AND coalesce(df.dup_fraction, cast(0.0 as double))
+                    <= {_CURATION_DUP_FRAC_MAX}) AS keep
+        FROM corpus c
+        LEFT JOIN keepers k ON c.doc_id = k.doc_id
+        JOIN quality q ON c.doc_id = q.doc_id
+        LEFT JOIN contaminated ct ON c.doc_id = ct.doc_id
+        LEFT JOIN dupfrac df ON c.doc_id = df.doc_id
+        """,
+    )
+
+
+ORACLE_CORPUS_CURATION = f"""
+WITH keepers AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 10
+), quality AS (
+  SELECT doc_id,
+         length(text) >= 100 AND length(text) <= 50000 AND
+         len(list_filter({_DUCK_TOKENS.format(x='text')},
+                         x -> x IN ({_STOPWORDS}))) /
+           cast(greatest(len({_DUCK_TOKENS.format(x='text')}), 1) as double)
+           >= 0.05 AS quality_ok
+  FROM corpus
+), sh8 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 8 THEN
+           [array_to_string(t[i:i+7], ' ') FOR i IN range(1, len(t)-6)]
+         ELSE [] END AS shingles
+  FROM (SELECT doc_id, {_DUCK_TOKENS.format(x='text')} AS t FROM documents)
+), pairs8 AS (
+  SELECT doc_id, {_DUCK_MD5INT.format(x='g')} AS hg
+  FROM (SELECT doc_id, unnest(shingles) AS g FROM sh8)
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM pairs8
+  WHERE doc_id >= 10
+    AND hg IN (SELECT hg FROM pairs8 WHERE doc_id < 10)
+), sh16 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {_SPAN_N} THEN
+           [array_to_string(t[i:i+{_SPAN_N - 1}], ' ')
+            FOR i IN range(1, len(t)-{_SPAN_N - 2})]
+         ELSE [] END AS spans
+  FROM (SELECT doc_id, {_DUCK_TOKENS.format(x='text')} AS t FROM corpus)
+), pairs16 AS (
+  SELECT DISTINCT doc_id, {_DUCK_MD5INT.format(x='g')} AS hg
+  FROM (SELECT doc_id, unnest(spans) AS g FROM sh16)
+), dup16 AS (
+  SELECT hg FROM pairs16 GROUP BY hg HAVING count(*) >= 2
+), dupfrac AS (
+  SELECT p.doc_id,
+         round(count(d.hg) / cast(count(*) as double), 4) AS dup_fraction
+  FROM pairs16 p LEFT JOIN dup16 d ON p.hg = d.hg
+  GROUP BY p.doc_id
+)
+SELECT c.doc_id,
+       k.doc_id IS NOT NULL AS is_keeper,
+       q.quality_ok,
+       ct.doc_id IS NOT NULL AS contaminated,
+       coalesce(df.dup_fraction, cast(0.0 as double)) AS dup_fraction,
+       (k.doc_id IS NOT NULL AND q.quality_ok
+        AND ct.doc_id IS NULL
+        AND coalesce(df.dup_fraction, cast(0.0 as double))
+            <= {_CURATION_DUP_FRAC_MAX}) AS keep
+FROM corpus c
+LEFT JOIN keepers k ON c.doc_id = k.doc_id
+JOIN quality q ON c.doc_id = q.doc_id
+LEFT JOIN contaminated ct ON c.doc_id = ct.doc_id
+LEFT JOIN dupfrac df ON c.doc_id = df.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data operators: similarity search over embeddings
 # --------------------------------------------------------------------------
@@ -1546,9 +1690,6 @@ SELECT doc_id, {", ".join(_pii_counts_sql("text", "duck"))},
        md5({_pii_redact_sql('text', 'duck')}) AS redacted_md5
 FROM documents
 """
-
-_SPAN_N = 16  # word n-gram size for duplicated-span detection
-
 
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span detection (the exact-substring dedup signal of
@@ -2479,6 +2620,7 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "embedding_neardup_gemm": (q_embedding_neardup_gemm, ORACLE_EMBEDDING_NEARDUP),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "corpus_filter": (q_corpus_filter, ORACLE_CORPUS_FILTER),
+    "corpus_curation": (q_corpus_curation, ORACLE_CORPUS_CURATION),
     # training-data ops: similarity search
     "cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
     "cosine_topk_batch": (q_cosine_topk_batch, ORACLE_COSINE_TOPK_BATCH),
