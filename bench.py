@@ -150,6 +150,16 @@ def main() -> None:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             decontam_secs[name] = round(time.time() - t0, 3)
 
+        # round-3 operator additions — also top-level (query_secs stays the
+        # same work list across rounds)
+        extra_secs: dict[str, float] = {}
+        for name in ("pii_scrub", "dup_spans", "corpus_curation",
+                     "cosine_topk_batch", "kmeans_centroids"):
+            fn = QUERY_REGISTRY[name][0]
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            extra_secs[name] = round(time.time() - t0, 3)
+
         total = round(sum(query_secs.values()), 3)
         print(
             json.dumps(
@@ -165,6 +175,7 @@ def main() -> None:
                     "pipeline_packed_sec": round(packed_sec, 3),
                     "pipeline_packed_turns_per_sec": round(n_turns / packed_sec, 1),
                     "decontam_secs": decontam_secs,
+                    "extra_query_secs": extra_secs,
                     "cores": CPUS,
                     "cold_start_sec": cold_start_sec,
                 }

@@ -212,3 +212,15 @@ def test_cosine_topk_batch_single_shuffle_local_topk(spark, registry):
     assert "Window" in plan
     assert plan.count("Exchange") == 1
     assert "Generate" not in plan and "Join" not in plan
+
+
+def test_corpus_curation_no_cartesian_contamination_is_semi(spark, registry):
+    """The composed curation plan must keep each family's shape: the
+    contamination check is a (broadcastable) semi join, nothing goes
+    cartesian, and every doc-level join is an equi-join on doc_id."""
+    df = registry["corpus_curation"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "LeftSemi" in final  # hg IN (bench subquery)
+    assert "SortMergeJoin" not in final or "doc_id" in final  # no non-equi SMJ
