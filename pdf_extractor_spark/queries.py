@@ -842,13 +842,15 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT DISTINCT doc_id, {h} AS hg
           FROM (SELECT doc_id, explode_outer(spans) AS g FROM sh16)
           WHERE g IS NOT NULL
-        ), dup16 AS (
-          SELECT hg FROM pairs16 GROUP BY hg HAVING count(*) >= 2
+        ), marked16 AS (
+          SELECT doc_id, count(*) OVER (PARTITION BY hg) AS n_docs
+          FROM pairs16
         ), dupfrac AS (
-          SELECT p.doc_id,
-                 round(count(d.hg) / cast(count(*) as double), 4) AS dup_fraction
-          FROM pairs16 p LEFT JOIN dup16 d ON p.hg = d.hg
-          GROUP BY p.doc_id
+          SELECT doc_id,
+                 round(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)
+                       / cast(count(*) as double), 4) AS dup_fraction
+          FROM marked16
+          GROUP BY doc_id
         )
         SELECT c.doc_id,
                k.doc_id IS NOT NULL AS is_keeper,
@@ -904,13 +906,15 @@ WITH keepers AS (
 ), pairs16 AS (
   SELECT DISTINCT doc_id, {_DUCK_MD5INT.format(x='g')} AS hg
   FROM (SELECT doc_id, unnest(spans) AS g FROM sh16)
-), dup16 AS (
-  SELECT hg FROM pairs16 GROUP BY hg HAVING count(*) >= 2
+), marked16 AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY hg) AS n_docs
+  FROM pairs16
 ), dupfrac AS (
-  SELECT p.doc_id,
-         round(count(d.hg) / cast(count(*) as double), 4) AS dup_fraction
-  FROM pairs16 p LEFT JOIN dup16 d ON p.hg = d.hg
-  GROUP BY p.doc_id
+  SELECT doc_id,
+         round(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)
+               / cast(count(*) as double), 4) AS dup_fraction
+  FROM marked16
+  GROUP BY doc_id
 )
 SELECT c.doc_id,
        k.doc_id IS NOT NULL AS is_keeper,
@@ -1698,12 +1702,12 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes that also appear in at least one OTHER document.  High
     dup_fraction → boilerplate/copied spans → downweight or strip.
 
-    Scale shape: one scan builds distinct (doc, hash) pairs (the
-    explode_outer spelling — see _shingle_hashes); one shuffle aggregates
-    hash → doc-count; the pairs↔dup-hashes join is left to AQE (the dup
-    set is usually far smaller than the pair set — broadcast at sandbox
-    scale); one final per-doc aggregate.  No string n-grams cross a
-    shuffle — only 8-byte hashes."""
+    Scale shape: ONE scan builds distinct (doc, hash) pairs (the
+    explode_outer spelling — see _shingle_hashes); per-hash doc-counts
+    come from a window over hg on that same pass (a dup↔pairs self-join
+    would recompute the whole shingle subtree — 2 scans, no
+    ReusedExchange; measured and rejected), then one per-doc aggregate.
+    No string n-grams cross a shuffle — only 8-byte hashes."""
     toks = _SPARK_TOKENS.format(x="text")
     h = _SPARK_MD5INT.format(x="g")
     return _sql(
@@ -1720,15 +1724,18 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT DISTINCT doc_id, {h} AS hg
           FROM (SELECT doc_id, explode_outer(spans) AS g FROM sh)
           WHERE g IS NOT NULL
-        ), dup AS (
-          SELECT hg FROM pairs GROUP BY hg HAVING count(*) >= 2
+        ), marked AS (
+          SELECT doc_id, count(*) OVER (PARTITION BY hg) AS n_docs
+          FROM pairs
         )
-        SELECT p.doc_id,
+        SELECT doc_id,
                cast(count(*) as bigint) AS n_spans,
-               cast(count(d.hg) as bigint) AS n_dup_spans,
-               round(count(d.hg) / cast(count(*) as double), 4) AS dup_fraction
-        FROM pairs p LEFT JOIN dup d ON p.hg = d.hg
-        GROUP BY p.doc_id
+               cast(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) as bigint)
+                 AS n_dup_spans,
+               round(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)
+                     / cast(count(*) as double), 4) AS dup_fraction
+        FROM marked
+        GROUP BY doc_id
         """,
     )
 
@@ -1744,15 +1751,17 @@ WITH sh AS (
 ), pairs AS (
   SELECT DISTINCT doc_id, {_DUCK_MD5INT.format(x='g')} AS hg
   FROM (SELECT doc_id, unnest(spans) AS g FROM sh)
-), dup AS (
-  SELECT hg FROM pairs GROUP BY hg HAVING count(*) >= 2
+), marked AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY hg) AS n_docs
+  FROM pairs
 )
-SELECT p.doc_id,
+SELECT doc_id,
        count(*)::bigint AS n_spans,
-       count(d.hg)::bigint AS n_dup_spans,
-       round(count(d.hg) / count(*)::double, 4) AS dup_fraction
-FROM pairs p LEFT JOIN dup d ON p.hg = d.hg
-GROUP BY p.doc_id
+       sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::bigint AS n_dup_spans,
+       round(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)
+             / count(*)::double, 4) AS dup_fraction
+FROM marked
+GROUP BY doc_id
 """
 
 

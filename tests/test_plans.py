@@ -224,3 +224,16 @@ def test_corpus_curation_no_cartesian_contamination_is_semi(spark, registry):
     assert "CartesianProduct" not in final
     assert "LeftSemi" in final  # hg IN (bench subquery)
     assert "SortMergeJoin" not in final or "doc_id" in final  # no non-equi SMJ
+
+
+def test_dup_spans_single_pass_no_self_join(spark, registry):
+    """Span-dup counting must evaluate the shingle subtree ONCE: per-hash
+    doc-counts via a window over hg on the single pairs pass — a
+    dup↔pairs self-join re-scans and re-shingles the corpus (2 FileScans,
+    no ReusedExchange; measured and rejected)."""
+    df = registry["dup_spans"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
+    assert "Window" in final
+    assert "Join" not in final
