@@ -473,15 +473,18 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hashes identically across millions of docs) would OOM a collect_list
     # task at corpus scale; LSH practice skips buckets past a cap — their
     # members are "too common to be informative" (and would dominate pair
-    # output quadratically anyway)
-    sized = (
-        bands.groupBy("band", "bucket")
-        .agg(F.count("*").alias("n"))
-        .where((F.col("n") >= 2) & (F.col("n") <= _LSH_BUCKET_CAP))
-        .select("band", "bucket")
-    )
+    # output quadratically anyway).  The count comes from a WINDOW over the
+    # bucket key on the one bands pass — a counted-buckets↔bands join-back
+    # re-evaluates the whole signature subtree (2 FileScans, no
+    # ReusedExchange; measured) — and rows of an over-cap bucket are
+    # dropped BEFORE collect_list, so the guard still holds (WindowExec
+    # spills oversized partitions instead of OOMing an aggregation buffer).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
     groups = (
-        bands.join(sized, ["band", "bucket"])
+        bands.withColumn("n", F.count("*").over(w))
+        .where((F.col("n") >= 2) & (F.col("n") <= _LSH_BUCKET_CAP))
         .groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
     )

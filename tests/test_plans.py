@@ -76,9 +76,15 @@ def test_tables_udf_pruned_when_unselected(spark):
 
 
 def test_lsh_pairs_has_no_cartesian(spark, registry):
-    plan = _plan(registry["minhash_lsh_pairs"][0](spark, SF_DIR))
+    df = registry["minhash_lsh_pairs"][0](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the md5 signature subtree is evaluated exactly once: the bucket-size
+    # guard is a window on the single bands pass, not a join-back
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" in plan
 
 
 def test_native_queries_stay_jvm_side(spark, registry):
