@@ -749,12 +749,16 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, ["documents"],
         f"""
         WITH keepers AS (
-          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+          -- keeper via window on the ONE scan: a min-per-md5 join-back
+          -- re-scans the table (2 FileScans, no ReusedExchange; measured)
+          SELECT doc_id, text,
+                 min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id
+          FROM documents
         ), scored AS (
-          SELECT d.doc_id, length(d.text) AS n,
-                 size(regexp_extract_all(d.text, '[.!?,;:]', 0)) AS punct,
+          SELECT doc_id, length(text) AS n,
+                 size(regexp_extract_all(text, '[.!?,;:]', 0)) AS punct,
                  {toks} AS toks
-          FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+          FROM keepers WHERE doc_id = keeper_id
         )
         SELECT doc_id, n AS n_chars,
                round(punct / cast(greatest(n, 1) as double), 4) AS punct_ratio,
@@ -770,12 +774,14 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CORPUS_FILTER = f"""
 WITH keepers AS (
-  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+  SELECT doc_id, text,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id
+  FROM documents
 ), scored AS (
-  SELECT d.doc_id, length(d.text) AS n,
-         len(regexp_extract_all(d.text, '[.!?,;:]')) AS punct,
-         {_DUCK_TOKENS.format(x='d.text')} AS toks
-  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+  SELECT doc_id, length(text) AS n,
+         len(regexp_extract_all(text, '[.!?,;:]')) AS punct,
+         {_DUCK_TOKENS.format(x='text')} AS toks
+  FROM keepers WHERE doc_id = keeper_id
 )
 SELECT doc_id, n AS n_chars,
        round(punct / cast(greatest(n, 1) as double), 4) AS punct_ratio,
@@ -809,17 +815,20 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(
         spark, sf_dir, ["documents"],
         f"""
-        WITH keepers AS (
-          SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
-        ), corpus AS (
-          SELECT doc_id, text FROM documents WHERE doc_id >= 10
-        ), quality AS (
+        WITH keeper_ids AS (
           SELECT doc_id,
+                 doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                   AS is_keeper
+          FROM documents
+        ), corpus AS (
+          -- quality computed inline on the one corpus scan (a separate
+          -- quality CTE joined back = one more scan of documents)
+          SELECT doc_id, text,
                  length(text) >= 100 AND length(text) <= 50000 AND
                  size(filter({toks}, x -> x IN ({_STOPWORDS}))) /
                    cast(greatest(size({toks}), 1) as double) >= 0.05
                    AS quality_ok
-          FROM corpus
+          FROM documents WHERE doc_id >= 10
         ), sh8 AS (
           SELECT doc_id,
                  CASE WHEN size(t) >= 8 THEN transform(sequence(1, size(t)-7),
@@ -856,17 +865,16 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY doc_id
         )
         SELECT c.doc_id,
-               k.doc_id IS NOT NULL AS is_keeper,
-               q.quality_ok,
+               k.is_keeper,
+               c.quality_ok,
                ct.doc_id IS NOT NULL AS contaminated,
                coalesce(df.dup_fraction, cast(0.0 as double)) AS dup_fraction,
-               (k.doc_id IS NOT NULL AND q.quality_ok
+               (k.is_keeper AND c.quality_ok
                 AND ct.doc_id IS NULL
                 AND coalesce(df.dup_fraction, cast(0.0 as double))
                     <= {_CURATION_DUP_FRAC_MAX}) AS keep
         FROM corpus c
-        LEFT JOIN keepers k ON c.doc_id = k.doc_id
-        JOIN quality q ON c.doc_id = q.doc_id
+        JOIN keeper_ids k ON c.doc_id = k.doc_id
         LEFT JOIN contaminated ct ON c.doc_id = ct.doc_id
         LEFT JOIN dupfrac df ON c.doc_id = df.doc_id
         """,
@@ -874,18 +882,18 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_CORPUS_CURATION = f"""
-WITH keepers AS (
-  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
-), corpus AS (
-  SELECT doc_id, text FROM documents WHERE doc_id >= 10
-), quality AS (
+WITH keeper_ids AS (
   SELECT doc_id,
+         doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+  FROM documents
+), corpus AS (
+  SELECT doc_id, text,
          length(text) >= 100 AND length(text) <= 50000 AND
          len(list_filter({_DUCK_TOKENS.format(x='text')},
                          x -> x IN ({_STOPWORDS}))) /
            cast(greatest(len({_DUCK_TOKENS.format(x='text')}), 1) as double)
            >= 0.05 AS quality_ok
-  FROM corpus
+  FROM documents WHERE doc_id >= 10
 ), sh8 AS (
   SELECT doc_id,
          CASE WHEN len(t) >= 8 THEN
@@ -920,17 +928,16 @@ WITH keepers AS (
   GROUP BY doc_id
 )
 SELECT c.doc_id,
-       k.doc_id IS NOT NULL AS is_keeper,
-       q.quality_ok,
+       k.is_keeper,
+       c.quality_ok,
        ct.doc_id IS NOT NULL AS contaminated,
        coalesce(df.dup_fraction, cast(0.0 as double)) AS dup_fraction,
-       (k.doc_id IS NOT NULL AND q.quality_ok
+       (k.is_keeper AND c.quality_ok
         AND ct.doc_id IS NULL
         AND coalesce(df.dup_fraction, cast(0.0 as double))
             <= {_CURATION_DUP_FRAC_MAX}) AS keep
 FROM corpus c
-LEFT JOIN keepers k ON c.doc_id = k.doc_id
-JOIN quality q ON c.doc_id = q.doc_id
+JOIN keeper_ids k ON c.doc_id = k.doc_id
 LEFT JOIN contaminated ct ON c.doc_id = ct.doc_id
 LEFT JOIN dupfrac df ON c.doc_id = df.doc_id
 """
