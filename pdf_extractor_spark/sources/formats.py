@@ -1,0 +1,119 @@
+"""Transcript readers for non-parquet arrival formats.
+
+Production transcripts land as Iceberg/parquet (the primary path,
+``sources/transcripts.py`` + S1), but upstream emitters commonly hand
+over JSONL dumps or CSV exports.  These readers normalize any of those
+into the ONE canonical schema (``TRANSCRIPT_DDL`` — BASELINE.json
+``input_hint``), so every downstream operator is source-agnostic:
+
+* explicit schema, never inference — schema inference re-scans the input
+  (2x read at 100 TB) and silently drifts types (a conv_id of "123"
+  becomes a bigint);
+* malformed rows are captured PERMISSIVEly into a ``_corrupt`` column and
+  split out, mirroring the engine's counted-never-silent failure posture
+  (reject gate F2/F5): callers get (clean, corrupt) and decide;
+* timestamps parse from ISO-8601 strings (``ts`` arrives as text in both
+  dump formats).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .transcripts import TRANSCRIPT_DDL
+
+# arrival-format schema: ts as string (ISO-8601), plus the corrupt-capture
+_ARRIVAL_DDL = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts string, _corrupt string"
+)
+
+_CANON_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _normalize(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean canonical-schema rows, corrupt raw rows).
+
+    The parsed scan is persisted before splitting: Spark disallows plans
+    whose file-source scan references ONLY the corrupt-record column
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN) and prescribes exactly this — and
+    it is the right shape regardless, since both branches consume the one
+    parse pass of the arrival batch (MEMORY_AND_DISK: a dump batch larger
+    than memory spills instead of re-parsing)."""
+    from pyspark import StorageLevel
+
+    raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
+    corrupt = raw.where(F.col("_corrupt").isNotNull()).select(
+        "conv_id", "_corrupt"
+    )
+    clean = (
+        raw.where(F.col("_corrupt").isNull())
+        .withColumn("ts", F.to_timestamp("ts"))
+        .select(*_CANON_COLS)
+    )
+    return clean, corrupt
+
+
+def read_transcripts_jsonl(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines transcript dump → (canonical rows, corrupt lines)."""
+    raw = (
+        spark.read.schema(_ARRIVAL_DDL)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
+    return _normalize(raw)
+
+
+def read_transcripts_csv(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """CSV transcript export (headered, quoted multiline text) →
+    (canonical rows, corrupt lines)."""
+    raw = (
+        spark.read.schema(_ARRIVAL_DDL)
+        .option("header", True)
+        .option("multiLine", True)   # turn text contains newlines
+        .option("escape", '"')
+        # layout whitespace is SIGNIFICANT in transcript text (column
+        # positions, footer bands) — never trim it
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return _normalize(raw)
+
+
+def write_transcripts_csv(df: DataFrame, path: str) -> None:
+    """Canonical transcripts → headered CSV, whitespace-exact (Spark's CSV
+    WRITER trims trailing whitespace by default, which corrupts
+    layout-significant transcript text — both trim options forced off)."""
+    df.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("ts"),
+    ).write.mode("overwrite").option("header", True).option("escape", '"')\
+        .option("ignoreLeadingWhiteSpace", False)\
+        .option("ignoreTrailingWhiteSpace", False).csv(path)
+
+
+def write_transcripts_jsonl(df: DataFrame, path: str) -> None:
+    """Canonical transcripts → JSONL (ts serialized ISO-8601) — the
+    round-trip partner of ``read_transcripts_jsonl`` for tests/export."""
+    df.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("ts"),
+    ).write.mode("overwrite").json(path)
+
+
+__all__ = [
+    "TRANSCRIPT_DDL",
+    "read_transcripts_csv",
+    "read_transcripts_jsonl",
+    "write_transcripts_csv",
+    "write_transcripts_jsonl",
+]
