@@ -1229,6 +1229,9 @@ def kmeans_centroids(
     seeds = (
         base.orderBy("vec_id").limit(k).toPandas().sort_values("vec_id")
     )
+    if len(seeds) == 0:
+        raise ValueError("kmeans_centroids: embeddings table is empty")
+    k = min(k, len(seeds))  # fewer vectors than cells → one cell per vector
     cents = np.stack(seeds["embedding"].to_numpy()).astype(np.float64)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
 
@@ -1831,7 +1834,10 @@ def bloom_build_distributed(
     same math, disjoint ranges.)"""
     import numpy as np
 
-    m = _bloom_sizing(bench_hashes.count(), bits_per_key)
+    n = bench_hashes.count()
+    m = _bloom_sizing(n, bits_per_key)
+    if n == 0:  # treeReduce refuses an empty RDD; an empty bench = empty filter
+        return np.zeros(m // 64, dtype=np.uint64), m
 
     def fold_partition(rows):
         keys = np.fromiter((r["hg"] for r in rows), dtype=np.int64)

@@ -124,3 +124,17 @@ class TestDistributedBloomBuild:
             q_decontaminate_bloom(spark, SF_DIR, distributed_build=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+    def test_empty_bench_yields_empty_filter_and_no_matches(self, spark):
+        import numpy as np
+
+        from pdf_extractor_spark.queries import bloom_build_distributed
+
+        empty = spark.createDataFrame([], "hg bigint")
+        words, m = bloom_build_distributed(empty)
+        assert words.sum() == 0 and m >= 64
+        # the full query with an empty bench flags nothing
+        from pdf_extractor_spark.queries import q_decontaminate_bloom
+
+        bench = spark.createDataFrame([], "doc_id long, text string")
+        assert q_decontaminate_bloom(spark, SF_DIR, bench=bench).count() == 0

@@ -135,3 +135,17 @@ def test_kmeans_plan_no_explode_one_shuffle_per_iteration(spark):
     assert plan.count("Exchange") == 1     # exactly the grouped Arrow shuffle
     assert "FlatMapGroupsInPandas" in plan
     assert "ArrowEvalPython" in plan       # assignment runs map-side
+
+
+def test_kmeans_with_fewer_vectors_than_cells(spark, tmp_path):
+    """k clamps to the vector count — 3 vectors, k=8 → 3 cells, no crash."""
+    import os
+
+    import pandas as pd
+
+    emb = _t(spark, SF_DIR, "embeddings").limit(3).toPandas()
+    p = str(tmp_path)
+    spark.createDataFrame(emb).write.parquet(os.path.join(p, "embeddings.parquet"))
+    out = kmeans_centroids(_t(spark, p, "embeddings")).toPandas()
+    assert len(out) == 3
+    assert sorted(out["cid"]) == [0, 1, 2]
