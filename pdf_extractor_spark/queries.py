@@ -1012,6 +1012,10 @@ def q_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toPandas()
         .sort_values("vec_id")
     )
+    if len(qpdf) == 0:
+        return spark.createDataFrame(
+            [], "query_id bigint, vec_id bigint, cos_sim double"
+        )
     qids = qpdf["vec_id"].to_numpy(dtype=np.int64)
     qm = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
     qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
