@@ -574,6 +574,81 @@ SELECT doc_id, {recombine} AS simhash FROM votes
 ORACLE_SIMHASH = _oracle_simhash()
 
 
+_SIMHASH_MAX_HAMMING = 3
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs: documents whose 16-bit simhashes
+    differ in at most ``_SIMHASH_MAX_HAMMING`` bits — the pairing step the
+    bare signature query feeds (the SimHash analog of minhash_lsh_pairs).
+
+    Scale shape (pigeonhole banding): split the 16 bits into 4 nibbles —
+    any pair within hamming ≤ 3 agrees on AT LEAST one nibble, so bucketing
+    by (band, nibble) has perfect recall; work is O(Σ bucket²) with the
+    same super-bucket cap as LSH, the exact hamming check
+    (``bit_count(a ^ b)``) verifies candidates bucket-locally, and the
+    signature subtree is evaluated ONCE (count window on the single bands
+    pass, pair expansion from collect_list — never a bands self-join)."""
+    from pyspark.sql import Window
+
+    sig = q_simhash(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (F.shiftright("simhash", 4 * b) % 16).alias("nib"),
+            )
+            for b in range(4)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("bb")
+    ).select("doc_id", "simhash", "bb.band", "bb.nib")
+
+    w = Window.partitionBy("band", "nib")
+    groups = (
+        bands.withColumn("n", F.count("*").over(w))
+        .where((F.col("n") >= 2) & (F.col("n") <= _LSH_BUCKET_CAP))
+        .groupBy("band", "nib")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ids"))
+    )
+    return (
+        groups.select(F.posexplode("ids").alias("i", "a"), "ids")
+        .select(
+            "a",
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("b"),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
+ORACLE_SIMHASH_PAIRS = f"""
+WITH sig AS ({_oracle_simhash()}),
+bands AS (
+  SELECT doc_id, simhash, b.b AS band, (simhash >> (b.b * 4)) % 16 AS nib
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) b
+), sized AS (
+  SELECT band, nib FROM bands
+  GROUP BY band, nib HAVING count(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::int AS hamming
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+JOIN sized s ON a.band = s.band AND a.nib = s.nib
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+"""
+
+
+
 def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard between consecutive doc_ids — the verification
     step that confirms/refutes LSH candidates (here on a deterministic
@@ -2644,6 +2719,7 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_LSH_PAIRS),
     "simhash": (q_simhash, ORACLE_SIMHASH),
+    "simhash_pairs": (q_simhash_pairs, ORACLE_SIMHASH_PAIRS),
     "ngram_jaccard_adjacent": (q_ngram_jaccard_adjacent, ORACLE_NGRAM_JACCARD),
     "embedding_neardup": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
     "embedding_neardup_gemm": (q_embedding_neardup_gemm, ORACLE_EMBEDDING_NEARDUP),

@@ -243,3 +243,16 @@ def test_dup_spans_single_pass_no_self_join(spark, registry):
     assert final.count("FileScan parquet") == 1
     assert "Window" in final
     assert "Join" not in final
+
+
+def test_simhash_pairs_single_pass_no_self_join(spark, registry):
+    """SimHash pairing: signature subtree evaluated once (window bucket
+    guard + collect_list pair expansion), no cartesian, no bands self-join
+    re-scan."""
+    df = registry["simhash_pairs"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in final
+    assert "Window" in final
+    assert "Join" not in final  # pair expansion is bucket-local explode
