@@ -678,6 +678,66 @@ FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
 )
 
 
+_VERIFY_JACCARD_MIN = 0.5
+
+
+def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete near-dup pipeline step production materializes:
+    MinHash-LSH CANDIDATE pairs verified by exact word-3-gram Jaccard —
+    every candidate keeps its score and a verdict, so downstream
+    clustering consumes only confirmed edges and the false-positive rate
+    of the banding is measurable per run.
+
+    Scale shape: candidates are few relative to the corpus (O(Σ bucket²)
+    with the bucket cap), so the verification joins fetch only candidate
+    docs' shingle sets; the exact set intersection runs pair-local.  At
+    10^12 turns, semi-join the shingle-set table to the candidate doc ids
+    first — the spelling below lets AQE do exactly that."""
+    cand = q_minhash_lsh_pairs(spark, sf_dir)
+    sets3 = _sql(
+        spark, sf_dir, ["documents"],
+        _SPARK_SHINGLES
+        + ", s AS (SELECT doc_id, array_distinct(shingles) AS g FROM sh)"
+        + " SELECT doc_id, g FROM s",
+    )
+    return (
+        cand.join(
+            sets3.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga")),
+            "doc_a",
+        )
+        .join(
+            sets3.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb")),
+            "doc_b",
+        )
+        .selectExpr(
+            "doc_a", "doc_b",
+            "round(size(array_intersect(ga, gb)) /"
+            " cast(size(array_union(ga, gb)) as double), 4) AS jaccard",
+        )
+        .withColumn("verified", F.col("jaccard") >= _VERIFY_JACCARD_MIN)
+    )
+
+
+ORACLE_NEAR_DUP_VERIFIED = f"""
+WITH cand AS ({ORACLE_LSH_PAIRS}),
+sets3 AS (
+  {_DUCK_SHINGLES.replace("WITH toks", "WITH toks")}
+  , s AS (SELECT doc_id, list_distinct(shingles) AS g FROM sh)
+  SELECT doc_id, g FROM s
+)
+SELECT c.doc_a, c.doc_b,
+       round(len(list_intersect(a.g, b.g)) /
+             cast(len(list_distinct(list_concat(a.g, b.g))) as double), 4)
+         AS jaccard,
+       round(len(list_intersect(a.g, b.g)) /
+             cast(len(list_distinct(list_concat(a.g, b.g))) as double), 4)
+         >= {_VERIFY_JACCARD_MIN} AS verified
+FROM cand c
+JOIN sets3 a ON a.doc_id = c.doc_a
+JOIN sets3 b ON b.doc_id = c.doc_b
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup endgame: connected components over the LSH candidate-pair
     graph; every document gets a ``cluster_id`` (min doc_id of its
@@ -2721,6 +2781,7 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "simhash": (q_simhash, ORACLE_SIMHASH),
     "simhash_pairs": (q_simhash_pairs, ORACLE_SIMHASH_PAIRS),
     "ngram_jaccard_adjacent": (q_ngram_jaccard_adjacent, ORACLE_NGRAM_JACCARD),
+    "near_dup_verified": (q_near_dup_verified, ORACLE_NEAR_DUP_VERIFIED),
     "embedding_neardup": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
     "embedding_neardup_gemm": (q_embedding_neardup_gemm, ORACLE_EMBEDDING_NEARDUP),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
