@@ -758,6 +758,42 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
+def q_dedup_clusters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over VERIFIED near-dup edges only: the honest
+    production composition — LSH proposes, exact 3-gram Jaccard confirms,
+    clustering consumes confirmed edges, so one hash-collision super-edge
+    cannot glue two unrelated clusters together (the classic failure of
+    clustering raw candidates).  Same pointer-doubling propagation and
+    output contract as ``dedup_clusters``."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        q_near_dup_verified(spark, sf_dir)
+        .where("verified")
+        .select("doc_a", "doc_b")
+    )
+    labels, _iters = propagate_min_labels(docs, edges)
+    return labels
+
+
+ORACLE_DEDUP_CLUSTERS_VERIFIED = (
+    "WITH RECURSIVE p AS (\n"
+    f"  SELECT doc_a, doc_b FROM ({ORACLE_NEAR_DUP_VERIFIED}) WHERE verified\n"
+    "),\n"
+    "e AS (\n"
+    "  SELECT doc_a, doc_b FROM p\n"
+    "  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM p\n"
+    "),\n"
+    "reach(src, dst) AS (\n"
+    "  SELECT doc_id, doc_id FROM documents\n"
+    "  UNION\n"
+    "  SELECT r.src, e.doc_b FROM reach r JOIN e ON e.doc_a = r.dst\n"
+    ")\n"
+    "SELECT src AS doc_id, min(dst) AS cluster_id,\n"
+    "       min(dst) = src AS is_keeper\n"
+    "FROM reach GROUP BY src\n"
+)
+
+
 def propagate_min_labels(
     docs: DataFrame, pairs: DataFrame, max_iters: int = 15
 ) -> tuple[DataFrame, int]:
@@ -2785,6 +2821,7 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "embedding_neardup": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
     "embedding_neardup_gemm": (q_embedding_neardup_gemm, ORACLE_EMBEDDING_NEARDUP),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
+    "dedup_clusters_verified": (q_dedup_clusters_verified, ORACLE_DEDUP_CLUSTERS_VERIFIED),
     "corpus_filter": (q_corpus_filter, ORACLE_CORPUS_FILTER),
     "corpus_curation": (q_corpus_curation, ORACLE_CORPUS_CURATION),
     # training-data ops: similarity search
