@@ -154,7 +154,8 @@ def main() -> None:
         # same work list across rounds)
         extra_secs: dict[str, float] = {}
         for name in ("pii_scrub", "dup_spans", "corpus_curation",
-                     "cosine_topk_batch", "kmeans_centroids"):
+                     "cosine_topk_batch", "kmeans_centroids",
+                     "simhash_pairs", "near_dup_verified", "corpus_stats"):
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -2093,6 +2093,39 @@ def q_decontaminate_bloom(
     )
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup: the one-row global summary every published
+    training corpus ships (docs, chars, whitespace tokens, exact-dup
+    rate, mean quality signals) — a single full-scan aggregate with
+    map-side partial combine, the cheapest possible corpus pass."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        SELECT cast(count(*) as bigint) AS n_docs,
+               cast(count(DISTINCT md5(text)) as bigint) AS n_unique_docs,
+               cast(sum(length(text)) as bigint) AS total_chars,
+               cast(sum(size({toks})) as bigint) AS total_tokens,
+               round(avg(length(text)), 2) AS mean_chars,
+               round(1.0 - count(DISTINCT md5(text)) / cast(count(*) as double), 4)
+                 AS exact_dup_rate
+        FROM documents
+        """,
+    )
+
+
+ORACLE_CORPUS_STATS = f"""
+SELECT count(*)::bigint AS n_docs,
+       count(DISTINCT md5(text))::bigint AS n_unique_docs,
+       sum(length(text))::bigint AS total_chars,
+       sum(len({_DUCK_TOKENS.format(x='text')}))::bigint AS total_tokens,
+       round(avg(length(text)), 2) AS mean_chars,
+       round(1.0 - count(DISTINCT md5(text)) / count(*)::double, 4)
+         AS exact_dup_rate
+FROM documents
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization — the upstream operator that MAKES the
     whole-conversation contract the streaming engine consumes: events with
@@ -2846,6 +2879,7 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "decontaminate_external": (q_decontaminate_external, ORACLE_DECONTAMINATE_EXTERNAL),
     "decontaminate_bloom": (q_decontaminate_bloom, ORACLE_DECONTAMINATE_EXTERNAL),
     "length_histogram": (q_length_histogram, ORACLE_LENGTH_HISTOGRAM),
+    "corpus_stats": (q_corpus_stats, ORACLE_CORPUS_STATS),
     "token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
     "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE_TOKEN_STATS),
     "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
