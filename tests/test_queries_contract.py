@@ -112,3 +112,24 @@ def test_min_label_propagation_raises_on_budget_exhaustion(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         propagate_min_labels(docs, pairs, max_iters=1)
+
+
+def test_verified_clusters_respect_verified_edges_only(spark):
+    """dedup_clusters_verified must separate docs whose only connection is
+    a REFUTED candidate edge: every verified edge joins a cluster, every
+    refuted-only pair stays apart."""
+    from pdf_extractor_spark.queries import (
+        q_dedup_clusters_verified,
+        q_near_dup_verified,
+    )
+
+    edges = q_near_dup_verified(spark, SF_DIR).collect()
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in q_dedup_clusters_verified(spark, SF_DIR).collect()
+    }
+    assert any(not e["verified"] for e in edges), "fixture lost its refuted pairs"
+    for e in edges:
+        if e["verified"]:
+            assert labels[e["doc_a"]] == labels[e["doc_b"]], \
+                f"verified edge {e['doc_a']}-{e['doc_b']} split across clusters"
