@@ -690,9 +690,16 @@ def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: candidates are few relative to the corpus (O(Σ bucket²)
     with the bucket cap), so the verification joins fetch only candidate
-    docs' shingle sets; the exact set intersection runs pair-local.  At
-    10^12 turns, semi-join the shingle-set table to the candidate doc ids
-    first — the spelling below lets AQE do exactly that."""
+    docs' shingle sets; the exact set intersection runs pair-local.
+
+    The candidate side is EXPLICITLY broadcast (both the pair table and
+    the first-join intermediate): candidates are small by construction
+    (bucket-capped O(Σ bucket²)), but their lineage is window+collect_list
+    with poor size estimates, so leaving the choice to AQE risks a
+    sort-merge fallback that shuffles the full per-doc shingle-string-array
+    table (~3× corpus text).  With the hints pinned, the shingle-set
+    relation NEVER crosses an exchange — verified by
+    tests/test_plans.py::test_near_dup_verified_broadcasts_candidates."""
     cand = q_minhash_lsh_pairs(spark, sf_dir)
     sets3 = _sql(
         spark, sf_dir, ["documents"],
@@ -700,11 +707,12 @@ def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ", s AS (SELECT doc_id, array_distinct(shingles) AS g FROM sh)"
         + " SELECT doc_id, g FROM s",
     )
+    with_a = F.broadcast(cand).join(
+        sets3.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga")),
+        "doc_a",
+    )
     return (
-        cand.join(
-            sets3.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga")),
-            "doc_a",
-        )
+        F.broadcast(with_a)
         .join(
             sets3.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb")),
             "doc_b",
@@ -1377,7 +1385,10 @@ _KMEANS_ITERS = 2
 
 
 def kmeans_centroids(
-    emb: DataFrame, k: int = _KMEANS_K, iters: int = _KMEANS_ITERS
+    emb: DataFrame,
+    k: int = _KMEANS_K,
+    iters: int = _KMEANS_ITERS,
+    tol: float = 0.0,
 ) -> DataFrame:
     """Deterministic fixed-iteration Lloyd k-means over the embedding
     column — the generator of the centroid side table ``q_ivf_multiprobe``
@@ -1394,7 +1405,13 @@ def kmeans_centroids(
     reduction (``applyInPandas``) — the compute_centroids shape, keyed by
     the new assignment.  Total: ``iters`` shuffles of the corpus, each
     carrying vectors once, no dim-explode anywhere.  Empty clusters keep
-    their previous centroid (classic Lloyd fallback), so k is stable."""
+    their previous centroid (classic Lloyd fallback), so k is stable.
+
+    ``iters`` is the iteration CAP; ``tol`` > 0 enables a deterministic
+    early stop when the max centroid shift (L2, post-renormalization)
+    drops below it.  The default ``tol=0.0`` never stops early, so the
+    default output is bit-identical to the fixed-2-iteration round-3
+    behavior (pinned by tests/test_kmeans.py)."""
     import numpy as np
 
     spark = emb.sparkSession
@@ -1437,12 +1454,17 @@ def kmeans_centroids(
         for _, row in means.iterrows():
             new[int(row["cid"])] = np.asarray(row["centroid"])
         new /= np.maximum(np.linalg.norm(new, axis=1, keepdims=True), 1e-30)
+        shift = float(np.max(np.linalg.norm(new - cents, axis=1)))
         cents = new
+        if tol > 0.0 and shift < tol:
+            break
 
-    pdf = pd.DataFrame(
-        {"cid": np.arange(k, dtype="int32"), "centroid": list(cents)}
-    )
-    return spark.createDataFrame(pdf, "cid int, centroid array<double>")
+    # Plain Python types, NOT numpy: the non-Arrow createDataFrame path
+    # (Spark's default, and the external correctness driver's session)
+    # type-verifies elements and rejects np.float64 / np.int32 — this was
+    # the one red driver row in round 3 (CORRECTNESS_r03 kmeans_centroids).
+    rows = [(int(i), [float(x) for x in cents[i]]) for i in range(k)]
+    return spark.createDataFrame(rows, "cid int, centroid array<double>")
 
 
 def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -149,3 +149,50 @@ def test_kmeans_with_fewer_vectors_than_cells(spark, tmp_path):
     out = kmeans_centroids(_t(spark, p, "embeddings")).toPandas()
     assert len(out) == 3
     assert sorted(out["cid"]) == [0, 1, 2]
+
+
+def test_kmeans_materializes_under_arrow_disabled_session(spark):
+    """Driver-parity regression for the round-3 red row: the external
+    correctness driver runs WITHOUT spark.sql.execution.arrow.pyspark
+    .enabled, whose createDataFrame path type-verifies local rows and
+    rejects numpy scalars (PySparkTypeError FIELD_DATA_TYPE_UNACCEPTABLE).
+    Both the raw centroid table and the catalog entry must materialize
+    with Arrow off and match the Arrow-on values exactly."""
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    emb = _t(spark, SF_DIR, "embeddings")
+    with_arrow = kmeans_centroids(emb).toPandas().sort_values("cid")
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        raw = kmeans_centroids(emb).toPandas().sort_values("cid")
+        cat = q_kmeans_centroids(spark, SF_DIR).toPandas()
+    finally:
+        spark.conf.set(key, prev)
+    np.testing.assert_array_equal(
+        np.stack([np.asarray(c) for c in raw["centroid"]]),
+        np.stack([np.asarray(c) for c in with_arrow["centroid"]]),
+    )
+    assert len(cat) == _KMEANS_K and (cat["centroid_norm"] == 1.0).all()
+
+
+def test_kmeans_tol_default_is_bitwise_identical_and_early_stop_works(spark):
+    """tol=0.0 (default) must never stop early — bit-identical to the
+    fixed-iteration round-3 behavior; a huge tol stops after the first
+    update, matching the numpy reference at iters=1."""
+    emb = _t(spark, SF_DIR, "embeddings")
+    base = kmeans_centroids(emb).toPandas().sort_values("cid")
+    default_tol = kmeans_centroids(emb, tol=0.0).toPandas().sort_values("cid")
+    np.testing.assert_array_equal(
+        np.stack([np.asarray(c) for c in base["centroid"]]),
+        np.stack([np.asarray(c) for c in default_tol["centroid"]]),
+    )
+    one_iter = (
+        kmeans_centroids(emb, iters=1).toPandas().sort_values("cid")
+    )
+    early = (
+        kmeans_centroids(emb, iters=50, tol=1e9).toPandas().sort_values("cid")
+    )
+    np.testing.assert_array_equal(
+        np.stack([np.asarray(c) for c in early["centroid"]]),
+        np.stack([np.asarray(c) for c in one_iter["centroid"]]),
+    )

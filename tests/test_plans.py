@@ -256,3 +256,22 @@ def test_simhash_pairs_single_pass_no_self_join(spark, registry):
     assert "CartesianProduct" not in final
     assert "Window" in final
     assert "Join" not in final  # pair expansion is bucket-local explode
+
+
+def test_near_dup_verified_broadcasts_candidates(spark, registry):
+    """Verification joins must broadcast the (bucket-capped, small)
+    candidate side so the per-doc shingle-set relation never crosses an
+    exchange: window+collect_list lineage gives cand poor size estimates,
+    and an AQE sort-merge fallback would shuffle string arrays ~3x the
+    corpus text.  Both joins pinned BroadcastHashJoin; the streamed
+    (shingle-set) subtree of each has no Exchange above its scan."""
+    df = registry["near_dup_verified"][0](spark, SF_DIR)
+    df.collect()  # AQE final plan
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in final and "CartesianProduct" not in final
+    # every shingle-set (documents-scan) branch streams straight into its
+    # broadcast join: no Exchange between the join and the streamed scan
+    for chunk in final.split("BroadcastHashJoin")[1:]:
+        streamed = chunk.split("BroadcastQueryStage", 1)[0]
+        assert "Exchange" not in streamed

@@ -7,7 +7,16 @@ and ns-vs-us, but not value-changing mismatches like int-vs-float; strict
 mode flags all of them so genuinely dangerous ones can't hide).
 
 Usage: python tools/check_contract.py [--sf /root/testdata/sf0.01]
-                                      [--strict] [--only name ...]
+                                      [--strict] [--driver-parity]
+                                      [--only name ...]
+
+--driver-parity reproduces the EXTERNAL driver's environment instead of
+the engine's tuned one: Arrow-for-createDataFrame/toPandas DISABLED
+(Spark's default — the engine session enables it, which hid the round-3
+kmeans_centroids numpy-typing crash), and rows-only entries materialized
+through toPandas() rather than graded with a bare .count().  Run it
+before every round hand-off; the local gate must be a superset of the
+driver's.
 """
 
 from __future__ import annotations
@@ -33,12 +42,20 @@ def main() -> int:
                     help="also fail on dtype-level differences")
     ap.add_argument("--only", nargs="*", default=None)
     ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument("--driver-parity", action="store_true",
+                    help="Arrow-off session + materialize rows-only "
+                         "entries, mirroring the external driver")
     args = ap.parse_args()
 
     from pdf_extractor_spark.queries import QUERY_REGISTRY
     from pdf_extractor_spark.session import build_session
 
-    spark = build_session("check-contract", cores=args.cores)
+    extra = (
+        {"spark.sql.execution.arrow.pyspark.enabled": "false"}
+        if args.driver_parity
+        else None
+    )
+    spark = build_session("check-contract", cores=args.cores, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
@@ -53,8 +70,13 @@ def main() -> int:
         try:
             if sql is None:
                 # rows-only entry (iterative / non-SQL-expressible): the
-                # driver records a weaker rows>=0 check — mirror that
-                n_rows = fn(spark, args.sf).count()
+                # driver records a weaker rows>=0 check — mirror that.
+                # Under --driver-parity, MATERIALIZE the rows (toPandas)
+                # the way the driver does: a bare .count() never runs the
+                # local-data createDataFrame/collect path and let the
+                # round-3 kmeans numpy-typing crash hide.
+                out = fn(spark, args.sf)
+                n_rows = len(out.toPandas()) if args.driver_parity else out.count()
                 print(f"OK  {n}: rows={n_rows} [rows-only, no oracle]")
                 continue
             sp = fn(spark, args.sf).toPandas()
