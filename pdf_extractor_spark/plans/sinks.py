@@ -204,6 +204,7 @@ class IcebergSink:
         writer = stamped.writeTo(self.table).option(
             f"snapshot-property.{self._SNAP_PROP}", batch_id
         )
+        created_here = False
         if spark.catalog.tableExists(self.table):
             # 1. idempotence: wipe any orphan rows from a crashed attempt
             spark.sql(f"DELETE FROM {self.table} WHERE batch_id = '{batch_id}'")
@@ -213,6 +214,7 @@ class IcebergSink:
             # very first commit: create the data table from the batch schema
             # (a DELETE-first sequence would die on a fresh catalog)
             writer.using("iceberg").create()
+            created_here = True
 
         # 3. snapshot verification against OUR OWN commit, found by the
         # batch_id stamped into the snapshot summary — never the global
@@ -223,6 +225,21 @@ class IcebergSink:
             f"WHERE summary['{self._SNAP_PROP}'] = '{batch_id}' "
             "ORDER BY committed_at DESC LIMIT 1"
         ).first()
+        if snap is None and created_here:
+            # CTAS fallback: some catalogs record writer options of a
+            # create() as TABLE properties rather than snapshot-summary
+            # entries, so the stamped lookup can come back empty on the
+            # very first commit.  We just created this table in this call,
+            # so its snapshot log has exactly ONE entry and it is ours —
+            # verify that one instead (safe only on the create branch:
+            # no concurrent driver can own a snapshot of a table that did
+            # not exist a moment ago).
+            snaps = spark.sql(
+                f"SELECT snapshot_id, summary FROM {self.table}.snapshots "
+                "ORDER BY committed_at DESC"
+            ).collect()
+            if len(snaps) == 1:
+                snap = snaps[0]
         if snap is None:
             raise RuntimeError(
                 f"no snapshot stamped {self._SNAP_PROP}={batch_id} found "

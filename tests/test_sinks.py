@@ -135,11 +135,13 @@ class _FakeSnapRow:
 class _FakeSession:
     """Just enough SparkSession for IcebergSink.commit's control flow."""
 
-    def __init__(self, existing_tables, snap_summary):
+    def __init__(self, existing_tables, snap_summary, snap_list=None):
         self.catalog = _FakeCatalog(existing_tables)
         self.sql_log: list[str] = []
         self.write_log: list[tuple] = []
         self._snap_summary = snap_summary
+        # full snapshot log (the CTAS-fallback query, no stamp filter)
+        self._snap_list = snap_list if snap_list is not None else []
 
     def sql(self, q):
         self.sql_log.append(q)
@@ -150,10 +152,13 @@ class _FakeSession:
 
         r = _Res()
         if ".snapshots" in q:
-            r.first = lambda: (
-                _FakeSnapRow(self._snap_summary)
-                if self._snap_summary is not None else None
-            )
+            if "WHERE summary[" in q:
+                r.first = lambda: (
+                    _FakeSnapRow(self._snap_summary)
+                    if self._snap_summary is not None else None
+                )
+            else:
+                r.collect = lambda: list(self._snap_list)
         return r
 
     def table(self, name):
@@ -244,3 +249,48 @@ def test_iceberg_commit_no_stamped_snapshot_raises(monkeypatch):
     sink = _mk_iceberg_sink(monkeypatch, sess)
     with pytest.raises(RuntimeError, match="no snapshot stamped"):
         sink.commit(_FakeDF(sess.write_log, 3), "b5", [0])
+
+
+def test_iceberg_create_branch_falls_back_to_sole_snapshot(monkeypatch):
+    """round-3 ADVICE: some catalogs record create()'s writer options as
+    TABLE properties, not snapshot-summary entries, so the stamped lookup
+    can be empty on the very first commit.  On the create branch (and ONLY
+    there) the sink must fall back to the table's single snapshot — which
+    is necessarily ours, the table did not exist a moment ago."""
+    sess = _FakeSession(
+        existing_tables=set(),             # fresh catalog → create()
+        snap_summary=None,                 # stamped lookup finds nothing
+        snap_list=[_FakeSnapRow({"added-records": "3"})],
+    )
+    sink = _mk_iceberg_sink(monkeypatch, sess)
+    manifest = sink.commit(_FakeDF(sess.write_log, 3), "b0", [0])
+    assert manifest["snapshot_id"] == 77   # verified via the fallback
+    kinds = [k for k, *_ in sess.write_log]
+    assert kinds[0] == "create"
+
+
+def test_iceberg_create_fallback_refuses_ambiguous_snapshot_log(monkeypatch):
+    """The fallback is only safe when the just-created table has exactly
+    ONE snapshot; anything else (shouldn't happen, but a racing writer or
+    a catalog quirk could) must refuse to checkpoint."""
+    two = [_FakeSnapRow({"added-records": "3"}),
+           _FakeSnapRow({"added-records": "1"})]
+    sess = _FakeSession(existing_tables=set(), snap_summary=None,
+                        snap_list=two)
+    sink = _mk_iceberg_sink(monkeypatch, sess)
+    with pytest.raises(RuntimeError, match="no snapshot stamped"):
+        sink.commit(_FakeDF(sess.write_log, 3), "b0", [0])
+
+
+def test_iceberg_append_branch_never_uses_sole_snapshot_fallback(monkeypatch):
+    """On an EXISTING table the global-latest snapshot may belong to a
+    concurrent disjoint-bucket driver — a missing stamped snapshot must
+    raise, never fall back."""
+    sess = _FakeSession(existing_tables={"cat.db.chunks"}, snap_summary=None,
+                        snap_list=[_FakeSnapRow({"added-records": "3"})])
+    sink = _mk_iceberg_sink(monkeypatch, sess)
+    with pytest.raises(RuntimeError, match="no snapshot stamped"):
+        sink.commit(_FakeDF(sess.write_log, 3), "b5", [0])
+    # the fallback (unstamped) snapshot query never ran
+    assert not any(".snapshots" in q and "WHERE summary[" not in q
+                   for q in sess.sql_log)
