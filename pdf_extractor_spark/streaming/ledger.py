@@ -46,8 +46,10 @@ class StreamLedger(Protocol):
     def prior_seen(
         self, spark: SparkSession, batch_id: int
     ) -> Optional[DataFrame]:
-        """Distinct conv_ids recorded by batches < batch_id (None if no
-        prior batches)."""
+        """Distinct conv_ids recorded by batches < batch_id.  May return
+        None when no prior batches exist; may ALSO return an empty frame
+        in that case (callers' semi/anti joins are correct either way —
+        None is an optimization, not a contract)."""
         ...
 
     def record_seen(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -135,6 +137,11 @@ class IcebergLedger:
             f"CREATE TABLE IF NOT EXISTS {self.seen_table} "
             "(conv_id STRING, batch_id BIGINT) USING iceberg"
         )
+        # memo: once the seen table is known non-empty it stays non-empty,
+        # so the emptiness probe (an extra Spark job scanning the table
+        # EVERY micro-batch) runs at most once per driver lifetime — on a
+        # fresh stream it flips after the first record_seen anyway
+        self._seen_nonempty = False
 
     def prior_seen(self, spark, batch_id):
         df = (
@@ -143,9 +150,14 @@ class IcebergLedger:
             .select("conv_id")
             .distinct()
         )
-        return df if df.limit(1).count() else None
+        if not self._seen_nonempty:
+            if not df.limit(1).count():
+                return None
+            self._seen_nonempty = True
+        return df
 
     def record_seen(self, batch_df, batch_id):
+        self._seen_nonempty = True
         self.spark.sql(
             f"DELETE FROM {self.seen_table} WHERE batch_id = {int(batch_id)}"
         )

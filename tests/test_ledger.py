@@ -190,3 +190,53 @@ def test_iceberg_ledger_quarantine_creates_then_appends(monkeypatch):
     assert any("DELETE FROM cat.db.stream_quarantine WHERE batch_id = 1" in q
                for q in sess.sql_log)
     assert "APPEND cat.db.stream_quarantine" in sess.sql_log
+
+
+class _FakeSeenTable:
+    """Fake seen-table frame counting emptiness probes (limit(1).count())."""
+
+    def __init__(self, n_rows, probe_log):
+        self._n = n_rows
+        self._log = probe_log
+
+    def where(self, *_a):
+        return self
+
+    def select(self, *_a):
+        return self
+
+    def distinct(self):
+        return self
+
+    def limit(self, _n):
+        return self
+
+    def count(self):
+        self._log.append("probe")
+        return min(self._n, 1)
+
+
+def test_iceberg_prior_seen_probes_emptiness_at_most_once(monkeypatch):
+    """round-3 ADVICE: the per-micro-batch limit(1).count() emptiness probe
+    (a full extra Spark job) must run at most once per driver lifetime —
+    memoized on first non-empty observation, and skipped entirely once
+    record_seen has run."""
+    probes: list[str] = []
+    sess = _SqlRecorder({"cat.db.stream_seen"})
+    sess.table = lambda _name: _FakeSeenTable(5, probes)
+    led = _mk_ledger(monkeypatch, sess)
+    assert led.prior_seen(sess, 1) is not None
+    assert probes == ["probe"]          # first call probes once
+    assert led.prior_seen(sess, 2) is not None
+    assert led.prior_seen(sess, 3) is not None
+    assert probes == ["probe"]          # ... and never again
+
+    # empty table: probe returns None each call until a record_seen
+    probes2: list[str] = []
+    sess2 = _SqlRecorder({"cat.db.stream_seen"})
+    sess2.table = lambda _name: _FakeSeenTable(0, probes2)
+    led2 = _mk_ledger(monkeypatch, sess2)
+    assert led2.prior_seen(sess2, 0) is None
+    led2.record_seen(_FakeRows(sess2.sql_log), 0)
+    assert led2.prior_seen(sess2, 1) is not None
+    assert probes2 == ["probe"]         # record_seen flipped the memo
