@@ -18,6 +18,9 @@ into the ONE canonical schema (``TRANSCRIPT_DDL`` — BASELINE.json
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+from typing import Iterator
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -32,8 +35,36 @@ _ARRIVAL_DDL = (
 _CANON_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
-def _normalize(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(clean canonical-schema rows, corrupt raw rows).
+@dataclass
+class ArrivalBatch:
+    """One parsed arrival dump: (clean, corrupt) plus an explicit
+    ``release()`` for the cached parse pass.
+
+    Tuple-unpacks as ``clean, corrupt = read_transcripts_*(...)`` for
+    callers that live as long as the session; long-lived drivers ingesting
+    many dumps keep the handle and call ``release()`` once both branches
+    are materialized — otherwise each ingest leaks MEMORY_AND_DISK blocks
+    for the lifetime of the session (round-3 ADVICE)."""
+
+    clean: DataFrame
+    corrupt: DataFrame
+    _raw: DataFrame
+
+    def __iter__(self) -> Iterator[DataFrame]:
+        return iter((self.clean, self.corrupt))
+
+    def release(self) -> None:
+        """Drop the cached parse pass.  END-OF-LIFE: call only after both
+        branches are fully consumed — the corrupt-capture pattern NEEDS the
+        cache for plan validity (Spark refuses file-source plans whose scan
+        prunes down to only ``_corrupt``, QUERY_ONLY_CORRUPT_RECORD_COLUMN),
+        so re-executing either branch after release may raise."""
+        self._raw.unpersist()
+
+
+def _normalize(raw: DataFrame) -> ArrivalBatch:
+    """Split the parsed arrival frame into (clean canonical-schema rows,
+    corrupt raw rows).
 
     The parsed scan is persisted before splitting: Spark disallows plans
     whose file-source scan references ONLY the corrupt-record column
@@ -52,13 +83,13 @@ def _normalize(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
         .withColumn("ts", F.to_timestamp("ts"))
         .select(*_CANON_COLS)
     )
-    return clean, corrupt
+    return ArrivalBatch(clean, corrupt, raw)
 
 
-def read_transcripts_jsonl(
-    spark: SparkSession, path: str
-) -> tuple[DataFrame, DataFrame]:
-    """JSON-lines transcript dump → (canonical rows, corrupt lines)."""
+def read_transcripts_jsonl(spark: SparkSession, path: str) -> ArrivalBatch:
+    """JSON-lines transcript dump → ArrivalBatch (unpacks to
+    (canonical rows, corrupt lines); ``.release()`` frees the parse
+    cache)."""
     raw = (
         spark.read.schema(_ARRIVAL_DDL)
         .option("mode", "PERMISSIVE")
@@ -68,11 +99,10 @@ def read_transcripts_jsonl(
     return _normalize(raw)
 
 
-def read_transcripts_csv(
-    spark: SparkSession, path: str
-) -> tuple[DataFrame, DataFrame]:
+def read_transcripts_csv(spark: SparkSession, path: str) -> ArrivalBatch:
     """CSV transcript export (headered, quoted multiline text) →
-    (canonical rows, corrupt lines)."""
+    ArrivalBatch (unpacks to (canonical rows, corrupt lines);
+    ``.release()`` frees the parse cache)."""
     raw = (
         spark.read.schema(_ARRIVAL_DDL)
         .option("header", True)
@@ -112,6 +142,7 @@ def write_transcripts_jsonl(df: DataFrame, path: str) -> None:
 
 __all__ = [
     "TRANSCRIPT_DDL",
+    "ArrivalBatch",
     "read_transcripts_csv",
     "read_transcripts_jsonl",
     "write_transcripts_csv",

@@ -69,3 +69,24 @@ def test_jsonl_corrupt_lines_are_captured_not_dropped(spark, tmp_path):
     assert clean.count() == 1
     assert corrupt.count() == 2  # garbage line + type-mismatched row
     assert clean.first()["conv_id"] == "c0"
+
+
+def test_arrival_batch_release_unpersists_parse_cache(spark, tmp_path, canonical):
+    """Each ingest persists exactly one parse pass; release() must drop it
+    so long-lived drivers ingesting many dumps don't leak storage."""
+    p = str(tmp_path / "rel.jsonl")
+    write_transcripts_jsonl(canonical, p)
+    batch = read_transcripts_jsonl(spark, p)
+    clean, corrupt = batch  # tuple-unpacking API unchanged
+    assert clean.count() > 0 and corrupt.count() == 0
+    assert batch._raw.storageLevel.useMemory  # cached while consuming
+    batch.release()
+    assert not batch._raw.storageLevel.useMemory
+    # release is end-of-life: the corrupt-capture plan needs the cache
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so re-running a branch whose
+    # scan prunes to only _corrupt now refuses loudly instead of silently
+    # re-parsing
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.exceptions.captured.AnalysisException):
+        clean.count()
