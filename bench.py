@@ -177,6 +177,13 @@ def main() -> None:
                     "pipeline_packed_turns_per_sec": round(n_turns / packed_sec, 1),
                     "decontam_secs": decontam_secs,
                     "extra_query_secs": extra_secs,
+                    # timed but excluded from headline_queries_total BY
+                    # DESIGN: the headline sum must stay the same work list
+                    # across rounds for round-over-round comparability
+                    "excluded_from_headline": sorted(
+                        ["pipeline_packed_sec"]
+                        + list(decontam_secs) + list(extra_secs)
+                    ),
                     "cores": CPUS,
                     "cold_start_sec": cold_start_sec,
                 }
