@@ -6,15 +6,20 @@ efficiency >= 0.8 between cluster sizes).
 No real cluster exists here, so the same job runs on the same input at
 local[N] and local[4N] (default 8 vs 32 cores, shuffle partitions scaled to
 match). Each level runs in its OWN subprocess (one SparkSession per
-process), workers are import-warmed before timing, and each level runs
-`--repeats` times keeping the best — steady-state throughput is the honest
-cluster analog; this machine is multi-tenant and wall-clock wobbles 2-3x.
+process), workers are import-warmed before timing, and levels are
+interleaved round-robin across `--repeats` replicates.
+
+The HEADLINE number per level is the MEDIAN over replicates, reported with
+the min-max spread, and the pass/fail efficiency verdict is stated on the
+median (round-3 verdict item: best-of-N overstates the central estimate on
+a multi-tenant host whose wall-clock wobbles 2-3x).  Best-of is still
+recorded as the steady-state upper bound.
 
 Usage:  python tools/scaling_study.py [--convs 500] [--levels 8 32]
-                                      [--repeats 2] [--out BENCH.md]
+                                      [--repeats 5] [--out BENCH.md]
 
 Writes BENCH.md with turns/sec at both levels, scaling efficiency
-(tput_4N / tput_N) / (4N/N), and the per-run config table.
+(tput_4N / tput_N) / (4N/N) on the median, and the per-run config table.
 """
 
 from __future__ import annotations
@@ -103,7 +108,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--convs", type=int, default=1500)
     ap.add_argument("--levels", type=int, nargs="+", default=[2, 8, 32])
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     ap.add_argument("--append", action="store_true",
                     help="append a results section to --out instead of rewriting")
@@ -137,17 +142,31 @@ def main() -> None:
             results[cores]["secs"] += r["secs"]
             results[cores].setdefault("ex_secs", []).extend(r["ex_secs"])
             print(f"  {r}", flush=True)
+    import statistics
+
     for c, r in results.items():
-        r["best_sec"] = min(r["secs"])
-        r["turns_per_sec"] = round(r["turns"] / r["best_sec"], 1)
-        r["ex_best_sec"] = min(r["ex_secs"])
-        r["ex_turns_per_sec"] = round(r["turns"] / r["ex_best_sec"], 1)
+        n = r["turns"]
+        for pre, key in (("", "secs"), ("ex_", "ex_secs")):
+            runs = r[key]
+            r[f"{pre}best_sec"] = min(runs)
+            r[f"{pre}med_sec"] = round(statistics.median(runs), 2)
+            # throughput per replicate, then median/min/max of THOSE —
+            # the spread the verdict asked to see alongside the center
+            tputs = sorted(round(n / s, 1) for s in runs)
+            r[f"{pre}tput_runs"] = tputs
+            r[f"{pre}turns_per_sec"] = round(
+                statistics.median(tputs), 1
+            )
+            r[f"{pre}best_turns_per_sec"] = tputs[-1]
+            r[f"{pre}tput_spread"] = f"{tputs[0]}-{tputs[-1]}"
 
     from pdf_extractor_spark.config import ARROW_MAX_RECORDS_PER_BATCH, SALT_BUCKETS
 
     rows = "\n".join(
-        f"| {c} | {results[c]['ex_secs']} | {results[c]['ex_turns_per_sec']} "
-        f"| {results[c]['secs']} | {results[c]['turns_per_sec']} |"
+        f"| {c} | {results[c]['ex_secs']} "
+        f"| {results[c]['ex_turns_per_sec']} ({results[c]['ex_tput_spread']}) "
+        f"| {results[c]['secs']} "
+        f"| {results[c]['turns_per_sec']} ({results[c]['tput_spread']}) |"
         for c in levels
     )
     pairs = []
@@ -156,10 +175,13 @@ def main() -> None:
                           ("full pipeline", "turns_per_sec")):
             ta, tb = results[a][key], results[b][key]
             eff = (tb / ta) / (b / a)
+            bkey = key.replace("turns_per_sec", "best_turns_per_sec")
+            eff_best = (results[b][bkey] / results[a][bkey]) / (b / a)
             pairs.append(
-                f"- **{a} -> {b} cores ({b // a}x), {kind}**: efficiency = "
-                f"({tb} / {ta}) / {b // a} = **{eff:.3f}** "
-                f"({'PASS' if round(eff, 3) >= 0.8 else 'MISS'} vs the 0.8 target)"
+                f"- **{a} -> {b} cores ({b // a}x), {kind}**: median "
+                f"efficiency = ({tb} / {ta}) / {b // a} = **{eff:.3f}** "
+                f"({'PASS' if round(eff, 3) >= 0.8 else 'MISS'} vs the 0.8 "
+                f"target on the median; best-of replicates {eff_best:.3f})"
             )
     pair_lines = "\n".join(pairs)
 
@@ -171,14 +193,16 @@ extraction job — stage-1 pandas-UDF extract (salted, {SALT_BUCKETS} buckets)
 -> stage-2 groupBy(conv_id).applyInPandas chunk fold -> stage-3 embeddings
 -> parquet sink — on the same input at each of local[{'], local['.join(map(str, levels))}]
 (shuffle partitions = cores; Arrow batch {ARROW_MAX_RECORDS_PER_BATCH}).
-Workers import-warmed before timing; levels interleaved round-robin, best
-of {args.repeats} runs per level (steady-state is the cluster-honest
-number). Reproduce: `python tools/scaling_study.py`.
+Workers import-warmed before timing; levels interleaved round-robin,
+**median over {args.repeats} replicates per level** (min-max spread in
+parentheses; best-of is noted as the steady-state upper bound but the
+pass/fail verdict is stated on the median). Reproduce:
+`python tools/scaling_study.py`.
 
 Input: {args.convs} synthetic conversations = **{n_turns} turns**
 (seed 42, skewed every 20th conversation ~40x median length).
 
-| cores | extract runs (sec) | extract turns/sec | full runs (sec) | full turns/sec |
+| cores | extract runs (sec) | extract turns/sec median (spread) | full runs (sec) | full turns/sec median (spread) |
 |---|---|---|---|---|
 {rows}
 
@@ -199,8 +223,8 @@ recording these numbers:
    shuffle spin-up) biases small-corpus runs against the high-core level,
    so each pair below uses a corpus large enough that compute dominates.
    Residual host interference (firecracker neighbors; occasional 2x
-   wall-clock swings with visible steal%) is damped by interleaved
-   repeats, best-of-N per level.
+   wall-clock swings with visible steal%) is damped by interleaving the
+   levels round-robin and reporting the median replicate per level.
 
 On a real multi-executor cluster each executor is an isolated modest-heap
 JVM on its own host — exactly the regime these settings approximate.
@@ -212,7 +236,7 @@ Generated {time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime())}.
 
 ## Additional pair — levels {levels}, {args.convs} conversations ({n_turns} turns){", PACKED (schema-v2) embeddings" if args.packed else ""}
 
-| cores | extract runs (sec) | extract turns/sec | full runs (sec) | full turns/sec |
+| cores | extract runs (sec) | extract turns/sec median (spread) | full runs (sec) | full turns/sec median (spread) |
 |---|---|---|---|---|
 {rows}
 
