@@ -5,11 +5,12 @@
                embeddings) over a deterministic synthetic transcripts table
                at golden-corpus scale; returns the chunk DataFrame.
 ``queries``  — one entry per implemented operator (SURVEY.md §2 + the
-               training-data operator families): 35 entries, 31 with
+               training-data operator families): 63 entries, 62 with
                DuckDB oracles; see pdf_extractor_spark/queries.py.
-``oracle_sql`` — DuckDB-parity SQL for every SQL-expressible query; the
-               pandas-UDF pipeline queries are rows-only (their byte-level
-               contract is pinned by tests/test_spark_parity.py goldens).
+``oracle_sql`` — DuckDB-parity SQL for every SQL-expressible query; only
+               the iterative Lloyd k-means entry is rows-only (its
+               exactness is pinned vs a numpy reference in
+               tests/test_kmeans.py).
 """
 
 from __future__ import annotations

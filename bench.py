@@ -150,12 +150,14 @@ def main() -> None:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             decontam_secs[name] = round(time.time() - t0, 3)
 
-        # round-3 operator additions — also top-level (query_secs stays the
-        # same work list across rounds)
+        # round-3/4 operator additions — also top-level (query_secs stays
+        # the same work list across rounds)
         extra_secs: dict[str, float] = {}
         for name in ("pii_scrub", "dup_spans", "corpus_curation",
                      "cosine_topk_batch", "kmeans_centroids",
-                     "simhash_pairs", "near_dup_verified", "corpus_stats"):
+                     "simhash_pairs", "near_dup_verified", "corpus_stats",
+                     "dedup_canonical", "repetition_signals",
+                     "embedding_int8", "cosine_topk_int8", "rp_lsh_pairs"):
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

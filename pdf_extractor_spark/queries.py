@@ -2847,6 +2847,497 @@ def q_documents_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-4 operators: quality-aware canonical dedup, repetition filters,
+# int8 embedding quantization + quantized retrieval
+# --------------------------------------------------------------------------
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection per verified near-dup cluster —
+    the production dedup ENDGAME: clustering tells you which docs are the
+    same; this picks which copy to KEEP (the longest, tie-break lowest
+    doc_id), not merely the lowest-id one the cluster label happens to be.
+
+    Output: one row per document with its cluster, the cluster's canonical
+    doc, a keep flag, and the cluster size (reference analog: the
+    keep-one-copy contract of the chunk upsert, api.py:1258-1290).
+
+    Scale shape: after the O(log d) connected-components job, canonical
+    selection is ONE shuffle by cluster_id — both window functions
+    (first_value for the canonical pick, count for the size) share the
+    same window spec, so Catalyst computes them in a single Window
+    operator over a single sort+exchange.  n_chars rides along from a
+    column already in the scan; no second pass over text."""
+    labels = q_dedup_clusters_verified(spark, sf_dir).drop("is_keeper")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return select_canonical(labels, docs)
+
+
+def select_canonical(labels: DataFrame, docs: DataFrame) -> DataFrame:
+    """Canonical pick per cluster: longest doc (n_chars DESC), tie-break
+    lowest doc_id.  ``labels`` is (doc_id, cluster_id); ``docs`` carries
+    (doc_id, n_chars).  One shuffle by cluster_id — both window functions
+    share the window spec, so Catalyst plans a single Window operator."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        labels.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.first("doc_id").over(w).alias("canonical_id"),
+            (F.col("doc_id") == F.first("doc_id").over(w)).alias("keep"),
+            F.count("*").over(w).alias("cluster_size"),
+        )
+    )
+
+
+ORACLE_DEDUP_CANONICAL = (
+    "WITH RECURSIVE p AS (\n"
+    f"  SELECT doc_a, doc_b FROM ({ORACLE_NEAR_DUP_VERIFIED}) WHERE verified\n"
+    "),\n"
+    "e AS (\n"
+    "  SELECT doc_a, doc_b FROM p\n"
+    "  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM p\n"
+    "),\n"
+    "reach(src, dst) AS (\n"
+    "  SELECT doc_id, doc_id FROM documents\n"
+    "  UNION\n"
+    "  SELECT r.src, e.doc_b FROM reach r JOIN e ON e.doc_a = r.dst\n"
+    "),\n"
+    "labels AS (SELECT src AS doc_id, min(dst) AS cluster_id\n"
+    "           FROM reach GROUP BY src),\n"
+    "j AS (SELECT l.doc_id, l.cluster_id, d.n_chars\n"
+    "      FROM labels l JOIN documents d ON d.doc_id = l.doc_id)\n"
+    "SELECT doc_id, cluster_id,\n"
+    "       first_value(doc_id) OVER cw AS canonical_id,\n"
+    "       doc_id = first_value(doc_id) OVER cw AS keep,\n"
+    "       count(*) OVER (PARTITION BY cluster_id) AS cluster_size\n"
+    "FROM j\n"
+    "WINDOW cw AS (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id\n"
+    "              ROWS BETWEEN UNBOUNDED PRECEDING\n"
+    "                       AND UNBOUNDED FOLLOWING)\n"
+)
+
+
+# longest run of one value in the SORTED token array == count of the most
+# frequent token: a zero-shuffle, map-side spelling of the Gopher-style
+# repetition signals (Rae et al. 2021 §A1.1) that needs no explode/groupBy
+_SPARK_TOP_RUN = """
+aggregate(
+  array_sort({arr}),
+  named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+  (acc, x) -> named_struct(
+      'prev', x,
+      'run', IF(x <=> acc.prev, acc.run + 1L, 1L),
+      'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1L, 1L))),
+  acc -> acc.best)
+"""
+
+_REP_TOP_WORD_MAX = 0.2    # Gopher-flavored thresholds
+_REP_TOP_BIGRAM_MAX = 0.18
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021): fraction of
+    tokens taken by the most frequent word and by the most frequent
+    bigram, plus a reject flag at the paper-flavored thresholds — the
+    standard pretraining screen for boilerplate/spam pages.
+
+    Scale shape: ZERO SHUFFLE.  The most-frequent-token count equals the
+    longest equal-run in the sorted token array, so both signals are
+    per-row higher-order-function folds (array_sort + aggregate) that run
+    inside whole-stage codegen on the scan — no explode, no groupBy, no
+    join-back, and at 100 TB the word-level explode a naive spelling
+    shuffles simply never exists.  Plan pinned exchange-free by
+    tests/test_plans.py::test_repetition_signals_zero_shuffle."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+        b AS (
+          SELECT doc_id, toks,
+                 IF(size(toks) >= 2,
+                    transform(sequence(0, size(toks) - 2),
+                              i -> concat(toks[i], ' ', toks[i + 1])),
+                    cast(array() as array<string>)) AS bigr
+          FROM t
+        )
+        SELECT doc_id,
+               cast(size(toks) as bigint) AS n_tokens,
+               round({_SPARK_TOP_RUN.format(arr='toks')} /
+                     cast(greatest(size(toks), 1) as double), 4)
+                 AS top_word_frac,
+               round({_SPARK_TOP_RUN.format(arr='bigr')} /
+                     cast(greatest(size(bigr), 1) as double), 4)
+                 AS top_bigram_frac,
+               ({_SPARK_TOP_RUN.format(arr='toks')} /
+                  cast(greatest(size(toks), 1) as double)
+                    > {_REP_TOP_WORD_MAX}
+                OR {_SPARK_TOP_RUN.format(arr='bigr')} /
+                  cast(greatest(size(bigr), 1) as double)
+                    > {_REP_TOP_BIGRAM_MAX}) AS repetitive
+        FROM b
+        """,
+    )
+
+
+ORACLE_REPETITION_SIGNALS = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS.format(x='text')} AS toks
+           FROM documents),
+b AS (
+  SELECT doc_id, toks,
+         [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))] AS bigr
+  FROM t
+),
+wtop AS (
+  SELECT doc_id, max(c) AS topw FROM (
+    SELECT doc_id, w, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w)
+  GROUP BY doc_id
+),
+btop AS (
+  SELECT doc_id, max(c) AS topb FROM (
+    SELECT doc_id, g, count(*) AS c
+    FROM (SELECT doc_id, unnest(bigr) AS g FROM b) GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       len(b.toks) AS n_tokens,
+       round(coalesce(wtop.topw, 0) /
+             cast(greatest(len(b.toks), 1) as double), 4) AS top_word_frac,
+       round(coalesce(btop.topb, 0) /
+             cast(greatest(len(b.bigr), 1) as double), 4) AS top_bigram_frac,
+       (coalesce(wtop.topw, 0) /
+          cast(greatest(len(b.toks), 1) as double) > {_REP_TOP_WORD_MAX}
+        OR coalesce(btop.topb, 0) /
+          cast(greatest(len(b.bigr), 1) as double) > {_REP_TOP_BIGRAM_MAX})
+         AS repetitive
+FROM b
+LEFT JOIN wtop ON wtop.doc_id = b.doc_id
+LEFT JOIN btop ON btop.doc_id = b.doc_id
+"""
+
+
+# symmetric per-vector int8 quantization: scale maps the vector's max |x|
+# to 127; codes round half-up via floor(x*scale + 0.5) spelled identically
+# in both engines (round() differs: HALF_UP vs banker's in some engines).
+# Every arithmetic step (float->double cast, multiply, floor, divide, max)
+# is a single IEEE op with no order-dependent reduction, so Spark and
+# DuckDB agree BITWISE, not just to rounded digits.
+_SPARK_INT8 = """
+WITH e AS (
+  SELECT vec_id, transform(embedding, x -> cast(x as double)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         cast(127 as double) /
+           greatest(aggregate(v, 0.0D, (a, x) -> greatest(a, abs(x))),
+                    cast(1e-30 as double)) AS scale
+  FROM e
+), c AS (
+  SELECT vec_id, v, scale,
+         transform(v, x -> cast(floor(x * scale + 0.5D) as int)) AS codes
+  FROM s
+)
+"""
+
+_DUCK_INT8 = """
+WITH e AS (
+  SELECT vec_id, [x::double FOR x IN embedding] AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         cast(127 as double) /
+           greatest(list_max([abs(x) FOR x IN v]),
+                    cast(1e-30 as double)) AS scale
+  FROM e
+), c AS (
+  SELECT vec_id, v, scale,
+         [cast(floor(x * scale + 0.5) as int) FOR x IN v] AS codes
+  FROM s
+)
+"""
+
+
+def q_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the 4x memory/IO reduction that makes billion-vector ANN serving fit
+    in RAM (the standard faiss/ScaNN SQ8 storage layout).
+
+    Emits the codes (CSV-serialized in the catalog entry — the gate's
+    value-hash wants scalar columns; the array form lives in the shared
+    ``_SPARK_INT8`` CTE that ``q_cosine_topk_int8`` consumes), the
+    per-vector scale, and the max absolute reconstruction error (max is
+    order-independent, so both engines agree bitwise before the defensive
+    6dp round).
+
+    Scale shape: ZERO SHUFFLE — pure per-row higher-order-function
+    projection on the scan, codegen end-to-end; at 10^9 vectors this is a
+    single map-only write of a 4x smaller column."""
+    return _sql(
+        spark, sf_dir, ["embeddings"],
+        _SPARK_INT8
+        + """
+        SELECT vec_id,
+               array_join(transform(codes, q -> cast(q as string)), ',')
+                 AS codes_csv,
+               scale,
+               round(aggregate(zip_with(v, codes,
+                                        (x, q) -> abs(x - cast(q as double)
+                                                        / scale)),
+                               0.0D, (a, y) -> greatest(a, y)), 6)
+                 AS max_abs_err
+        FROM c
+        """,
+    )
+
+
+ORACLE_EMBEDDING_INT8 = (
+    _DUCK_INT8
+    + """
+SELECT vec_id,
+       array_to_string(codes, ',') AS codes_csv,
+       scale,
+       round(list_max([abs(v[i] - codes[i]::double / scale)
+                       FOR i IN range(1, len(v) + 1)]), 6) AS max_abs_err
+FROM c
+"""
+)
+
+
+def q_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized retrieval: top-k by int8 asymmetric-distance dot product
+    against query vec_id=0 — the serving-side twin of
+    ``q_embedding_int8``.  The integer dot (exact in both engines) is
+    dequantized by the two scales and ranked at 4dp, ties on vec_id.
+
+    Scale shape: the corpus side streams quantized codes (4x less IO than
+    ``q_cosine_topk``); the single-row query broadcasts; per-partition
+    top-k feeds a global TakeOrdered, so only partitions x k rows move."""
+    return _sql(
+        spark, sf_dir, ["embeddings"],
+        _SPARK_INT8
+        + """
+        , q AS (SELECT codes AS qc, scale AS qs FROM c WHERE vec_id = 0),
+        d AS (
+          SELECT e.vec_id,
+                 aggregate(zip_with(e.codes, q.qc,
+                                    (a, b) -> cast(a as bigint)
+                                              * cast(b as bigint)),
+                           cast(0 as bigint), (acc, x) -> acc + x)
+                   AS int_dot,
+                 e.scale * q.qs AS ss
+          FROM c e CROSS JOIN q
+          WHERE e.vec_id != 0
+        )
+        SELECT vec_id, int_dot, round(int_dot / ss, 4) AS approx_dot
+        FROM d
+        ORDER BY approx_dot DESC, vec_id LIMIT 10
+        """,
+    )
+
+
+ORACLE_COSINE_TOPK_INT8 = (
+    _DUCK_INT8
+    + """
+, q AS (SELECT codes AS qc, scale AS qs FROM c WHERE vec_id = 0),
+d AS (
+  SELECT e.vec_id,
+         cast(list_sum([e.codes[i]::bigint * q.qc[i]::bigint
+                        FOR i IN range(1, len(e.codes) + 1)]) as bigint)
+           AS int_dot,
+         e.scale * q.qs AS ss
+  FROM c e CROSS JOIN q
+  WHERE e.vec_id != 0
+)
+SELECT vec_id, int_dot, round(int_dot / ss, 4) AS approx_dot
+FROM d
+ORDER BY approx_dot DESC, vec_id LIMIT 10
+"""
+)
+
+
+# Random-hyperplane LSH (Charikar 2002 SimHash for vectors): hyperplane
+# signs derive deterministically from md5("rp:<bit>:<dim>") so both engines
+# inline the SAME literal matrix, and the bit dots run over the int8 CODES
+# (pure integer arithmetic, order-independent) so the 16-bit signatures are
+# EXACT cross-engine — a float-sum sign at the decision boundary can never
+# disagree between Spark's left fold and DuckDB's list_sum.
+_RP_BITS = 16
+_RP_DIM = 64  # embeddings-table contract (BASELINE input_hint scale data)
+_RP_MAX_HAMMING = 3       # 4-nibble pigeonhole => perfect recall at <= 3
+_RP_VERIFY_COS_MIN = 0.4  # exact-cosine confirmation threshold
+
+
+def _rp_hyperplanes() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"rp:{b}:{i}".encode()).digest()[0] % 2 == 0
+            else -1
+            for i in range(_RP_DIM)
+        ]
+        for b in range(_RP_BITS)
+    ]
+
+
+_SPARK_RP_H = (
+    "array("
+    + ",".join(
+        "array(" + ",".join(f"{s}L" for s in row) + ")"
+        for row in _rp_hyperplanes()
+    )
+    + ")"
+)
+_DUCK_RP_H = (
+    "["
+    + ",".join("[" + ",".join(map(str, row)) + "]" for row in _rp_hyperplanes())
+    + "]"
+)
+
+
+def q_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup candidates via random-hyperplane LSH: 16-bit
+    sign signatures over the int8 codes, 4-nibble pigeonhole banding
+    (identical machinery to ``q_simhash_pairs`` — any pair within hamming
+    ≤ 3 shares a nibble, so recall there is exact), then exact-cosine
+    verification of every candidate with a verdict flag — LSH proposes,
+    the exact metric confirms, downstream consumes only confirmed edges.
+
+    16 bits is deliberately coarse (the oracle enumerates band tables);
+    production at 10^9+ vectors raises ``_RP_BITS`` to 64-128 and the
+    band count with it — the plan shape below is unchanged.
+
+    Scale shape: signatures and banding carry only (vec_id, 16-bit sig) —
+    the vectors themselves NEVER enter the band shuffle; the few
+    hamming-verified candidates broadcast back onto the quantization CTE
+    to fetch vectors for the exact-cosine check (the ``near_dup_verified``
+    join pattern), and pair expansion is bucket-local from collect_list —
+    never a bands self-join."""
+    from pyspark.sql import Window
+
+    sig = _sql(
+        spark, sf_dir, ["embeddings"],
+        _SPARK_INT8
+        + f"""
+        , hrows AS (SELECT {_SPARK_RP_H} AS hm)
+        SELECT vec_id, v,
+               aggregate(
+                 sequence(0, {_RP_BITS - 1}), 0,
+                 (acc, b) -> acc + IF(
+                     aggregate(zip_with(codes, element_at(hm, b + 1),
+                                        (x, h) -> cast(x as bigint) * h),
+                               cast(0 as bigint), (a2, y) -> a2 + y) > 0,
+                     shiftleft(1, b), 0)) AS rp_sig
+        FROM c CROSS JOIN hrows
+        """,
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                (F.shiftright("rp_sig", 4 * b) % 16).alias("nib"),
+            )
+            for b in range(_RP_BITS // 4)
+        ]
+    )
+    bands = sig.select(
+        "vec_id", "rp_sig", F.explode(band_structs).alias("bb")
+    ).select("vec_id", "rp_sig", "bb.band", "bb.nib")
+    w = Window.partitionBy("band", "nib")
+    groups = (
+        bands.withColumn("n", F.count("*").over(w))
+        .where((F.col("n") >= 2) & (F.col("n") <= _LSH_BUCKET_CAP))
+        .groupBy("band", "nib")
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "rp_sig"))).alias("ids"))
+    )
+    cand = (
+        groups.select(F.posexplode("ids").alias("i", "a"), "ids")
+        .select(
+            "a",
+            F.explode(F.slice("ids", F.col("i") + 2, F.size("ids"))).alias("b"),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.bit_count(F.col("a.rp_sig").bitwiseXOR(F.col("b.rp_sig")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= _RP_MAX_HAMMING)
+        .distinct()
+    )
+    vecs = sig.select("vec_id", "v")
+    cos = """
+    round(
+      aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0D, (a, z) -> a + z)
+      / (sqrt(aggregate(va, 0.0D, (a, x) -> a + x * x))
+       * sqrt(aggregate(vb, 0.0D, (a, x) -> a + x * x))), 4)
+    """
+    return (
+        F.broadcast(cand)
+        .join(vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va")), "vec_a")
+        .join(vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
+        .select(
+            "vec_a", "vec_b", "hamming",
+            F.expr(cos).alias("cos_sim"),
+            (F.expr(cos) >= _RP_VERIFY_COS_MIN).alias("verified"),
+        )
+    )
+
+
+ORACLE_RP_LSH_PAIRS = (
+    _DUCK_INT8
+    + f"""
+, hrows AS (SELECT {_DUCK_RP_H} AS hm),
+sig AS (
+  SELECT vec_id, v,
+         cast(list_sum([CASE WHEN list_sum([codes[i]::bigint * hm[b][i]
+                                            FOR i IN range(1, len(codes) + 1)]) > 0
+                             THEN (1 << (b - 1)) ELSE 0 END
+                        FOR b IN range(1, {_RP_BITS} + 1)]) as int) AS rp_sig
+  FROM c CROSS JOIN hrows
+),
+bands AS (
+  SELECT vec_id, rp_sig, b.b AS band, (rp_sig >> (b.b * 4)) % 16 AS nib
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) b
+),
+sized AS (
+  SELECT band, nib FROM bands
+  GROUP BY band, nib HAVING count(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+),
+p AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         bit_count(xor(a.rp_sig, b.rp_sig))::int AS hamming
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.nib = b.nib AND a.vec_id < b.vec_id
+  JOIN sized s ON a.band = s.band AND a.nib = s.nib
+  WHERE bit_count(xor(a.rp_sig, b.rp_sig)) <= {_RP_MAX_HAMMING}
+)
+SELECT p.vec_a, p.vec_b, p.hamming,
+       round(list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)])
+             / (sqrt(list_sum([x * x FOR x IN a.v]))
+              * sqrt(list_sum([x * x FOR x IN b.v]))), 4) AS cos_sim,
+       round(list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)])
+             / (sqrt(list_sum([x * x FOR x IN a.v]))
+              * sqrt(list_sum([x * x FOR x IN b.v]))), 4)
+         >= {_RP_VERIFY_COS_MIN} AS verified
+FROM p
+JOIN sig a ON a.vec_id = p.vec_a
+JOIN sig b ON b.vec_id = p.vec_b
+"""
+)
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2875,8 +3366,11 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "near_dup_verified": (q_near_dup_verified, ORACLE_NEAR_DUP_VERIFIED),
     "embedding_neardup": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
     "embedding_neardup_gemm": (q_embedding_neardup_gemm, ORACLE_EMBEDDING_NEARDUP),
+    "rp_lsh_pairs": (q_rp_lsh_pairs, ORACLE_RP_LSH_PAIRS),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_clusters_verified": (q_dedup_clusters_verified, ORACLE_DEDUP_CLUSTERS_VERIFIED),
+    "dedup_canonical": (q_dedup_canonical, ORACLE_DEDUP_CANONICAL),
+    "repetition_signals": (q_repetition_signals, ORACLE_REPETITION_SIGNALS),
     "corpus_filter": (q_corpus_filter, ORACLE_CORPUS_FILTER),
     "corpus_curation": (q_corpus_curation, ORACLE_CORPUS_CURATION),
     # training-data ops: similarity search
@@ -2884,6 +3378,8 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "cosine_topk_batch": (q_cosine_topk_batch, ORACLE_COSINE_TOPK_BATCH),
     "ivf_bucket_ann": (q_ivf_bucket_ann, ORACLE_IVF_ANN),
     "ivf_multiprobe": (q_ivf_multiprobe, ORACLE_IVF_MULTIPROBE),
+    "embedding_int8": (q_embedding_int8, ORACLE_EMBEDDING_INT8),
+    "cosine_topk_int8": (q_cosine_topk_int8, ORACLE_COSINE_TOPK_INT8),
     # iterative (Lloyd) — not SQL-expressible; rows-only driver check,
     # exactness pinned vs a numpy reference in tests/test_kmeans.py
     "kmeans_centroids": (q_kmeans_centroids, None),

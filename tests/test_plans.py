@@ -275,3 +275,53 @@ def test_near_dup_verified_broadcasts_candidates(spark, registry):
     for chunk in final.split("BroadcastHashJoin")[1:]:
         streamed = chunk.split("BroadcastQueryStage", 1)[0]
         assert "Exchange" not in streamed
+
+
+def test_repetition_signals_zero_shuffle(spark, registry):
+    """Gopher repetition signals must be a pure map-side projection: the
+    longest-run-in-sorted-array spelling needs no explode/groupBy, so the
+    plan has NO exchange at all: Project straight over the scan.  (The
+    higher-order lambdas are CodegenFallback expressions, so no
+    WholeStageCodegen wrapper — still JVM-side and map-only; the
+    assertion that matters is no Exchange, no Generate, no Python.)"""
+    df = registry["repetition_signals"][0](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+    assert "EvalPython" not in plan  # all JVM-side
+
+
+def test_embedding_int8_zero_shuffle(spark, registry):
+    """int8 quantization is a per-row projection on the scan — no
+    exchange, no generate, no Python eval."""
+    df = registry["embedding_int8"][0](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_cosine_topk_int8_broadcasts_query_and_takes_ordered(spark, registry):
+    """Quantized retrieval: single-row query side broadcasts (nested-loop
+    on a broadcast, never a shuffled cartesian), and the global top-k is a
+    TakeOrdered merge of per-partition top-ks — only partitions x k rows
+    move."""
+    df = registry["cosine_topk_int8"][0](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rp_lsh_pairs_no_bands_self_join_and_broadcast_verify(spark, registry):
+    """RP-LSH banding must expand pairs bucket-locally (collect_list, no
+    bands self-join) and broadcast the small candidate set onto the
+    vector relation for the exact-cosine verify — the vectors never enter
+    the band shuffle and never cross a sort-merge exchange."""
+    df = registry["rp_lsh_pairs"][0](spark, SF_DIR)
+    df.collect()  # AQE final plan
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "SortMergeJoin" not in final
+    assert final.count("BroadcastHashJoin") >= 2
+    assert "Window" in final  # bucket-cap guard on the single bands pass

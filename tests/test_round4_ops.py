@@ -1,0 +1,241 @@
+"""Round-4 operators on crafted inputs: quality-aware canonical dedup,
+Gopher-style repetition signals, int8 embedding quantization + quantized
+retrieval.  Engine-vs-oracle parity is covered by the contract gate; these
+pin the SEMANTICS on inputs small enough to verify by hand."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_extractor_spark.queries import (
+    q_cosine_topk_int8,
+    q_dedup_canonical,
+    q_embedding_int8,
+    q_repetition_signals,
+    select_canonical,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _write_documents(spark, path, texts):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["crafted"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    spark.createDataFrame(
+        pdf, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def _write_embeddings(spark, path, vecs):
+    rows = [
+        (i, [float(x) for x in v], 0) for i, v in enumerate(vecs)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- canonical
+
+
+def test_select_canonical_longest_wins_tiebreak_min_id(spark):
+    labels = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 1), (20, 2), (21, 2), (30, 3)],
+        "doc_id bigint, cluster_id bigint",
+    )
+    docs = spark.createDataFrame(
+        [(10, 50), (11, 90), (12, 90), (20, 10), (21, 10), (30, 7)],
+        "doc_id bigint, n_chars bigint",
+    )
+    out = (
+        select_canonical(labels, docs)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    by_doc = out.set_index("doc_id")
+    # cluster 1: 11 and 12 tie on n_chars=90 -> lowest doc_id (11) wins
+    assert by_doc.loc[11, "canonical_id"] == 11 and bool(by_doc.loc[11, "keep"])
+    assert by_doc.loc[12, "canonical_id"] == 11 and not bool(by_doc.loc[12, "keep"])
+    assert by_doc.loc[10, "canonical_id"] == 11
+    # cluster 2: tie at 10 chars -> doc 20
+    assert by_doc.loc[21, "canonical_id"] == 20
+    # singleton keeps itself
+    assert by_doc.loc[30, "canonical_id"] == 30 and bool(by_doc.loc[30, "keep"])
+    assert list(by_doc["cluster_size"]) == [3, 3, 3, 2, 2, 1]
+    # exactly one keeper per cluster
+    assert out.groupby("cluster_id")["keep"].sum().eq(1).all()
+
+
+def test_dedup_canonical_end_to_end_exact_duplicates(spark, tmp_path):
+    """Two byte-identical docs must cluster and keep exactly one copy;
+    the unique doc keeps itself."""
+    base = " ".join(f"tok{i % 7} word{i}" for i in range(30))
+    _write_documents(spark, str(tmp_path), [base, base, "completely different text here"])
+    out = (
+        q_dedup_canonical(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    dup = out[out["cluster_id"] == 0]
+    assert set(dup["doc_id"]) == {0, 1}
+    assert list(dup["canonical_id"]) == [0, 0]  # equal length -> min doc_id
+    assert list(dup["keep"]) == [True, False]
+    assert list(dup["cluster_size"]) == [2, 2]
+    solo = out[out["doc_id"] == 2].iloc[0]
+    assert solo["canonical_id"] == 2 and bool(solo["keep"]) and solo["cluster_size"] == 1
+
+
+# --------------------------------------------------------------- repetition
+
+
+def test_repetition_signals_hand_counts(spark, tmp_path):
+    texts = [
+        "a a a a b",                                  # top word 4/5, top bigram "a a" 3/4
+        " ".join(f"w{i}" for i in range(20)),         # all-distinct, 20 tokens
+        "",                                           # empty
+    ]
+    _write_documents(spark, str(tmp_path), texts)
+    out = (
+        q_repetition_signals(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    r0, r1, r2 = out.iloc[0], out.iloc[1], out.iloc[2]
+    assert r0["n_tokens"] == 5
+    assert r0["top_word_frac"] == pytest.approx(0.8)
+    assert r0["top_bigram_frac"] == pytest.approx(0.75)
+    assert bool(r0["repetitive"])
+    assert r1["n_tokens"] == 20
+    assert r1["top_word_frac"] == pytest.approx(0.05)
+    assert r1["top_bigram_frac"] == pytest.approx(round(1 / 19, 4))
+    assert not bool(r1["repetitive"])
+    assert r2["n_tokens"] == 0
+    assert r2["top_word_frac"] == 0.0 and r2["top_bigram_frac"] == 0.0
+    assert not bool(r2["repetitive"])
+
+
+# --------------------------------------------------------------------- int8
+
+
+def test_embedding_int8_codes_and_error_bound(spark, tmp_path):
+    _write_embeddings(spark, str(tmp_path), [[1.0, -0.5, 0.25, 0.0]])
+    out = q_embedding_int8(spark, str(tmp_path)).toPandas()
+    row = out.iloc[0]
+    assert row["scale"] == pytest.approx(127.0)
+    # floor(x*127 + 0.5): 127, floor(-63.0) = -63, floor(32.25) = 32, 0
+    assert row["codes_csv"] == "127,-63,32,0"
+    codes = np.array([int(c) for c in row["codes_csv"].split(",")])
+    assert (np.abs(codes) <= 127).all()
+    # reconstruction error bounded by half a quantization step
+    err = np.max(np.abs(np.array([1.0, -0.5, 0.25, 0.0]) - codes / row["scale"]))
+    assert row["max_abs_err"] == pytest.approx(round(err, 6))
+    assert row["max_abs_err"] <= 0.5 / row["scale"] + 1e-12
+
+
+def test_embedding_int8_roundtrip_on_real_vectors(spark):
+    out = q_embedding_int8(spark, SF_DIR).toPandas()
+    # +5e-7: max_abs_err is rounded half-up to 6dp, which can lift it up
+    # to half an ulp-of-6dp above the true half-step bound
+    assert (out["max_abs_err"] <= 0.5 / out["scale"] + 5e-7).all()
+    # every vector quantizes its max-|x| element to exactly +/-127
+    tops = out["codes_csv"].map(
+        lambda s: max(abs(int(c)) for c in s.split(","))
+    )
+    assert (tops == 127).all()
+
+
+def test_cosine_topk_int8_exact_integer_dots(spark, tmp_path):
+    _write_embeddings(
+        spark,
+        str(tmp_path),
+        [
+            [1.0, 0.0],   # query (vec_id 0)
+            [1.0, 0.0],   # identical -> approx_dot 1.0
+            [0.0, 1.0],   # orthogonal -> 0
+            [0.5, 0.5],   # codes [127,127], scale 254 -> approx 0.5
+        ],
+    )
+    out = q_cosine_topk_int8(spark, str(tmp_path)).toPandas()
+    assert list(out["vec_id"]) == [1, 3, 2]
+    assert list(out["int_dot"]) == [127 * 127, 127 * 127, 0]
+    assert list(out["approx_dot"]) == [1.0, 0.5, 0.0]
+
+
+def test_cosine_topk_int8_agrees_with_exact_topk(spark):
+    """On the real sf0.001 vectors the quantized top-10 must strongly
+    overlap the exact float top-10 (int8 on 64 dims loses little): the
+    exact top-1 must survive, and overlap >= 8/10."""
+    from pdf_extractor_spark.queries import q_cosine_topk
+
+    exact = q_cosine_topk(spark, SF_DIR).toPandas()
+    quant = q_cosine_topk_int8(spark, SF_DIR).toPandas()
+    assert quant.iloc[0]["vec_id"] == exact.iloc[0]["vec_id"]
+    assert len(set(exact["vec_id"]) & set(quant["vec_id"])) >= 8
+
+
+# ------------------------------------------------------------------ rp-lsh
+
+
+def test_rp_lsh_identical_vectors_collide_and_verify(spark, tmp_path):
+    """Identical vectors share all 16 sign bits (hamming 0) and verify at
+    cos 1.0; an orthogonal-ish distinct vector must not pair with them at
+    hamming <= 3 unless the signatures genuinely collide."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=64).tolist()
+    other = rng.normal(size=64).tolist()
+    _write_embeddings(spark, str(tmp_path), [base, base, other])
+    from pdf_extractor_spark.queries import q_rp_lsh_pairs
+
+    out = q_rp_lsh_pairs(spark, str(tmp_path)).toPandas()
+    dup = out[(out["vec_a"] == 0) & (out["vec_b"] == 1)]
+    assert len(dup) == 1
+    assert dup.iloc[0]["hamming"] == 0
+    assert dup.iloc[0]["cos_sim"] == 1.0
+    assert bool(dup.iloc[0]["verified"])
+
+
+def test_rp_lsh_signature_matches_numpy_reference(spark):
+    """The 16-bit signatures must equal a pure-numpy recomputation from
+    the same md5-derived hyperplanes over the same int8 codes — pinning
+    that the SQL spelling implements Charikar sign-LSH exactly."""
+    import hashlib
+
+    from pdf_extractor_spark.queries import _RP_BITS, q_rp_lsh_pairs
+
+    out = q_rp_lsh_pairs(spark, SF_DIR).toPandas()
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    scale = 127.0 / np.maximum(np.abs(V).max(axis=1), 1e-30)
+    codes = np.floor(V * scale[:, None] + 0.5).astype(np.int64)
+    H = np.array(
+        [
+            [
+                1 if hashlib.md5(f"rp:{b}:{i}".encode()).digest()[0] % 2 == 0 else -1
+                for i in range(V.shape[1])
+            ]
+            for b in range(_RP_BITS)
+        ]
+    )
+    sig = ((codes @ H.T > 0).astype(np.int64) << np.arange(_RP_BITS)).sum(axis=1)
+    by_id = dict(zip(emb["vec_id"], sig))
+    for _, r in out.iterrows():
+        want = bin(int(by_id[r["vec_a"]]) ^ int(by_id[r["vec_b"]])).count("1")
+        assert r["hamming"] == want
