@@ -3337,6 +3337,92 @@ JOIN sig b ON b.vec_id = p.vec_b
 )
 
 
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-mixing table — the corpus view a pretraining run
+    weights its sampling by: docs, chars, whitespace tokens, exact-dup
+    rate, and mean quality-band membership per ``source``.
+
+    Scale shape: ONE scan; the dup rate needs doc-level md5 keys, so the
+    only shuffle carries (source, hash) pairs — 24-byte rows, never text.
+    Token counts are per-row higher-order sizes computed before the
+    aggregate (map-side combine applies)."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH per_doc AS (
+          SELECT source, md5(text) AS hg, n_chars,
+                 cast(size({toks}) as bigint) AS n_tokens,
+                 (n_chars >= 200 AND n_chars <= 50000) AS in_band
+          FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars,
+               sum(n_tokens) AS total_tokens,
+               round(1.0 - count(DISTINCT hg) / cast(count(*) as double), 4)
+                 AS dup_rate,
+               round(avg(IF(in_band, 1.0D, 0.0D)), 4) AS quality_band_rate
+        FROM per_doc
+        GROUP BY source
+        """,
+    )
+
+
+ORACLE_SOURCE_MIX = f"""
+WITH per_doc AS (
+  SELECT source, md5(text) AS hg, n_chars,
+         cast(len({_DUCK_TOKENS.format(x='text')}) as bigint) AS n_tokens,
+         (n_chars >= 200 AND n_chars <= 50000) AS in_band
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       cast(sum(n_chars) as bigint) AS total_chars,
+       cast(sum(n_tokens) as bigint) AS total_tokens,
+       round(1.0 - count(DISTINCT hg) / cast(count(*) as double), 4)
+         AS dup_rate,
+       round(avg(CASE WHEN in_band THEN 1.0 ELSE 0.0 END), 4)
+         AS quality_band_rate
+FROM per_doc
+GROUP BY source
+"""
+
+
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact length percentiles per language — the telemetry that sizes
+    chunking/truncation budgets (p50/p90/p99 of n_chars, linear
+    interpolation, identical definition in both engines).
+
+    Exact (sort-based) rather than approx_percentile: the t-digest/KLL
+    sketches differ between engines so an approx spelling cannot be
+    oracled; at corpus scale swap in approx_percentile with a documented
+    error budget — same plan shape, one aggregate."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        SELECT lang,
+               count(*) AS n_docs,
+               round(percentile(n_chars, 0.5), 2) AS p50,
+               round(percentile(n_chars, 0.9), 2) AS p90,
+               round(percentile(n_chars, 0.99), 2) AS p99
+        FROM documents
+        GROUP BY lang
+        """,
+    )
+
+
+ORACLE_LENGTH_PERCENTILES = """
+SELECT lang,
+       count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 2) AS p50,
+       round(quantile_cont(n_chars, 0.9), 2) AS p90,
+       round(quantile_cont(n_chars, 0.99), 2) AS p99
+FROM documents
+GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3397,6 +3483,8 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "decontaminate_external": (q_decontaminate_external, ORACLE_DECONTAMINATE_EXTERNAL),
     "decontaminate_bloom": (q_decontaminate_bloom, ORACLE_DECONTAMINATE_EXTERNAL),
     "length_histogram": (q_length_histogram, ORACLE_LENGTH_HISTOGRAM),
+    "length_percentiles": (q_length_percentiles, ORACLE_LENGTH_PERCENTILES),
+    "source_mix": (q_source_mix, ORACLE_SOURCE_MIX),
     "corpus_stats": (q_corpus_stats, ORACLE_CORPUS_STATS),
     "token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
     "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE_TOKEN_STATS),
