@@ -3423,6 +3423,134 @@ GROUP BY lang
 """
 
 
+_SEMDEDUP_COS = 0.35
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: within each coarse cluster
+    cell (``label``), a vector is PRUNED when any earlier vector (lower
+    ``vec_id``) in the same cell has cosine >= threshold — keep-first under
+    the stable vec_id order, the deterministic spelling of "keep one
+    exemplar per semantic duplicate group" (Abbas et al., SemDeDup, 2023).
+
+    Scale shape: the same single-Arrow-shuffle GEMM as
+    ``q_embedding_neardup_gemm`` — each cell's vectors shuffle ONCE, the
+    prior-max cosine per row is one lower-triangle matrix multiply per
+    cell, and the output is one row per vector (never per pair).  Work is
+    O(sum cell^2), bounded by the IVF cell-size cap; no dimension explode,
+    no cross-cell comparisons.  Cosines round to 4dp BEFORE the keep
+    threshold so both engines decide boundaries identically."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def cell_keep(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.maximum(np.sqrt((m * m).sum(axis=1)), 1e-30)
+        cos = np.round((m @ m.T) / np.outer(nrm, nrm), 4)
+        # max over strictly-earlier rows; first row in a cell has no prior
+        prior = np.full(len(g), -1.0)
+        if len(g) > 1:
+            tri = cos.copy()
+            tri[np.triu_indices(len(g))] = -np.inf
+            prior[1:] = tri[1:].max(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": g["vec_id"],
+                "label": g["label"],
+                "max_prior_cos": prior,
+                "keep": prior < _SEMDEDUP_COS,
+            }
+        )
+
+    return emb.select("vec_id", "label", "embedding").groupBy("label").applyInPandas(
+        cell_keep, "vec_id bigint, label int, max_prior_cos double, keep boolean"
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = f"""
+WITH n AS (
+  SELECT vec_id, label, embedding,
+         greatest(sqrt(list_sum([x::double*x::double FOR x IN embedding])),
+                  1e-30) AS nrm
+  FROM embeddings
+), prior AS (
+  SELECT b.vec_id,
+         max(round(list_sum([a.embedding[i]::double * b.embedding[i]::double
+                             FOR i IN range(1, len(a.embedding)+1)])
+                   / (a.nrm * b.nrm), 4)) AS max_prior_cos
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+  GROUP BY b.vec_id
+)
+SELECT e.vec_id, e.label,
+       coalesce(p.max_prior_cos, -1.0) AS max_prior_cos,
+       coalesce(p.max_prior_cos, -1.0) < {_SEMDEDUP_COS} AS keep
+FROM embeddings e LEFT JOIN prior p ON p.vec_id = e.vec_id
+"""
+
+
+_PACK_BUDGET = 2048
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing — the pretraining batch-assembly
+    step: documents are concatenated in stable order and chopped into
+    fixed ``_PACK_BUDGET``-token sequences; each doc learns its start
+    offset, first sequence id, and how many sequences it spans.
+
+    Scale shape: packing order is per ``source`` (partition key), not
+    global — the running-sum window parallelizes across sources and no
+    total order over 10^12 docs is ever required (at extreme scale shard
+    further by hash(doc_id) with the shard in the key; same plan).  Pure
+    native SQL: one scan, one window, whole-stage codegen end to end —
+    the only shuffle is the hash partition by source."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH t AS (
+          SELECT source, doc_id,
+                 cast(size({toks}) as bigint) AS n_tokens
+          FROM documents
+        ), pos AS (
+          SELECT source, doc_id, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                   - n_tokens AS start_offset
+          FROM t
+        )
+        SELECT source, doc_id, n_tokens, start_offset,
+               cast(floor(start_offset / {_PACK_BUDGET}) as bigint) AS seq_id,
+               cast(floor((start_offset + greatest(n_tokens, 1) - 1)
+                          / {_PACK_BUDGET}) as bigint)
+                 - cast(floor(start_offset / {_PACK_BUDGET}) as bigint)
+                 + 1 AS n_seqs_spanned
+        FROM pos
+        """,
+    )
+
+
+ORACLE_SEQUENCE_PACK = f"""
+WITH t AS (
+  SELECT source, doc_id,
+         cast(len({_DUCK_TOKENS.format(x='text')}) as bigint) AS n_tokens
+  FROM documents
+), pos AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+           - n_tokens AS start_offset
+  FROM t
+)
+SELECT source, doc_id, n_tokens, cast(start_offset as bigint) AS start_offset,
+       cast(floor(start_offset / {_PACK_BUDGET}) as bigint) AS seq_id,
+       cast(floor((start_offset + greatest(n_tokens, 1) - 1)
+                  / {_PACK_BUDGET}) as bigint)
+         - cast(floor(start_offset / {_PACK_BUDGET}) as bigint)
+         + 1 AS n_seqs_spanned
+FROM pos
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3453,6 +3581,7 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "embedding_neardup": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
     "embedding_neardup_gemm": (q_embedding_neardup_gemm, ORACLE_EMBEDDING_NEARDUP),
     "rp_lsh_pairs": (q_rp_lsh_pairs, ORACLE_RP_LSH_PAIRS),
+    "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_clusters_verified": (q_dedup_clusters_verified, ORACLE_DEDUP_CLUSTERS_VERIFIED),
     "dedup_canonical": (q_dedup_canonical, ORACLE_DEDUP_CANONICAL),
@@ -3485,6 +3614,7 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "length_histogram": (q_length_histogram, ORACLE_LENGTH_HISTOGRAM),
     "length_percentiles": (q_length_percentiles, ORACLE_LENGTH_PERCENTILES),
     "source_mix": (q_source_mix, ORACLE_SOURCE_MIX),
+    "sequence_pack": (q_sequence_pack, ORACLE_SEQUENCE_PACK),
     "corpus_stats": (q_corpus_stats, ORACLE_CORPUS_STATS),
     "token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
     "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE_TOKEN_STATS),

@@ -325,3 +325,28 @@ def test_rp_lsh_pairs_no_bands_self_join_and_broadcast_verify(spark, registry):
     assert "SortMergeJoin" not in final
     assert final.count("BroadcastHashJoin") >= 2
     assert "Window" in final  # bucket-cap guard on the single bands pass
+
+
+def test_semantic_dedup_single_arrow_shuffle_no_explode(spark, registry):
+    """SemDeDup keep/prune must be the single-Arrow-shuffle grouped-GEMM
+    shape: one exchange hash-partitioning the cells into
+    FlatMapGroupsInPandas, no dimension explode, no self-join of the
+    embeddings relation."""
+    df = registry["semantic_dedup"][0](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Generate" not in plan  # no posexplode of embedding dims
+    assert "Join" not in plan  # prior-max comes from the GEMM, not a join
+
+
+def test_sequence_pack_single_window_shuffle_all_native(spark, registry):
+    """Concat-and-chop packing is one hash partition by source feeding one
+    Window — no join, no Python, no second exchange (the running sum and
+    all offset math stay in native expressions)."""
+    df = registry["sequence_pack"][0](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan

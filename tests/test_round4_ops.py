@@ -239,3 +239,73 @@ def test_rp_lsh_signature_matches_numpy_reference(spark):
     for _, r in out.iterrows():
         want = bin(int(by_id[r["vec_a"]]) ^ int(by_id[r["vec_b"]])).count("1")
         assert r["hamming"] == want
+
+
+# ---------------------------------------------------------- semantic dedup
+
+
+def test_semantic_dedup_keeps_first_prunes_any_later_neardup(spark, tmp_path):
+    """Keep-first under vec_id order, and pruning is vs ANY earlier vector
+    in the cell (kept or not) — the deterministic SemDeDup spelling: v1 is
+    near v0 (pruned), v2 is near only v1 yet is still pruned, v3 is
+    orthogonal to everything (kept)."""
+    from pdf_extractor_spark.queries import q_semantic_dedup
+
+    v0 = [1.0, 0.0, 0.0, 0.0]
+    v1 = [0.999, 0.04, 0.0, 0.0]        # cos(v0,v1) ~ 1
+    v2 = [0.5, 0.86, 0.0, 0.0]          # cos(v0,v2)=.5 > threshold .35
+    v3 = [0.0, 0.0, 0.0, 1.0]           # orthogonal to all
+    _write_embeddings(spark, str(tmp_path), [v0, v1, v2, v3])
+    out = (
+        q_semantic_dedup(spark, str(tmp_path))
+        .orderBy("vec_id")
+        .collect()
+    )
+    keeps = [r["keep"] for r in out]
+    assert keeps == [True, False, False, True]
+    assert out[0]["max_prior_cos"] == -1.0  # first in cell has no prior
+    assert out[1]["max_prior_cos"] >= 0.99
+
+
+def test_semantic_dedup_cross_cell_vectors_never_compared(spark, tmp_path):
+    """Identical vectors in DIFFERENT cells are both kept — pruning is
+    strictly cell-local (the IVF-bucketing contract)."""
+    from pdf_extractor_spark.queries import q_semantic_dedup
+
+    rows = [(0, [1.0, 0.0], 0), (1, [1.0, 0.0], 1)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    out = q_semantic_dedup(spark, str(tmp_path)).orderBy("vec_id").collect()
+    assert [r["keep"] for r in out] == [True, True]
+
+
+# ---------------------------------------------------------- sequence pack
+
+
+def test_sequence_pack_offsets_and_span_math(spark, tmp_path):
+    """Hand-checkable packing: token counts cumulate per source in doc_id
+    order, seq_id is the chop index, and a doc longer than the budget
+    spans the right number of sequences."""
+    from pdf_extractor_spark.queries import _PACK_BUDGET, q_sequence_pack
+
+    texts = [
+        "alpha beta gamma",          # 3 tokens  -> start 0, seq 0
+        "one two",                   # 2 tokens  -> start 3, seq 0
+        "tok " * 3000,               # 3000 toks -> start 5, spans 2 seqs
+        "tail doc here now",         # 4 tokens  -> start 3005, seq 1
+    ]
+    _write_documents(spark, str(tmp_path), texts)
+    out = {
+        r["doc_id"]: r
+        for r in q_sequence_pack(spark, str(tmp_path)).collect()
+    }
+    assert [out[i]["start_offset"] for i in range(4)] == [0, 3, 5, 3005]
+    assert out[2]["n_tokens"] == 3000
+    assert out[2]["seq_id"] == 0
+    # doc 2 covers offsets [5, 3005) -> chops 0 and 1 at budget 2048
+    assert out[2]["n_seqs_spanned"] == (5 + 3000 - 1) // _PACK_BUDGET + 1
+    assert out[3]["seq_id"] == 3005 // _PACK_BUDGET == 1
+    assert out[3]["n_seqs_spanned"] == 1
