@@ -157,7 +157,9 @@ def main() -> None:
                      "cosine_topk_batch", "kmeans_centroids",
                      "simhash_pairs", "near_dup_verified", "corpus_stats",
                      "dedup_canonical", "repetition_signals",
-                     "embedding_int8", "cosine_topk_int8", "rp_lsh_pairs"):
+                     "embedding_int8", "cosine_topk_int8", "rp_lsh_pairs",
+                     "source_mix", "length_percentiles",
+                     "semantic_dedup", "sequence_pack"):
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -309,3 +309,45 @@ def test_sequence_pack_offsets_and_span_math(spark, tmp_path):
     assert out[2]["n_seqs_spanned"] == (5 + 3000 - 1) // _PACK_BUDGET + 1
     assert out[3]["seq_id"] == 3005 // _PACK_BUDGET == 1
     assert out[3]["n_seqs_spanned"] == 1
+
+
+def test_semantic_dedup_matches_bruteforce_on_random_cells(spark, tmp_path):
+    """Seeded random vectors across several cells: the grouped-GEMM output
+    must equal a brute-force per-cell numpy reference exactly (same 4dp
+    rounding, same keep rule)."""
+    from pdf_extractor_spark.queries import _SEMDEDUP_COS, q_semantic_dedup
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)], int(i % 3))
+        for i in range(60)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+
+    got = {
+        r["vec_id"]: r
+        for r in q_semantic_dedup(spark, str(tmp_path)).collect()
+    }
+    by_cell: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for vid, vec, lab in rows:
+        # same float32 storage round-trip the parquet path applies
+        by_cell.setdefault(lab, []).append(
+            (vid, np.asarray(vec, dtype=np.float32).astype(np.float64))
+        )
+    for members in by_cell.values():
+        members.sort()
+        for i, (vid, v) in enumerate(members):
+            prior = -1.0
+            for _, u in members[:i]:
+                cos = float(
+                    np.round(
+                        v @ u / (np.linalg.norm(v) * np.linalg.norm(u)), 4
+                    )
+                )
+                prior = max(prior, cos)
+            assert got[vid]["max_prior_cos"] == prior, vid
+            assert got[vid]["keep"] == (prior < _SEMDEDUP_COS), vid
