@@ -3424,6 +3424,7 @@ GROUP BY lang
 
 
 _SEMDEDUP_COS = 0.35
+_SEMDEDUP_BLOCK = 4096  # GEMM row-block: peak per-cell memory O(block x cell)
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3435,11 +3436,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the same single-Arrow-shuffle GEMM as
     ``q_embedding_neardup_gemm`` — each cell's vectors shuffle ONCE, the
-    prior-max cosine per row is one lower-triangle matrix multiply per
-    cell, and the output is one row per vector (never per pair).  Work is
-    O(sum cell^2), bounded by the IVF cell-size cap; no dimension explode,
-    no cross-cell comparisons.  Cosines round to 4dp BEFORE the keep
-    threshold so both engines decide boundaries identically."""
+    prior-max cosine per row comes from row-BLOCKED lower-triangle matrix
+    multiplies (``_SEMDEDUP_BLOCK`` rows at a time, so peak memory is
+    O(block x cell) floats, never the full cell^2 matrix), and the output
+    is one row per vector (never per pair).  Compute is O(sum cell^2),
+    bounded by the IVF cell-size cap; no dimension explode, no cross-cell
+    comparisons.  Cosines round to 4dp BEFORE the keep threshold so both
+    engines decide boundaries identically."""
     import numpy as np
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -3448,13 +3451,18 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         g = group.sort_values("vec_id").reset_index(drop=True)
         m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
         nrm = np.maximum(np.sqrt((m * m).sum(axis=1)), 1e-30)
-        cos = np.round((m @ m.T) / np.outer(nrm, nrm), 4)
         # max over strictly-earlier rows; first row in a cell has no prior
         prior = np.full(len(g), -1.0)
-        if len(g) > 1:
-            tri = cos.copy()
-            tri[np.triu_indices(len(g))] = -np.inf
-            prior[1:] = tri[1:].max(axis=1)
+        for s in range(1, len(g), _SEMDEDUP_BLOCK):
+            e = min(s + _SEMDEDUP_BLOCK, len(g))
+            # dot/(|a||b|), same association as the DuckDB oracle — no
+            # pre-normalization, so 4dp boundaries can't drift cross-engine
+            cos = np.round(
+                (m[s:e] @ m[:e].T) / np.outer(nrm[s:e], nrm[:e]), 4
+            )  # (block, e)
+            # mask j >= global row index i so only earlier rows count
+            cos[np.arange(s, e)[:, None] <= np.arange(e)[None, :]] = -np.inf
+            prior[s:e] = cos.max(axis=1)
         return pd.DataFrame(
             {
                 "vec_id": g["vec_id"],

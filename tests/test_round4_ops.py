@@ -311,11 +311,17 @@ def test_sequence_pack_offsets_and_span_math(spark, tmp_path):
     assert out[3]["n_seqs_spanned"] == 1
 
 
-def test_semantic_dedup_matches_bruteforce_on_random_cells(spark, tmp_path):
+def test_semantic_dedup_matches_bruteforce_on_random_cells(
+    spark, tmp_path, monkeypatch
+):
     """Seeded random vectors across several cells: the grouped-GEMM output
     must equal a brute-force per-cell numpy reference exactly (same 4dp
-    rounding, same keep rule)."""
+    rounding, same keep rule).  Block size is forced tiny so the
+    row-blocked GEMM path (multiple blocks per cell) is what's tested."""
+    import pdf_extractor_spark.queries as Q
     from pdf_extractor_spark.queries import _SEMDEDUP_COS, q_semantic_dedup
+
+    monkeypatch.setattr(Q, "_SEMDEDUP_BLOCK", 7)
 
     rng = np.random.default_rng(7)
     rows = [
