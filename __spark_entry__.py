@@ -5,7 +5,7 @@
                embeddings) over a deterministic synthetic transcripts table
                at golden-corpus scale; returns the chunk DataFrame.
 ``queries``  — one entry per implemented operator (SURVEY.md §2 + the
-               training-data operator families): 67 entries, 66 with
+               training-data operator families): 69 entries, 68 with
                DuckDB oracles; see pdf_extractor_spark/queries.py.
 ``oracle_sql`` — DuckDB-parity SQL for every SQL-expressible query; only
                the iterative Lloyd k-means entry is rows-only (its

@@ -159,7 +159,8 @@ def main() -> None:
                      "dedup_canonical", "repetition_signals",
                      "embedding_int8", "cosine_topk_int8", "rp_lsh_pairs",
                      "source_mix", "length_percentiles",
-                     "semantic_dedup", "sequence_pack"):
+                     "semantic_dedup", "sequence_pack",
+                     "sentence_dedup", "mix_weights"):
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -3559,6 +3559,118 @@ FROM pos
 """
 
 
+def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact sentence deduplication (the C4/CCNet line-dedup
+    step): every sentence that already occurred anywhere earlier in the
+    corpus (first occurrence = lowest (doc_id, pos)) is dropped, and each
+    doc's surviving sentences are reassembled in order.
+
+    Sentence boundary is ``[.!?]+\\s+`` — lookbehind-free, so the Java
+    (Spark) and RE2 (DuckDB) regex engines split identically; the key is
+    the lowercased trimmed sentence.
+
+    Scale shape: two shuffles that carry sentence text once each — the
+    global first-occurrence window hash-partitions by sentence key, the
+    reassembly regroups by doc_id.  Both are pure hash partitions; a
+    pathological mega-duplicated sentence makes one hot key in the window
+    sort — at corpus scale replace rn=1 with a min-(doc_id,pos) aggregate
+    (map-side combinable) joined back co-partitioned, same semantics."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        r"""
+        WITH s AS (
+          SELECT doc_id, pos, trim(sent) AS sent
+          FROM documents
+          LATERAL VIEW posexplode(split(text, '[.!?]+\\s+')) AS pos, sent
+          WHERE trim(sent) != ''
+        ), flagged AS (
+          SELECT doc_id, pos, sent,
+                 row_number() OVER (PARTITION BY lower(sent)
+                                    ORDER BY doc_id, pos) AS rn
+          FROM s
+        )
+        SELECT doc_id,
+               count(*) AS n_sentences,
+               sum(IF(rn = 1, 1, 0)) AS n_kept,
+               concat_ws(' ', transform(
+                 array_sort(collect_list(
+                   CASE WHEN rn = 1 THEN struct(pos, sent) END)),
+                 x -> x.sent)) AS dedup_text
+        FROM flagged
+        GROUP BY doc_id
+        """,
+    )
+
+
+ORACLE_SENTENCE_DEDUP = r"""
+WITH s AS (
+  SELECT doc_id, u.i - 1 AS pos, trim(parts[u.i]) AS sent
+  FROM (SELECT doc_id,
+               regexp_split_to_array(text, '[.!?]+\s+') AS parts
+        FROM documents) t,
+       LATERAL unnest(range(1, len(parts) + 1)) AS u(i)
+  WHERE trim(parts[u.i]) != ''
+), flagged AS (
+  SELECT doc_id, pos, sent,
+         row_number() OVER (PARTITION BY lower(sent)
+                            ORDER BY doc_id, pos) AS rn
+  FROM s
+)
+SELECT doc_id,
+       count(*) AS n_sentences,
+       cast(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) as bigint) AS n_kept,
+       coalesce(string_agg(sent, ' ' ORDER BY pos)
+                  FILTER (WHERE rn = 1), '') AS dedup_text
+FROM flagged
+GROUP BY doc_id
+"""
+
+
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights that rebalance the corpus to a UNIFORM
+    token mix — the data-mixing knob a pretraining run turns: sources
+    under the uniform share get weight > 1 (upsample), over it < 1.
+
+    Scale shape: one scan with map-side combinable token sums, a
+    source-count-sized aggregate (handful of rows), and a window over the
+    whole tiny aggregate — nothing corpus-sized past the first groupBy."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH per_source AS (
+          SELECT source,
+                 sum(cast(size({toks}) as bigint)) AS source_tokens
+          FROM documents GROUP BY source
+        )
+        SELECT source, source_tokens,
+               round(source_tokens / cast(sum(source_tokens) OVER () as double),
+                     4) AS token_share,
+               round((sum(source_tokens) OVER ()
+                      / cast(count(*) OVER () as double)) / source_tokens,
+                     4) AS uniform_weight
+        FROM per_source
+        """,
+    )
+
+
+ORACLE_MIX_WEIGHTS = f"""
+WITH per_source AS (
+  SELECT source,
+         cast(sum(len({_DUCK_TOKENS.format(x='text')})) as bigint)
+           AS source_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, source_tokens,
+       round(source_tokens / cast(sum(source_tokens) OVER () as double), 4)
+         AS token_share,
+       round((sum(source_tokens) OVER ()
+              / cast(count(*) OVER () as double)) / source_tokens, 4)
+         AS uniform_weight
+FROM per_source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3590,6 +3702,7 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "embedding_neardup_gemm": (q_embedding_neardup_gemm, ORACLE_EMBEDDING_NEARDUP),
     "rp_lsh_pairs": (q_rp_lsh_pairs, ORACLE_RP_LSH_PAIRS),
     "semantic_dedup": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
+    "sentence_dedup": (q_sentence_dedup, ORACLE_SENTENCE_DEDUP),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_clusters_verified": (q_dedup_clusters_verified, ORACLE_DEDUP_CLUSTERS_VERIFIED),
     "dedup_canonical": (q_dedup_canonical, ORACLE_DEDUP_CANONICAL),
@@ -3623,6 +3736,7 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "length_percentiles": (q_length_percentiles, ORACLE_LENGTH_PERCENTILES),
     "source_mix": (q_source_mix, ORACLE_SOURCE_MIX),
     "sequence_pack": (q_sequence_pack, ORACLE_SEQUENCE_PACK),
+    "mix_weights": (q_mix_weights, ORACLE_MIX_WEIGHTS),
     "corpus_stats": (q_corpus_stats, ORACLE_CORPUS_STATS),
     "token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
     "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE_TOKEN_STATS),

@@ -350,3 +350,26 @@ def test_sequence_pack_single_window_shuffle_all_native(spark, registry):
     assert "Window" in plan
     assert "Join" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_sentence_dedup_two_text_shuffles_no_join(spark, registry):
+    """C4-style sentence dedup: exactly the two hash shuffles the design
+    claims (first-occurrence window by sentence key, regroup by doc_id) —
+    no join-back, no Python, one Generate for the sentence explode."""
+    df = registry["sentence_dedup"][0](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 2
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_mix_weights_window_only_over_tiny_aggregate(spark, registry):
+    """Mixing weights: the corpus-sized relation crosses ONE hash exchange
+    (the per-source aggregate); the OVER () window runs on the tiny
+    aggregate via a single-partition exchange of a handful of rows."""
+    df = registry["mix_weights"][0](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert plan.count("Exchange") == 2 and "SinglePartition" in plan

@@ -357,3 +357,68 @@ def test_semantic_dedup_matches_bruteforce_on_random_cells(
                 prior = max(prior, cos)
             assert got[vid]["max_prior_cos"] == prior, vid
             assert got[vid]["keep"] == (prior < _SEMDEDUP_COS), vid
+
+
+# -------------------------------------------------------- sentence dedup
+
+
+def test_sentence_dedup_drops_cross_doc_repeats_keeps_first(spark, tmp_path):
+    """First occurrence (lowest doc_id, pos) survives; later repeats drop
+    even with different casing; each doc's survivors reassemble in order."""
+    from pdf_extractor_spark.queries import q_sentence_dedup
+
+    texts = [
+        "Hello world. Goodbye now.",
+        "Hello world. Fresh sentence.",
+        "HELLO WORLD! Unique bit.",
+    ]
+    _write_documents(spark, str(tmp_path), texts)
+    out = {
+        r["doc_id"]: r
+        for r in q_sentence_dedup(spark, str(tmp_path)).collect()
+    }
+    assert out[0]["n_sentences"] == 2 and out[0]["n_kept"] == 2
+    assert out[0]["dedup_text"] == "Hello world Goodbye now."
+    assert out[1]["n_sentences"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["dedup_text"] == "Fresh sentence."
+    # case-insensitive key: "HELLO WORLD" is a repeat of doc 0's opener
+    assert out[2]["n_kept"] == 1
+    assert out[2]["dedup_text"] == "Unique bit."
+
+
+def test_sentence_dedup_within_doc_repeat_also_drops(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_sentence_dedup
+
+    _write_documents(spark, str(tmp_path), ["Same thing. Same thing. Other."])
+    row = q_sentence_dedup(spark, str(tmp_path)).collect()[0]
+    assert row["n_sentences"] == 3 and row["n_kept"] == 2
+    assert row["dedup_text"] == "Same thing Other."
+
+
+# ----------------------------------------------------------- mix weights
+
+
+def test_mix_weights_uniform_rebalance_math(spark, tmp_path):
+    """3-token source vs 1-token source: shares .75/.25, uniform weights
+    (4/2)/3 and (4/2)/1."""
+    from pdf_extractor_spark.queries import q_mix_weights
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["alpha beta gamma", "solo"],
+            "lang": ["en", "en"],
+            "source": ["big", "small"],
+            "n_chars": [16, 4],
+        }
+    )
+    spark.createDataFrame(
+        pdf, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    out = {r["source"]: r for r in q_mix_weights(spark, str(tmp_path)).collect()}
+    assert out["big"]["token_share"] == 0.75
+    assert out["small"]["token_share"] == 0.25
+    assert out["big"]["uniform_weight"] == pytest.approx(0.6667)
+    assert out["small"]["uniform_weight"] == 2.0
