@@ -3671,6 +3671,123 @@ FROM per_source
 """
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First iteration of BPE tokenizer training: count adjacent character
+    pairs across the corpus, weighted by word frequency, and rank the top
+    50 merge candidates (Sennrich et al. 2016) — the step a distributed
+    tokenizer-fit job repeats per merge.
+
+    Scale shape: the ONLY corpus-sized shuffle is the word-count groupBy
+    (classic wordcount, map-side combine applies); pair expansion then
+    runs over the DISTINCT-word table weighted by frequency — vocab-sized,
+    orders of magnitude smaller than the corpus — exactly how production
+    BPE trainers avoid touching raw text per merge.  The top-50 cut is a
+    total order (count desc, pair asc), so the limit is deterministic and
+    plans as TakeOrdered, no global sort materialized."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH words AS (
+          SELECT w, count(*) AS n
+          FROM documents LATERAL VIEW explode({toks}) AS w
+          GROUP BY w
+        ), pairs AS (
+          SELECT p, n
+          FROM (SELECT w, n FROM words WHERE char_length(w) >= 2)
+          LATERAL VIEW explode(transform(sequence(1, char_length(w) - 1),
+                                         i -> substring(w, i, 2))) AS p
+        )
+        SELECT p AS pair, cast(sum(n) as bigint) AS pair_count
+        FROM pairs GROUP BY p
+        ORDER BY pair_count DESC, pair ASC
+        LIMIT 50
+        """,
+    )
+
+
+ORACLE_BPE_PAIR_COUNTS = f"""
+WITH words AS (
+  SELECT w, count(*) AS n
+  FROM (SELECT unnest({_DUCK_TOKENS.format(x='text')}) AS w FROM documents)
+  GROUP BY w
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+                               i -> substr(w, i, 2))) AS p,
+         n
+  FROM words WHERE length(w) >= 2
+)
+SELECT p AS pair, cast(sum(n) as bigint) AS pair_count
+FROM pairs GROUP BY p
+ORDER BY pair_count DESC, pair ASC
+LIMIT 50
+"""
+
+
+_EPOCH_SHARDS = 64
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: assign every document a stable
+    pseudorandom global training position for epoch 0 WITHOUT a global
+    sort — the data-order step of a pretraining run (reshuffling per epoch
+    = changing the salt).
+
+    Scale shape: shard = hash prefix mod ``_EPOCH_SHARDS``; ranks are a
+    window PARTITIONED by shard (each shard sorts independently and in
+    parallel — at 10^12 docs raise the shard count so each shard's sort
+    fits one task, positions stay deterministic for a fixed shard count),
+    shard offsets come from a shard-count-sized aggregate (64 rows) joined
+    back broadcast.  Global position = offset + in-shard rank reproduces
+    exactly the order ORDER BY (shard, okey, doc_id) would give — the
+    oracle spells it as that one global sort, the engine never runs one."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH keyed AS (
+          SELECT doc_id,
+                 md5(concat('epoch0:', cast(doc_id as string))) AS okey
+          FROM documents
+        ), sharded AS (
+          SELECT doc_id, okey,
+                 pmod({_SPARK_MD5INT.format(x="okey")}, {_EPOCH_SHARDS})
+                   AS shard
+          FROM keyed
+        ), ranked AS (
+          SELECT doc_id, okey, shard,
+                 row_number() OVER (PARTITION BY shard
+                                    ORDER BY okey, doc_id) AS shard_pos
+          FROM sharded
+        ), offsets AS (
+          SELECT shard,
+                 sum(n) OVER (ORDER BY shard
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS off
+          FROM (SELECT shard, count(*) AS n FROM sharded GROUP BY shard)
+        )
+        SELECT r.doc_id, r.shard,
+               cast(coalesce(o.off, 0) + r.shard_pos as bigint)
+                 AS global_pos
+        FROM ranked r JOIN offsets o ON r.shard = o.shard
+        """,
+    )
+
+
+ORACLE_EPOCH_SHUFFLE = f"""
+WITH keyed AS (
+  SELECT doc_id, md5('epoch0:' || cast(doc_id as varchar)) AS okey
+  FROM documents
+), sharded AS (
+  SELECT doc_id, okey,
+         {_DUCK_MD5INT.format(x='okey')} % {_EPOCH_SHARDS} AS shard
+  FROM keyed
+)
+SELECT doc_id, shard,
+       row_number() OVER (ORDER BY shard, okey, doc_id) AS global_pos
+FROM sharded
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3737,6 +3854,8 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "source_mix": (q_source_mix, ORACLE_SOURCE_MIX),
     "sequence_pack": (q_sequence_pack, ORACLE_SEQUENCE_PACK),
     "mix_weights": (q_mix_weights, ORACLE_MIX_WEIGHTS),
+    "bpe_pair_counts": (q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS),
+    "epoch_shuffle": (q_epoch_shuffle, ORACLE_EPOCH_SHUFFLE),
     "corpus_stats": (q_corpus_stats, ORACLE_CORPUS_STATS),
     "token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
     "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE_TOKEN_STATS),
