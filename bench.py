@@ -160,7 +160,8 @@ def main() -> None:
                      "embedding_int8", "cosine_topk_int8", "rp_lsh_pairs",
                      "source_mix", "length_percentiles",
                      "semantic_dedup", "sequence_pack",
-                     "sentence_dedup", "mix_weights"):
+                     "sentence_dedup", "mix_weights",
+                     "bpe_pair_counts", "epoch_shuffle"):
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
