@@ -422,3 +422,63 @@ def test_mix_weights_uniform_rebalance_math(spark, tmp_path):
     assert out["small"]["token_share"] == 0.25
     assert out["big"]["uniform_weight"] == pytest.approx(0.6667)
     assert out["small"]["uniform_weight"] == 2.0
+
+
+# ------------------------------------------- BPE pair counts / epoch shuffle
+
+
+def test_bpe_pair_counts_hand_weighted_corpus(spark, tmp_path):
+    """Sennrich wordcount weighting: 'low' appears twice so its pairs count
+    double; ranking is count desc then pair asc (deterministic ties)."""
+    from pdf_extractor_spark.queries import q_bpe_pair_counts
+
+    _write_documents(spark, str(tmp_path), ["low low lower", "lowest"])
+    rows = q_bpe_pair_counts(spark, str(tmp_path)).collect()
+    got = [(r["pair"], r["pair_count"]) for r in rows]
+    # low x2 -> lo,ow x2 ; lower -> lo,ow,we,er ; lowest -> lo,ow,we,es,st
+    assert got == [
+        ("lo", 4), ("ow", 4), ("we", 2), ("er", 1), ("es", 1), ("st", 1),
+    ]
+
+
+def test_bpe_pair_counts_single_char_words_contribute_nothing(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_bpe_pair_counts
+
+    _write_documents(spark, str(tmp_path), ["a b c d", "ab"])
+    got = [(r["pair"], r["pair_count"])
+           for r in q_bpe_pair_counts(spark, str(tmp_path)).collect()]
+    assert got == [("ab", 1)]
+
+
+def test_epoch_shuffle_is_permutation_and_matches_global_sort(spark):
+    """global_pos covers exactly 1..N, and ordering rows by global_pos
+    reproduces the one-global-sort ORDER BY (shard, md5 key, doc_id) that
+    the sharded plan is engineered to avoid."""
+    import hashlib
+
+    from pdf_extractor_spark.queries import _EPOCH_SHARDS, q_epoch_shuffle
+
+    rows = q_epoch_shuffle(spark, SF_DIR).collect()
+    n = len(rows)
+    assert n > 0
+    assert sorted(r["global_pos"] for r in rows) == list(range(1, n + 1))
+
+    def key(doc_id):
+        okey = hashlib.md5(f"epoch0:{doc_id}".encode()).hexdigest()
+        # shard applies the engines' md5int macro TO the okey string
+        # (a second md5), matching both SQL spellings
+        shard = int(hashlib.md5(okey.encode()).hexdigest()[:8], 16) % _EPOCH_SHARDS
+        return (shard, okey, doc_id)
+
+    by_pos = [r["doc_id"] for r in sorted(rows, key=lambda r: r["global_pos"])]
+    assert by_pos == [d for _, _, d in sorted(key(r["doc_id"]) for r in rows)]
+    # shard column itself agrees with the reference hash
+    assert all(r["shard"] == key(r["doc_id"])[0] for r in rows)
+
+
+def test_epoch_shuffle_deterministic_across_runs(spark):
+    from pdf_extractor_spark.queries import q_epoch_shuffle
+
+    a = {r["doc_id"]: r["global_pos"] for r in q_epoch_shuffle(spark, SF_DIR).collect()}
+    b = {r["doc_id"]: r["global_pos"] for r in q_epoch_shuffle(spark, SF_DIR).collect()}
+    assert a == b
