@@ -3788,6 +3788,169 @@ FROM sharded
 """
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split each
+    language's documents into head/middle/tail thirds by LM quality score
+    — here the corpus bigram surprise of ``q_bigram_surprise``, one model
+    order down from CCNet's KenLM 5-gram.  The head third feeds the
+    highest-quality training mix.
+
+    Scale shape: scoring is the bigram-surprise plan (windowed bigram
+    extraction, global counts joined back — the count table is
+    threshold-prunable and broadcastable at corpus scale); tercile
+    boundaries then come from a LANG-COUNT-sized exact-percentile
+    aggregate joined back broadcast — never a per-language global sort of
+    corpus rows (the ntile() spelling would be one).  Scores and
+    boundaries round to 4dp before comparison so both engines put every
+    doc in the same bucket; at corpus scale swap the exact percentile for
+    approx_percentile with a documented error budget — same plan shape.
+
+    The per-doc score table (16-byte rows, one per doc) is materialized
+    ONCE via ``localCheckpoint`` so the tercile aggregate and the final
+    join both read it instead of re-running the bigram pipeline — Spark
+    does not materialize CTEs, and the naive WITH spelling executes the
+    whole scoring subtree twice."""
+    toks = _SPARK_TOKENS.format(x="text")
+    scored = _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH toks AS (
+          SELECT doc_id, lang, pos, tok
+          FROM documents
+          LATERAL VIEW posexplode({toks}) AS pos, tok
+        ), bg AS (
+          SELECT doc_id, lang, tok,
+                 lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+          FROM toks
+        ), bigrams AS (
+          SELECT doc_id, lang, tok, nxt FROM bg WHERE nxt IS NOT NULL
+        ), counts AS (
+          SELECT tok, nxt, count(*) AS c FROM bigrams GROUP BY tok, nxt
+        ), total AS (SELECT count(*) AS t FROM bigrams)
+        SELECT b.doc_id, b.lang,
+               round(avg(-ln(c.c / cast(total.t as double))), 4)
+                 AS mean_surprise
+        FROM bigrams b
+        JOIN counts c ON b.tok = c.tok AND b.nxt = c.nxt
+        CROSS JOIN total
+        GROUP BY b.doc_id, b.lang
+        """,
+    ).localCheckpoint(eager=True)
+    cuts = scored.groupBy("lang").agg(
+        F.round(F.expr("percentile(mean_surprise, cast(1.0/3 as double))"), 4)
+        .alias("b1"),
+        F.round(F.expr("percentile(mean_surprise, cast(2.0/3 as double))"), 4)
+        .alias("b2"),
+    )
+    s, c = scored.alias("s"), F.broadcast(cuts).alias("c")
+    return s.join(c, "lang").select(
+        "doc_id", "lang", "mean_surprise",
+        F.when(F.col("mean_surprise") <= F.col("b1"), "head")
+        .when(F.col("mean_surprise") <= F.col("b2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+ORACLE_CCNET_BUCKETS = f"""
+WITH tl AS (
+  SELECT doc_id, lang, {_DUCK_TOKENS.format(x='text')} AS ts FROM documents
+), toks AS (
+  SELECT doc_id, lang, u.i AS pos, ts[u.i] AS tok
+  FROM tl, LATERAL unnest(range(1, len(ts)+1)) AS u(i)
+), bg AS (
+  SELECT doc_id, lang, tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM toks
+), bigrams AS (
+  SELECT doc_id, lang, tok, nxt FROM bg WHERE nxt IS NOT NULL
+), counts AS (
+  SELECT tok, nxt, count(*) AS c FROM bigrams GROUP BY tok, nxt
+), total AS (SELECT count(*) AS t FROM bigrams),
+scored AS (
+  SELECT b.doc_id, b.lang,
+         round(avg(-ln(c.c / cast(total.t as double))), 4) AS mean_surprise
+  FROM bigrams b
+  JOIN counts c ON b.tok = c.tok AND b.nxt = c.nxt
+  CROSS JOIN total
+  GROUP BY b.doc_id, b.lang
+), cuts AS (
+  SELECT lang,
+         round(quantile_cont(mean_surprise, 1.0/3), 4) AS b1,
+         round(quantile_cont(mean_surprise, 2.0/3), 4) AS b2
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.mean_surprise,
+       CASE WHEN s.mean_surprise <= c.b1 THEN 'head'
+            WHEN s.mean_surprise <= c.b2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN cuts c ON s.lang = c.lang
+"""
+
+
+def q_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the uniform-mix sampling weights of ``q_mix_weights``:
+    downsample over-represented sources by a deterministic per-doc hash
+    threshold (keep when hash-bucket-of-10000 < weight*10000, weight
+    capped at 1 — upsampling is a repeat factor at data-loading time, not
+    a row filter).  Reproducible across runs, engines and cluster sizes:
+    no RNG state, the keep decision is a pure function of doc_id.
+
+    Scale shape: the per-source threshold table is a source-count-sized
+    aggregate (one map-side-combinable token-sum groupBy) joined back
+    BROADCAST; the keep decision itself is a map-only hash compare — no
+    corpus-sized shuffle ever carries text.  Threshold basis points are
+    computed from the 4dp-rounded weight (exact integer arithmetic after
+    rounding), so both engines draw the same cut."""
+    toks = _SPARK_TOKENS.format(x="text")
+    h = _SPARK_MD5INT.format(x="concat('mix:', cast(d.doc_id as string))")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH per_source AS (
+          SELECT source,
+                 sum(cast(size({toks}) as bigint)) AS source_tokens
+          FROM documents GROUP BY source
+        ), rates AS (
+          SELECT source,
+                 cast(round(
+                   round(least(1.0,
+                     (sum(source_tokens) OVER ()
+                      / cast(count(*) OVER () as double)) / source_tokens),
+                     4) * 10000, 0) as bigint) AS keep_bp
+          FROM per_source
+        )
+        SELECT d.doc_id, d.source, r.keep_bp,
+               cast(pmod({h}, 10000) < r.keep_bp as int) AS keep
+        FROM documents d JOIN rates r ON d.source = r.source
+        """,
+    )
+
+
+_DUCK_MIX_HASH = _DUCK_MD5INT.format(
+    x="'mix:' || cast(d.doc_id as varchar)")
+
+ORACLE_MIX_APPLY = f"""
+WITH per_source AS (
+  SELECT source,
+         cast(sum(len({_DUCK_TOKENS.format(x='text')})) as bigint)
+           AS source_tokens
+  FROM documents GROUP BY source
+), rates AS (
+  SELECT source,
+         cast(round(
+           round(least(1.0,
+             (sum(source_tokens) OVER ()
+              / cast(count(*) OVER () as double)) / source_tokens),
+             4) * 10000, 0) as bigint) AS keep_bp
+  FROM per_source
+)
+SELECT d.doc_id, d.source, r.keep_bp,
+       (({_DUCK_MIX_HASH}) % 10000 < r.keep_bp)::int AS keep
+FROM documents d JOIN rates r ON d.source = r.source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3856,6 +4019,8 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "mix_weights": (q_mix_weights, ORACLE_MIX_WEIGHTS),
     "bpe_pair_counts": (q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS),
     "epoch_shuffle": (q_epoch_shuffle, ORACLE_EPOCH_SHUFFLE),
+    "ccnet_buckets": (q_ccnet_buckets, ORACLE_CCNET_BUCKETS),
+    "mix_apply": (q_mix_apply, ORACLE_MIX_APPLY),
     "corpus_stats": (q_corpus_stats, ORACLE_CORPUS_STATS),
     "token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
     "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE_TOKEN_STATS),

@@ -482,3 +482,61 @@ def test_epoch_shuffle_deterministic_across_runs(spark):
     a = {r["doc_id"]: r["global_pos"] for r in q_epoch_shuffle(spark, SF_DIR).collect()}
     b = {r["doc_id"]: r["global_pos"] for r in q_epoch_shuffle(spark, SF_DIR).collect()}
     assert a == b
+
+
+# --------------------------------------------- ccnet buckets / mix apply
+
+
+def test_ccnet_buckets_thirds_are_score_ordered(spark):
+    """Buckets partition each language by score: every head score <= every
+    middle score <= every tail score, and the three thirds are balanced to
+    within the tie/boundary slack on real data."""
+    from collections import defaultdict
+
+    from pdf_extractor_spark.queries import q_ccnet_buckets
+
+    rows = q_ccnet_buckets(spark, SF_DIR).collect()
+    assert rows
+    by_lang = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        by_lang[r["lang"]][r["bucket"]].append(r["mean_surprise"])
+    for lang, buckets in by_lang.items():
+        assert set(buckets) <= {"head", "middle", "tail"}
+        if "head" in buckets and "middle" in buckets:
+            assert max(buckets["head"]) <= min(buckets["middle"])
+        if "middle" in buckets and "tail" in buckets:
+            assert max(buckets["middle"]) <= min(buckets["tail"])
+    # equal scores always land in the same bucket
+    seen = {}
+    for r in rows:
+        k = (r["lang"], r["mean_surprise"])
+        assert seen.setdefault(k, r["bucket"]) == r["bucket"]
+
+
+def test_mix_apply_thresholds_and_hash_keep(spark, tmp_path):
+    """big source: 9 of 10 tokens -> weight (10/2)/9 = 0.5556 -> 5556 bp;
+    small source: capped at 1.0 -> always kept; keep bit reproduces the
+    md5 hash rule exactly."""
+    import hashlib
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["a b c", "d e f", "g h i", "j"],
+            "lang": ["en"] * 4,
+            "source": ["big", "big", "big", "small"],
+            "n_chars": [5, 5, 5, 1],
+        }
+    )
+    spark.createDataFrame(
+        pdf, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    from pdf_extractor_spark.queries import q_mix_apply
+
+    out = {r["doc_id"]: r for r in q_mix_apply(spark, str(tmp_path)).collect()}
+    assert out[3]["keep_bp"] == 10000 and out[3]["keep"] == 1
+    for d in (0, 1, 2):
+        assert out[d]["keep_bp"] == 5556
+        bucket = int(hashlib.md5(f"mix:{d}".encode()).hexdigest()[:8], 16) % 10000
+        assert out[d]["keep"] == int(bucket < 5556)
