@@ -161,7 +161,9 @@ def main() -> None:
                      "source_mix", "length_percentiles",
                      "semantic_dedup", "sequence_pack",
                      "sentence_dedup", "mix_weights",
-                     "bpe_pair_counts", "epoch_shuffle"):
+                     "bpe_pair_counts", "epoch_shuffle",
+                     "ccnet_buckets", "mix_apply",
+                     "gopher_filters", "dsir_weights"):
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -3951,6 +3951,221 @@ FROM documents d JOIN rates r ON d.source = r.source
 """
 
 
+_GOPHER_STOPS = "'the','be','to','of','and','that','have','with','a','in'"
+
+
+def q_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher quality-rule battery (Rae et al. 2021, Table A1):
+    word-count band, mean word length band, symbol-to-word ratio,
+    bullet-line and ellipsis-line fractions, alphabetic-word fraction and
+    stop-word count — every rule its own column plus the combined verdict,
+    so a curation run can audit WHICH rule rejected a document, not just
+    that one did.
+
+    Scale shape: map-only — every signal is a per-row higher-order-function
+    fold over the token/line arrays, no explode ever materializes
+    word-level rows, no shuffle, whole-stage codegen end to end (the same
+    zero-shuffle shape as ``q_repetition_signals``).  Ratios round to 4dp
+    before the band checks so both engines pass/fail identically."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH t AS (
+          SELECT doc_id,
+                 filter(split(text, '\\\\s+'), w -> w != '') AS words,
+                 filter(split(lower(text), '[^a-z0-9]+'), w -> w != '')
+                   AS toks,
+                 split(text, '\\n') AS lines,
+                 length(text) - length(replace(text, '#', '')) AS n_hash,
+                 cast((length(text) - length(replace(text, '...', ''))) / 3
+                      as bigint) AS n_ellip
+          FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 cast(size(words) as bigint) AS n_words,
+                 round(aggregate(words, 0L, (a, w) -> a + length(w))
+                       / cast(greatest(size(words), 1) as double), 4)
+                   AS mean_word_len,
+                 round((n_hash + n_ellip)
+                       / cast(greatest(size(words), 1) as double), 4)
+                   AS symbol_ratio,
+                 round(size(filter(lines, l -> ltrim(l) rlike '^[-*•]'))
+                       / cast(greatest(size(lines), 1) as double), 4)
+                   AS bullet_line_frac,
+                 round(size(filter(lines,
+                         l -> rtrim(l) rlike '(\\\\.\\\\.\\\\.|…)$'))
+                       / cast(greatest(size(lines), 1) as double), 4)
+                   AS ellipsis_line_frac,
+                 round(size(filter(words, w -> w rlike '[a-zA-Z]'))
+                       / cast(greatest(size(words), 1) as double), 4)
+                   AS alpha_word_frac,
+                 cast(size(filter(toks, t -> t IN ({_GOPHER_STOPS})))
+                      as bigint) AS n_stopwords
+          FROM t
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+               bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+               n_stopwords,
+               cast(n_words BETWEEN 50 AND 100000
+                    AND mean_word_len BETWEEN 3 AND 10
+                    AND symbol_ratio < 0.1
+                    AND bullet_line_frac < 0.9
+                    AND ellipsis_line_frac < 0.3
+                    AND alpha_word_frac > 0.8
+                    AND n_stopwords >= 2 as int) AS passes
+        FROM m
+        """,
+    )
+
+
+ORACLE_GOPHER_FILTERS = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '')
+           AS words,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     w -> w != '') AS toks,
+         string_split(text, chr(10)) AS lines,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         cast(floor((length(text) - length(replace(text, '...', ''))) / 3)
+              as bigint) AS n_ellip
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         round(list_sum(list_transform(words, w -> length(w)))
+               / cast(greatest(len(words), 1) as double), 4)
+           AS mean_word_len,
+         round((n_hash + n_ellip)
+               / cast(greatest(len(words), 1) as double), 4) AS symbol_ratio,
+         round(len(list_filter(lines,
+                 l -> regexp_matches(ltrim(l), '^[-*•]')))
+               / cast(greatest(len(lines), 1) as double), 4)
+           AS bullet_line_frac,
+         round(len(list_filter(lines,
+                 l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+               / cast(greatest(len(lines), 1) as double), 4)
+           AS ellipsis_line_frac,
+         round(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+               / cast(greatest(len(words), 1) as double), 4)
+           AS alpha_word_frac,
+         len(list_filter(toks, t -> t IN ({_GOPHER_STOPS}))) AS n_stopwords
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+       bullet_line_frac, ellipsis_line_frac, alpha_word_frac, n_stopwords,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3 AND 10
+        AND symbol_ratio < 0.1
+        AND bullet_line_frac < 0.9
+        AND ellipsis_line_frac < 0.3
+        AND alpha_word_frac > 0.8
+        AND n_stopwords >= 2)::int AS passes
+FROM m
+"""
+
+
+_DSIR_BUCKETS = 10000
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al. 2023):
+    per-doc mean log-likelihood ratio of its hashed word-bigram features
+    under a TARGET distribution (here the in-quality-band slice of the
+    corpus, the self-contained stand-in for "looks like Wikipedia")
+    versus the RAW corpus distribution, add-one smoothed over
+    ``_DSIR_BUCKETS`` hash buckets.  Docs scoring high look like the
+    target; sampling proportional to the weight tilts the mix toward it.
+
+    Scale shape: two corpus passes by necessity (the distributions are
+    global statistics that must be complete before any doc is scored) —
+    but the distribution table is BUCKET-count-sized (10k rows, both
+    counts folded into ONE aggregate pass) and joins back broadcast; the
+    scoring pass is a per-doc aggregate over the feature table, the only
+    corpus-sized shuffle.  Feature hashing uses the same md5 macro both
+    engines share, so bucket assignment is bit-identical.  The feature
+    table (doc_id, in_target, bucket — ~17-byte rows) is materialized
+    once via ``localCheckpoint`` — the naive CTE spelling would re-run
+    the corpus explode per distribution reference — and the two global
+    totals are collected as scalars (two numbers, deterministic) rather
+    than cross-joined in."""
+    toks = _SPARK_TOKENS.format(x="text")
+    h = _SPARK_MD5INT.format(x="concat(tok, ' ', nxt)")
+    feats = _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH toks AS (
+          SELECT doc_id, pos, tok,
+                 length(text) BETWEEN 200 AND 50000 AS in_target
+          FROM documents
+          LATERAL VIEW posexplode({toks}) AS pos, tok
+        ), bg AS (
+          SELECT doc_id, in_target, tok,
+                 lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+          FROM toks
+        )
+        SELECT doc_id, in_target, pmod({h}, {_DSIR_BUCKETS}) AS b
+        FROM bg WHERE nxt IS NOT NULL
+        """,
+    ).localCheckpoint(eager=True)
+    dist = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("raw_c"),
+        F.count_if("in_target").alias("tgt_c"),
+    )
+    totals = dist.agg(
+        F.sum("raw_c").alias("rt"), F.sum("tgt_c").alias("tt")
+    ).collect()[0]
+    raw_t, tgt_t = float(totals["rt"]), float(totals["tt"])
+    scored = feats.join(F.broadcast(dist), "b")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+        F.round(
+            F.avg(
+                F.log((F.col("tgt_c") + 1) / F.lit(tgt_t + _DSIR_BUCKETS))
+                - F.log((F.col("raw_c") + 1) / F.lit(raw_t + _DSIR_BUCKETS))
+            ),
+            4,
+        ).alias("dsir_weight"),
+    )
+
+
+ORACLE_DSIR_WEIGHTS = f"""
+WITH tl AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(x='text')} AS ts,
+         length(text) BETWEEN 200 AND 50000 AS in_target
+  FROM documents
+), toks AS (
+  SELECT doc_id, in_target, u.i AS pos, ts[u.i] AS tok
+  FROM tl, LATERAL unnest(range(1, len(ts)+1)) AS u(i)
+), bg AS (
+  SELECT doc_id, in_target, tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM toks
+), feats AS (
+  SELECT doc_id, in_target,
+         ({_DUCK_MD5INT.format(x="tok || ' ' || nxt")}) % {_DSIR_BUCKETS}
+           AS b
+  FROM bg WHERE nxt IS NOT NULL
+), raw_d AS (SELECT b, count(*) AS c FROM feats GROUP BY b),
+raw_t AS (SELECT count(*) AS t FROM feats),
+tgt_d AS (SELECT b, count(*) AS c FROM feats WHERE in_target GROUP BY b),
+tgt_t AS (SELECT count(*) AS t FROM feats WHERE in_target)
+SELECT f.doc_id,
+       count(*)::bigint AS n_feats,
+       round(avg(
+         ln((coalesce(td.c, 0) + 1)
+            / cast(tgt_t.t + {_DSIR_BUCKETS} as double))
+         - ln((rd.c + 1)
+              / cast(raw_t.t + {_DSIR_BUCKETS} as double))), 4)
+         AS dsir_weight
+FROM feats f
+JOIN raw_d rd ON f.b = rd.b
+LEFT JOIN tgt_d td ON f.b = td.b
+CROSS JOIN raw_t CROSS JOIN tgt_t
+GROUP BY f.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4021,6 +4236,8 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "epoch_shuffle": (q_epoch_shuffle, ORACLE_EPOCH_SHUFFLE),
     "ccnet_buckets": (q_ccnet_buckets, ORACLE_CCNET_BUCKETS),
     "mix_apply": (q_mix_apply, ORACLE_MIX_APPLY),
+    "gopher_filters": (q_gopher_filters, ORACLE_GOPHER_FILTERS),
+    "dsir_weights": (q_dsir_weights, ORACLE_DSIR_WEIGHTS),
     "corpus_stats": (q_corpus_stats, ORACLE_CORPUS_STATS),
     "token_stats": (q_token_stats, ORACLE_TOKEN_STATS),
     "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE_TOKEN_STATS),

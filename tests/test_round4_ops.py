@@ -540,3 +540,68 @@ def test_mix_apply_thresholds_and_hash_keep(spark, tmp_path):
         assert out[d]["keep_bp"] == 5556
         bucket = int(hashlib.md5(f"mix:{d}".encode()).hexdigest()[:8], 16) % 10000
         assert out[d]["keep"] == int(bucket < 5556)
+
+
+# --------------------------------------------- gopher filters / dsir
+
+
+def test_gopher_filters_rule_by_rule(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_gopher_filters
+
+    good = " ".join(
+        ["the quick brown fox jumps over and that have with lazy dog"] * 6
+    )  # 72 words, all alpha, mean len in band, stopwords aplenty
+    bullets = "- one thing\n- two thing\n- three thing\nplain line"
+    symbols = " ".join(["word### and..."] * 10) + " the of"
+    numeric = " ".join(str(i) for i in range(60)) + " the of"
+    _write_documents(spark, str(tmp_path), [good, bullets, symbols, numeric])
+    out = {r["doc_id"]: r for r in q_gopher_filters(spark, str(tmp_path)).collect()}
+
+    g = out[0]
+    assert g["n_words"] == 72 and g["alpha_word_frac"] == 1.0
+    assert 3 <= g["mean_word_len"] <= 10
+    assert g["symbol_ratio"] == 0.0 and g["n_stopwords"] >= 2
+    assert g["passes"] == 1
+
+    b = out[1]
+    assert b["bullet_line_frac"] == 0.75  # 3 of 4 lines
+    assert b["passes"] == 0  # fails word-count band too
+
+    s = out[2]
+    # 20 words; 30 '#' chars + 10 '...' -> 40 symbols / 20 words = 2.0
+    assert s["n_words"] == 22
+    assert s["symbol_ratio"] == pytest.approx(round(40 / 22, 4))
+    assert s["passes"] == 0
+
+    n = out[3]
+    assert n["alpha_word_frac"] == pytest.approx(round(2 / 62, 4))
+    assert n["passes"] == 0
+
+
+def test_gopher_filters_ellipsis_lines_and_empty_doc(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_gopher_filters
+
+    ell = "this trails off...\nand this one too…\nbut not this"
+    _write_documents(spark, str(tmp_path), [ell, ""])
+    out = {r["doc_id"]: r for r in q_gopher_filters(spark, str(tmp_path)).collect()}
+    assert out[0]["ellipsis_line_frac"] == pytest.approx(round(2 / 3, 4))
+    e = out[1]
+    assert e["n_words"] == 0 and e["passes"] == 0
+    assert e["mean_word_len"] == 0.0 and e["alpha_word_frac"] == 0.0
+
+
+def test_dsir_weights_target_lookalikes_score_higher(spark, tmp_path):
+    """The only in-target doc (>=200 chars) is wall-to-wall 'alpha beta';
+    a short doc sharing that bigram must outscore a short doc whose
+    bigram the target never contains."""
+    from pdf_extractor_spark.queries import q_dsir_weights
+
+    target = "alpha beta " * 25  # 275 chars -> in the 200..50000 band
+    _write_documents(
+        spark, str(tmp_path), [target, "alpha beta", "zeta omega"]
+    )
+    out = {r["doc_id"]: r for r in q_dsir_weights(spark, str(tmp_path)).collect()}
+    assert out[1]["n_feats"] == 1 and out[2]["n_feats"] == 1
+    assert out[1]["dsir_weight"] > out[2]["dsir_weight"]
+    # the target doc itself is also a lookalike
+    assert out[0]["dsir_weight"] > out[2]["dsir_weight"]
