@@ -139,7 +139,7 @@ def q_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ReadSchema prunes to 3 of 6 columns) plus a cheap predicate."""
     part = _t(spark, sf_dir, "part")
     return part.where(F.col("p_size") >= 40).select(
-        "p_partkey", "p_brand", F.length("p_name").alias("name_len")
+        "p_partkey", "p_brand", F.length("p_name").cast("bigint").alias("name_len")
     )
 
 
@@ -272,8 +272,8 @@ def q_normalize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, ["documents"],
         r"""
         SELECT doc_id,
-               length(text) AS raw_len,
-               length(trim(regexp_replace(regexp_replace(text, '[ \t]+', ' '), '\n{3,}', '\n\n'))) AS norm_len
+               cast(length(text) as bigint) AS raw_len,
+               cast(length(trim(regexp_replace(regexp_replace(text, '[ \t]+', ' '), '\n{3,}', '\n\n'))) as bigint) AS norm_len
         FROM documents
         """,
     )
@@ -293,7 +293,7 @@ def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, ["documents"],
         r"""
         SELECT doc_id,
-               size(regexp_extract_all(text, '[.!?]', 0)) AS sentence_marks,
+               cast(size(regexp_extract_all(text, '[.!?]', 0)) as bigint) AS sentence_marks,
                cast(ceil(length(text) / 900.0) as bigint) AS est_units
         FROM documents
         """,
@@ -317,7 +317,7 @@ def q_header_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT doc_id, element_at(split(text, '\n'), 1) AS first_line FROM documents
         )
         SELECT doc_id,
-               length(first_line) AS first_line_len,
+               cast(length(first_line) as bigint) AS first_line_len,
                (length(first_line) < 100 AND upper(first_line) = first_line
                 AND first_line rlike '[A-Za-z]') AS is_header_shaped
         FROM firsts
@@ -939,7 +939,7 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  {toks} AS toks
           FROM keepers WHERE doc_id = keeper_id
         )
-        SELECT doc_id, n AS n_chars,
+        SELECT doc_id, cast(n as bigint) AS n_chars,
                round(punct / cast(greatest(n, 1) as double), 4) AS punct_ratio,
                round(size(filter(toks, x -> x IN ({_STOPWORDS}))) /
                      cast(greatest(size(toks), 1) as double), 4) AS stopword_ratio
@@ -2408,8 +2408,8 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, ["documents"],
         f"""
         WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)
-        SELECT doc_id, size(toks) AS n_tokens,
-               size(array_distinct(toks)) AS n_distinct,
+        SELECT doc_id, cast(size(toks) as bigint) AS n_tokens,
+               cast(size(array_distinct(toks)) as bigint) AS n_distinct,
                round(size(array_distinct(toks)) /
                      cast(greatest(size(toks), 1) as double), 4) AS ttr
         FROM t
@@ -2443,9 +2443,9 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT doc_id, regexp_extract_all(text, '{_BPE_PAT}', 0) AS pieces
           FROM documents
         )
-        SELECT doc_id, size(pieces) AS n_pieces,
-               size(filter(pieces, p -> p rlike '^[0-9]$')) AS n_digit_pieces,
-               size(filter(pieces, p -> p rlike '^[A-Za-z]+$')) AS n_word_pieces
+        SELECT doc_id, cast(size(pieces) as bigint) AS n_pieces,
+               cast(size(filter(pieces, p -> p rlike '^[0-9]$')) as bigint) AS n_digit_pieces,
+               cast(size(filter(pieces, p -> p rlike '^[A-Za-z]+$')) as bigint) AS n_word_pieces
         FROM t
         """,
     )
@@ -2485,7 +2485,7 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 i -> array_min(slice(hs, i, {_WINNOW_W})))) AS prints
           FROM hs
         )
-        SELECT doc_id, size(prints) AS n_prints,
+        SELECT doc_id, cast(size(prints) as bigint) AS n_prints,
                array_min(prints) AS min_print, array_max(prints) AS max_print
         FROM wins
         """,
