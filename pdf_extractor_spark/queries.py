@@ -2293,22 +2293,22 @@ def q_bigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM quality signal (CCNet-style, one order down): per-doc mean
     negative log-probability of its token bigrams under the corpus bigram
     distribution.  Fluent text reuses common bigrams (low surprise); junk
-    and boilerplate-mangled text scores high.  Shape: windowed bigram
-    extraction → global bigram counts → join back → per-doc aggregate —
-    at 10^12 turns the bigram table is count-thresholded and broadcast."""
+    and boilerplate-mangled text scores high.  Shape: ZERO-SHUFFLE bigram
+    generation (per-row higher-order transform over the token array — no
+    posexplode, no doc_id window) → global bigram counts → broadcast join
+    back → per-doc aggregate — at 10^12 turns the bigram table is
+    count-thresholded and broadcast."""
     return _sql(
         spark, sf_dir, ["documents"],
         f"""
-        WITH toks AS (
-          SELECT doc_id, pos, tok
+        WITH tl AS (
+          SELECT doc_id, {_SPARK_TOKENS.format(x='text')} AS ts
           FROM documents
-          LATERAL VIEW posexplode({_SPARK_TOKENS.format(x='text')}) AS pos, tok
-        ), bg AS (
-          SELECT doc_id, tok,
-                 lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
-          FROM toks
         ), bigrams AS (
-          SELECT doc_id, tok, nxt FROM bg WHERE nxt IS NOT NULL
+          SELECT doc_id, b.tok AS tok, b.nxt AS nxt
+          FROM (SELECT * FROM tl WHERE size(ts) >= 2)
+          LATERAL VIEW explode(transform(sequence(0, size(ts) - 2),
+                 i -> struct(ts[i] AS tok, ts[i+1] AS nxt))) AS b
         ), counts AS (
           SELECT tok, nxt, count(*) AS c FROM bigrams GROUP BY tok, nxt
         ), total AS (SELECT count(*) AS t FROM bigrams)
@@ -3795,9 +3795,9 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     order down from CCNet's KenLM 5-gram.  The head third feeds the
     highest-quality training mix.
 
-    Scale shape: scoring is the bigram-surprise plan (windowed bigram
-    extraction, global counts joined back — the count table is
-    threshold-prunable and broadcastable at corpus scale); tercile
+    Scale shape: scoring is the bigram-surprise plan (zero-shuffle
+    per-row bigram generation, global counts joined back — the count
+    table is threshold-prunable and broadcastable at corpus scale); tercile
     boundaries then come from a LANG-COUNT-sized exact-percentile
     aggregate joined back broadcast — never a per-language global sort of
     corpus rows (the ntile() spelling would be one).  Scores and
@@ -3814,16 +3814,13 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = _sql(
         spark, sf_dir, ["documents"],
         f"""
-        WITH toks AS (
-          SELECT doc_id, lang, pos, tok
-          FROM documents
-          LATERAL VIEW posexplode({toks}) AS pos, tok
-        ), bg AS (
-          SELECT doc_id, lang, tok,
-                 lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
-          FROM toks
+        WITH tl AS (
+          SELECT doc_id, lang, {toks} AS ts FROM documents
         ), bigrams AS (
-          SELECT doc_id, lang, tok, nxt FROM bg WHERE nxt IS NOT NULL
+          SELECT doc_id, lang, b.tok AS tok, b.nxt AS nxt
+          FROM (SELECT * FROM tl WHERE size(ts) >= 2)
+          LATERAL VIEW explode(transform(sequence(0, size(ts) - 2),
+                 i -> struct(ts[i] AS tok, ts[i+1] AS nxt))) AS b
         ), counts AS (
           SELECT tok, nxt, count(*) AS c FROM bigrams GROUP BY tok, nxt
         ), total AS (SELECT count(*) AS t FROM bigrams)
@@ -4094,18 +4091,18 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = _sql(
         spark, sf_dir, ["documents"],
         f"""
-        WITH toks AS (
-          SELECT doc_id, pos, tok,
+        WITH tl AS (
+          SELECT doc_id, {toks} AS ts,
                  length(text) BETWEEN 200 AND 50000 AS in_target
           FROM documents
-          LATERAL VIEW posexplode({toks}) AS pos, tok
         ), bg AS (
-          SELECT doc_id, in_target, tok,
-                 lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
-          FROM toks
+          SELECT doc_id, in_target, b.tok AS tok, b.nxt AS nxt
+          FROM (SELECT * FROM tl WHERE size(ts) >= 2)
+          LATERAL VIEW explode(transform(sequence(0, size(ts) - 2),
+                 i -> struct(ts[i] AS tok, ts[i+1] AS nxt))) AS b
         )
         SELECT doc_id, in_target, pmod({h}, {_DSIR_BUCKETS}) AS b
-        FROM bg WHERE nxt IS NOT NULL
+        FROM bg
         """,
     ).localCheckpoint(eager=True)
     dist = feats.groupBy("b").agg(
