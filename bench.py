@@ -163,7 +163,8 @@ def main() -> None:
                      "sentence_dedup", "mix_weights",
                      "bpe_pair_counts", "epoch_shuffle",
                      "ccnet_buckets", "mix_apply",
-                     "gopher_filters", "dsir_weights"):
+                     "gopher_filters", "dsir_weights",
+                     "dedup_incremental"):
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -3948,6 +3948,73 @@ FROM documents d JOIN rates r ON d.source = r.source
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest exact dedup — the production arrival shape: a
+    NEW batch of documents (here the top-20%-of-doc_id slice, a
+    deterministic stand-in for "today's crawl") is deduplicated against
+    the EXISTING corpus first, then within itself, so every arrival gets
+    a verdict (``dup_of_corpus`` / ``dup_in_batch`` / ``unique``) and a
+    keeper pointer — exactly what an ingest job needs to decide
+    skip/attach/insert per document.
+
+    Scale shape: only 16-byte content digests ever join — in production
+    the existing-corpus digest table is maintained incrementally across
+    ingests (the ledger pattern of ``streaming/ledger.py``) instead of
+    being re-derived, and the batch side is typically small enough to
+    BROADCAST against it; within-batch first-occurrence is a digest-keyed
+    aggregate of the (small) batch alone.  No text ever shuffles."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH cutoff AS (
+          SELECT cast(floor(max(doc_id) * 0.8) as bigint) AS c
+          FROM documents
+        ), hashed AS (
+          SELECT doc_id, md5(text) AS h FROM documents
+        ), existing AS (
+          SELECT h, min(doc_id) AS corpus_keeper
+          FROM hashed CROSS JOIN cutoff WHERE doc_id < c GROUP BY h
+        ), arrivals AS (
+          SELECT doc_id, h FROM hashed CROSS JOIN cutoff WHERE doc_id >= c
+        ), batch_first AS (
+          SELECT h, min(doc_id) AS first_in_batch FROM arrivals GROUP BY h
+        )
+        SELECT a.doc_id, a.h AS text_hash,
+               CASE WHEN e.corpus_keeper IS NOT NULL THEN 'dup_of_corpus'
+                    WHEN b.first_in_batch < a.doc_id THEN 'dup_in_batch'
+                    ELSE 'unique' END AS verdict,
+               coalesce(e.corpus_keeper, b.first_in_batch) AS keeper_doc_id
+        FROM arrivals a
+        LEFT JOIN existing e ON a.h = e.h
+        JOIN batch_first b ON a.h = b.h
+        """,
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL = """
+WITH cutoff AS (
+  SELECT cast(floor(max(doc_id) * 0.8) as bigint) AS c FROM documents
+), hashed AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+), existing AS (
+  SELECT h, min(doc_id) AS corpus_keeper
+  FROM hashed CROSS JOIN cutoff WHERE doc_id < c GROUP BY h
+), arrivals AS (
+  SELECT doc_id, h FROM hashed CROSS JOIN cutoff WHERE doc_id >= c
+), batch_first AS (
+  SELECT h, min(doc_id) AS first_in_batch FROM arrivals GROUP BY h
+)
+SELECT a.doc_id, a.h AS text_hash,
+       CASE WHEN e.corpus_keeper IS NOT NULL THEN 'dup_of_corpus'
+            WHEN b.first_in_batch < a.doc_id THEN 'dup_in_batch'
+            ELSE 'unique' END AS verdict,
+       coalesce(e.corpus_keeper, b.first_in_batch) AS keeper_doc_id
+FROM arrivals a
+LEFT JOIN existing e ON a.h = e.h
+JOIN batch_first b ON a.h = b.h
+"""
+
+
 _GOPHER_STOPS = "'the','be','to','of','and','that','have','with','a','in'"
 
 
@@ -4234,6 +4301,7 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "ccnet_buckets": (q_ccnet_buckets, ORACLE_CCNET_BUCKETS),
     "mix_apply": (q_mix_apply, ORACLE_MIX_APPLY),
     "gopher_filters": (q_gopher_filters, ORACLE_GOPHER_FILTERS),
+    "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "dsir_weights": (q_dsir_weights, ORACLE_DSIR_WEIGHTS),
     "corpus_stats": (q_corpus_stats, ORACLE_CORPUS_STATS),
     "token_stats": (q_token_stats, ORACLE_TOKEN_STATS),

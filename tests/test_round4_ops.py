@@ -605,3 +605,18 @@ def test_dsir_weights_target_lookalikes_score_higher(spark, tmp_path):
     assert out[1]["dsir_weight"] > out[2]["dsir_weight"]
     # the target doc itself is also a lookalike
     assert out[0]["dsir_weight"] > out[2]["dsir_weight"]
+
+
+def test_dedup_incremental_verdicts(spark, tmp_path):
+    """7 docs, cutoff = floor(6*0.8) = 4 -> arrivals {4,5,6}: doc 6 repeats
+    corpus doc 0 (dup_of_corpus), docs 4+5 share a batch-only text (first
+    is unique, second dups it in-batch)."""
+    from pdf_extractor_spark.queries import q_dedup_incremental
+
+    texts = ["aaa", "bbb", "ccc", "ddd", "eee", "eee", "aaa"]
+    _write_documents(spark, str(tmp_path), texts)
+    out = {r["doc_id"]: r for r in q_dedup_incremental(spark, str(tmp_path)).collect()}
+    assert set(out) == {4, 5, 6}
+    assert out[4]["verdict"] == "unique" and out[4]["keeper_doc_id"] == 4
+    assert out[5]["verdict"] == "dup_in_batch" and out[5]["keeper_doc_id"] == 4
+    assert out[6]["verdict"] == "dup_of_corpus" and out[6]["keeper_doc_id"] == 0
