@@ -3644,11 +3644,11 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM documents GROUP BY source
         )
         SELECT source, source_tokens,
-               round(source_tokens / cast(sum(source_tokens) OVER () as double),
+               round(source_tokens / cast(greatest(sum(source_tokens) OVER (), 1) as double),
                      4) AS token_share,
                round((sum(source_tokens) OVER ()
-                      / cast(count(*) OVER () as double)) / source_tokens,
-                     4) AS uniform_weight
+                      / cast(count(*) OVER () as double))
+                     / greatest(source_tokens, 1), 4) AS uniform_weight
         FROM per_source
         """,
     )
@@ -3662,11 +3662,11 @@ WITH per_source AS (
   FROM documents GROUP BY source
 )
 SELECT source, source_tokens,
-       round(source_tokens / cast(sum(source_tokens) OVER () as double), 4)
+       round(source_tokens / cast(greatest(sum(source_tokens) OVER (), 1) as double), 4)
          AS token_share,
        round((sum(source_tokens) OVER ()
-              / cast(count(*) OVER () as double)) / source_tokens, 4)
-         AS uniform_weight
+              / cast(count(*) OVER () as double))
+             / greatest(source_tokens, 1), 4) AS uniform_weight
 FROM per_source
 """
 
@@ -3913,7 +3913,8 @@ def q_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                  cast(round(
                    round(least(1.0,
                      (sum(source_tokens) OVER ()
-                      / cast(count(*) OVER () as double)) / source_tokens),
+                      / cast(count(*) OVER () as double))
+                     / greatest(source_tokens, 1)),
                      4) * 10000, 0) as bigint) AS keep_bp
           FROM per_source
         )
@@ -3938,7 +3939,8 @@ WITH per_source AS (
          cast(round(
            round(least(1.0,
              (sum(source_tokens) OVER ()
-              / cast(count(*) OVER () as double)) / source_tokens),
+              / cast(count(*) OVER () as double))
+             / greatest(source_tokens, 1)),
              4) * 10000, 0) as bigint) AS keep_bp
   FROM per_source
 )

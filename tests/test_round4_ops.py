@@ -620,3 +620,55 @@ def test_dedup_incremental_verdicts(spark, tmp_path):
     assert out[4]["verdict"] == "unique" and out[4]["keeper_doc_id"] == 4
     assert out[5]["verdict"] == "dup_in_batch" and out[5]["keeper_doc_id"] == 4
     assert out[6]["verdict"] == "dup_of_corpus" and out[6]["keeper_doc_id"] == 0
+
+
+def test_epoch_shuffle_non_contiguous_doc_ids(spark, tmp_path):
+    """Permutation + determinism must hold for sparse/huge doc_ids, not
+    just the testdata's contiguous range."""
+    from pdf_extractor_spark.queries import q_epoch_shuffle
+
+    ids = [3, 17, 256, 99991, 10**12 + 7, 10**12 + 8]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": [f"doc {i}" for i in ids],
+            "lang": ["en"] * len(ids),
+            "source": ["s"] * len(ids),
+            "n_chars": [5] * len(ids),
+        }
+    )
+    spark.createDataFrame(
+        pdf, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    a = q_epoch_shuffle(spark, str(tmp_path)).collect()
+    assert sorted(r["global_pos"] for r in a) == list(range(1, len(ids) + 1))
+    b = q_epoch_shuffle(spark, str(tmp_path)).collect()
+    assert {r["doc_id"]: r["global_pos"] for r in a} == {
+        r["doc_id"]: r["global_pos"] for r in b
+    }
+
+
+def test_mix_apply_zero_token_source_keeps_all(spark, tmp_path):
+    """A source with no tokens at all must not crash (div-by-zero -> NULL
+    -> least() skips it): weight collapses to the cap, everything kept —
+    identically in both engines (gate-covered); pinned here explicitly."""
+    from pdf_extractor_spark.queries import q_mix_apply
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["real words here", "...", "!!!"],
+            "lang": ["en"] * 3,
+            "source": ["words", "punct", "punct"],
+            "n_chars": [15, 3, 3],
+        }
+    )
+    spark.createDataFrame(
+        pdf, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: r for r in q_mix_apply(spark, str(tmp_path)).collect()}
+    assert out[1]["keep_bp"] == 10000 and out[1]["keep"] == 1
+    assert out[2]["keep_bp"] == 10000 and out[2]["keep"] == 1
+    # the sole token holder is over-represented (3 of 3 tokens vs a 1.5
+    # uniform share) -> downsampled to 0.5
+    assert out[0]["keep_bp"] == 5000
