@@ -1130,15 +1130,16 @@ _SPARK_COS = """
 round(
   aggregate(zip_with(e.embedding, q.qv, (a,b) -> cast(a as double)*cast(b as double)),
             cast(0.0 as double), (acc,x) -> acc+x)
-  / (sqrt(aggregate(e.embedding, cast(0.0 as double), (a,x) -> a + cast(x as double)*cast(x as double)))
-   * sqrt(aggregate(q.qv, cast(0.0 as double), (a,x) -> a + cast(x as double)*cast(x as double)))), 4)
+  / greatest(sqrt(aggregate(e.embedding, cast(0.0 as double), (a,x) -> a + cast(x as double)*cast(x as double)))
+   * sqrt(aggregate(q.qv, cast(0.0 as double), (a,x) -> a + cast(x as double)*cast(x as double))),
+   cast(1e-30 as double)), 4)
 """
 
 _DUCK_COS = """
 round(
   list_sum([e.embedding[i]::double * q.qv[i]::double FOR i IN range(1, len(e.embedding)+1)])
-  / (sqrt(list_sum([x::double*x::double FOR x IN e.embedding]))
-   * sqrt(list_sum([x::double*x::double FOR x IN q.qv]))), 4)
+  / greatest(sqrt(list_sum([x::double*x::double FOR x IN e.embedding]))
+   * sqrt(list_sum([x::double*x::double FOR x IN q.qv])), 1e-30::double), 4)
 """
 
 
@@ -1289,9 +1290,10 @@ _IVF_PROBES = 2
 _SPARK_CENTROID_COS = """
 aggregate(zip_with(centroid, qv, (a,b) -> a * cast(b as double)),
           cast(0.0 as double), (acc,x) -> acc + x)
-/ (sqrt(aggregate(centroid, cast(0.0 as double), (a,x) -> a + x*x))
+/ greatest(sqrt(aggregate(centroid, cast(0.0 as double), (a,x) -> a + x*x))
  * sqrt(aggregate(qv, cast(0.0 as double),
-                  (a,x) -> a + cast(x as double)*cast(x as double))))
+                  (a,x) -> a + cast(x as double)*cast(x as double))),
+ cast(1e-30 as double))
 """
 
 
@@ -1368,7 +1370,8 @@ qx AS (
 ), cscore AS (
   SELECT c.label,
          sum(c.c * qx.qv)
-           / (sqrt(sum(c.c * c.c)) * sqrt(sum(qx.qv * qx.qv))) AS ccos
+           / greatest(sqrt(sum(c.c * c.c)) * sqrt(sum(qx.qv * qx.qv)),
+                      1e-30::double) AS ccos
   FROM cent c JOIN qx ON c.i = qx.i GROUP BY c.label
 ), probes AS (
   SELECT label FROM cscore ORDER BY ccos DESC, label LIMIT {_IVF_PROBES}
@@ -1425,7 +1428,7 @@ def kmeans_centroids(
         raise ValueError("kmeans_centroids: embeddings table is empty")
     k = min(k, len(seeds))  # fewer vectors than cells → one cell per vector
     cents = np.stack(seeds["embedding"].to_numpy()).astype(np.float64)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
 
     for _ in range(iters):
         bc = sc.broadcast(cents)
@@ -1520,7 +1523,9 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT vec_id, label, pos AS i, cast(v as double) AS v
           FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v
         ), nrm AS (
-          SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY vec_id
+          SELECT vec_id, greatest(sqrt(sum(v * v)),
+                           cast(1e-30 as double)) AS nrm
+          FROM ex GROUP BY vec_id
         ), dots AS (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
           FROM ex a JOIN ex b
@@ -1539,7 +1544,8 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EMBEDDING_NEARDUP = """
 WITH n AS (
   SELECT vec_id, label, embedding,
-         sqrt(list_sum([x::double*x::double FOR x IN embedding])) AS nrm
+         greatest(sqrt(list_sum([x::double*x::double FOR x IN embedding])),
+                  1e-30::double) AS nrm
   FROM embeddings
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1578,7 +1584,7 @@ def q_embedding_neardup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         g = group.sort_values("vec_id").reset_index(drop=True)
         m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        nrm = np.sqrt((m * m).sum(axis=1))
+        nrm = np.maximum(np.sqrt((m * m).sum(axis=1)), 1e-30)
         cos = (m @ m.T) / np.outer(nrm, nrm)
         ia, ib = np.triu_indices(len(g), k=1)
         keep = cos[ia, ib] >= 0.35
@@ -3279,8 +3285,8 @@ def q_rp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = """
     round(
       aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0D, (a, z) -> a + z)
-      / (sqrt(aggregate(va, 0.0D, (a, x) -> a + x * x))
-       * sqrt(aggregate(vb, 0.0D, (a, x) -> a + x * x))), 4)
+      / greatest(sqrt(aggregate(va, 0.0D, (a, x) -> a + x * x))
+       * sqrt(aggregate(vb, 0.0D, (a, x) -> a + x * x)), 1e-30D), 4)
     """
     return (
         F.broadcast(cand)
@@ -3324,11 +3330,11 @@ p AS (
 )
 SELECT p.vec_a, p.vec_b, p.hamming,
        round(list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)])
-             / (sqrt(list_sum([x * x FOR x IN a.v]))
-              * sqrt(list_sum([x * x FOR x IN b.v]))), 4) AS cos_sim,
+             / greatest(sqrt(list_sum([x * x FOR x IN a.v]))
+              * sqrt(list_sum([x * x FOR x IN b.v])), 1e-30::double), 4) AS cos_sim,
        round(list_sum([a.v[i] * b.v[i] FOR i IN range(1, len(a.v) + 1)])
-             / (sqrt(list_sum([x * x FOR x IN a.v]))
-              * sqrt(list_sum([x * x FOR x IN b.v]))), 4)
+             / greatest(sqrt(list_sum([x * x FOR x IN a.v]))
+              * sqrt(list_sum([x * x FOR x IN b.v])), 1e-30::double), 4)
          >= {_RP_VERIFY_COS_MIN} AS verified
 FROM p
 JOIN sig a ON a.vec_id = p.vec_a
