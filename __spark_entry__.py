@@ -5,8 +5,9 @@
                embeddings) over a deterministic synthetic transcripts table
                at golden-corpus scale; returns the chunk DataFrame.
 ``queries``  — one entry per implemented operator (SURVEY.md §2 + the
-               training-data operator families): 69 entries, 68 with
-               DuckDB oracles; see pdf_extractor_spark/queries.py.
+               training-data operator families), every entry except the
+               iterative Lloyd k-means carrying a DuckDB oracle; derived
+               directly from pdf_extractor_spark/queries.QUERY_REGISTRY.
 ``oracle_sql`` — DuckDB-parity SQL for every SQL-expressible query; only
                the iterative Lloyd k-means entry is rows-only (its
                exactness is pinned vs a numpy reference in

@@ -164,7 +164,9 @@ def main() -> None:
                      "bpe_pair_counts", "epoch_shuffle",
                      "ccnet_buckets", "mix_apply",
                      "gopher_filters", "dsir_weights",
-                     "dedup_incremental"):
+                     "dedup_incremental",
+                     "asof_join", "range_join", "rollup_multires",
+                     "hll_distinct", "cms_heavy_hitters"):
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

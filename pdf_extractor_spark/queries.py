@@ -4239,6 +4239,337 @@ GROUP BY f.doc_id
 
 
 # --------------------------------------------------------------------------
+# round-4 temporal-join + sketch additions: the custom operators Spark's
+# built-in join strategies don't provide (as-of join, range join) expressed
+# as shuffle-safe compositions, plus fixed-memory cardinality / frequency
+# sketches (HyperLogLog, count-min) whose per-partition state is bounded
+# regardless of corpus size — the shapes a 100 TB telemetry/curation
+# pipeline needs where exact aggregation would not fit.
+# --------------------------------------------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each ``click`` event picks up the most recent ``purchase``
+    at-or-before its timestamp for the same user (inner as-of: clicks with
+    no prior purchase are dropped).
+
+    Spark has no ASOF JOIN operator; the classic scalable composition is
+    union-tag-and-carry: tag reference rows 0 and probe rows 1, window over
+    (user_id ORDER BY ts, tag) and carry the last non-null reference value
+    forward with ``last(x, ignorenulls)``.  ONE shuffle on user_id, no
+    range explosion, no per-row Python — at 10^12 events this is a single
+    hash-partition + sort per key, vs the quadratic blowup of an
+    inequality join.  Reference-row-first tie order (is_probe ASC) gives
+    the inclusive ``ref.ts <= probe.ts`` semantics of a textbook ASOF
+    join; the oracle is DuckDB's NATIVE ``ASOF JOIN``, so parity here
+    proves true as-of semantics rather than self-consistency.  Skewed hot
+    users: the window is a sort within one partition — salt-split by time
+    range and carry boundary state if a single user exceeds a partition
+    (DEPLOYMENT.md).
+    """
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH tagged AS (
+          SELECT user_id, ts, event_id, 1 AS is_probe,
+                 CAST(NULL AS BIGINT) AS rid, CAST(NULL AS DOUBLE) AS rv
+          FROM events WHERE event_type = 'click'
+          UNION ALL
+          SELECT user_id, ts, event_id, 0, event_id, value
+          FROM events WHERE event_type = 'purchase'
+        ), carried AS (
+          SELECT user_id, event_id, is_probe,
+                 last(rid, true) OVER w AS purchase_id,
+                 last(rv, true)  OVER w AS purchase_value
+          FROM tagged
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_probe
+                       ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT event_id AS click_id, user_id, purchase_id, purchase_value
+        FROM carried WHERE is_probe = 1 AND purchase_id IS NOT NULL
+        """,
+    )
+
+
+ORACLE_ASOF_JOIN = """
+SELECT a.event_id AS click_id, a.user_id,
+       b.event_id AS purchase_id, b.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND b.ts <= a.ts
+"""
+
+
+_RANGE_JOIN_US = 3_600_000_000  # 1 hour in microseconds
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per click, count and sum the same user's purchases in
+    the following hour (0 < gap <= 1 h).
+
+    A naive ``ON a.user < b.user AND b.ts BETWEEN ...`` in Spark plans as
+    BroadcastNestedLoopJoin/cartesian — quadratic.  The scalable spelling
+    buckets the reference side by hour (`ts_us div 3_600_000_000`),
+    explodes each probe to its TWO candidate buckets (b, b+1 — any row
+    within the next hour must land in one of them, and exactly one, so no
+    dedup step), equi-joins on (user_id, bucket), and applies the exact
+    microsecond range as a post-filter.  Shuffle is a plain hash join on
+    a compound key; candidate fan-in per probe is bounded by per-bucket
+    density, not corpus size.  Microsecond integer epochs
+    (unix_micros / epoch_us) keep the range predicate exact cross-engine.
+    Plan-pinned: tests/test_plans.py asserts no nested-loop/cartesian.
+    """
+    return _sql(
+        spark, sf_dir, ["events"],
+        f"""
+        WITH probe AS (
+          SELECT event_id, user_id, unix_micros(cast(ts as timestamp)) AS us
+          FROM events WHERE event_type = 'click'
+        ), ref AS (
+          SELECT user_id, unix_micros(cast(ts as timestamp)) AS us, value,
+                 unix_micros(cast(ts as timestamp)) div {_RANGE_JOIN_US} AS b
+          FROM events WHERE event_type = 'purchase'
+        ), pb AS (
+          SELECT event_id, user_id, us,
+                 explode(array(us div {_RANGE_JOIN_US},
+                               us div {_RANGE_JOIN_US} + 1)) AS b
+          FROM probe
+        )
+        SELECT p.event_id AS click_id, p.user_id,
+               cast(count(*) as bigint) AS n_purchases,
+               round(sum(r.value), 4) AS total_value
+        FROM pb p JOIN ref r ON p.user_id = r.user_id AND p.b = r.b
+        WHERE r.us > p.us AND r.us <= p.us + {_RANGE_JOIN_US}
+        GROUP BY p.event_id, p.user_id
+        """,
+    )
+
+
+ORACLE_RANGE_JOIN = f"""
+SELECT a.event_id AS click_id, a.user_id,
+       count(*)::bigint AS n_purchases,
+       round(sum(b.value), 4) AS total_value
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND epoch_us(b.ts) > epoch_us(a.ts)
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + {_RANGE_JOIN_US}
+GROUP BY a.event_id, a.user_id
+"""
+
+
+def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hourly, daily, per-type
+    and grand totals in ONE pass via GROUP BY ROLLUP — Catalyst expands
+    the grouping sets inside a single aggregate with map-side partial
+    combine, so the 100 TB corpus is scanned once, not once per
+    resolution.  Rolled-up levels surface as sentinel keys ('ALL' / -1;
+    real types are never 'ALL', real epoch buckets never negative) so the
+    result is null-free and hash-comparable.  Whole-second bucketing
+    follows the sessionize convention (Spark unix_timestamp truncates;
+    DuckDB floor(epoch())).
+    """
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH e AS (
+          SELECT event_type,
+                 cast(floor(unix_timestamp(ts) / 86400) as bigint) AS day_b,
+                 cast(floor(unix_timestamp(ts) / 3600) as bigint) AS hour_b,
+                 value
+          FROM events
+        )
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(day_b, -1) AS day_bucket,
+               coalesce(hour_b, -1) AS hour_bucket,
+               cast(count(*) as bigint) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM e GROUP BY ROLLUP(event_type, day_b, hour_b)
+        """,
+    )
+
+
+ORACLE_ROLLUP_MULTIRES = """
+WITH e AS (
+  SELECT event_type,
+         cast(floor(epoch(ts) / 86400) as bigint) AS day_b,
+         cast(floor(epoch(ts) / 3600) as bigint) AS hour_b,
+         value
+  FROM events
+)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(day_b, -1) AS day_bucket,
+       coalesce(hour_b, -1) AS hour_bucket,
+       count(*)::bigint AS n_events,
+       round(sum(value), 4) AS total_value
+FROM e GROUP BY ROLLUP(event_type, day_b, hour_b)
+"""
+
+
+# HyperLogLog geometry: p=8 → m=256 registers; 32-bit token hash split as
+# (8-bit register index, 24-bit remainder) → rho in [1, 25].  Registers are
+# the ONLY shuffled state: map-side partial max bounds shuffle rows at
+# m per partition regardless of corpus size.  alpha_m written as the same
+# literal arithmetic in both engines (single IEEE ops — bitwise identical).
+_HLL_M = 256
+_HLL_ALPHA = f"(0.7213 / (1 + 1.079 / {_HLL_M}.0))"
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token cardinality via a deterministic HyperLogLog built
+    from relational ops only — the fixed-memory alternative to
+    count(DISTINCT) when the token universe doesn't fit anywhere.
+
+    Spark's approx_count_distinct is HLL++ but its register hashing is
+    engine-private; this spelling derives registers from md5 so BOTH
+    engines materialize the identical sketch: rho is the first-one
+    position of the 24-bit remainder as a bin-string scan (pure
+    integer/string ops — exact parity), register max is an ordinary
+    groupBy, and only the final harmonic-mean estimate is floating point
+    (rounded; includes the standard small-range linear-counting
+    correction).  Duplicates need no pre-distinct — identical tokens hit
+    identical registers, which is the entire point of the sketch.  Scale
+    knob: at 10^9+ distinct keys move to the 64-bit variant (16 hex chars,
+    wider remainder) — same plan shape (DEPLOYMENT.md).
+    """
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH toks AS (
+          SELECT explode({_SPARK_TOKENS.format(x='text')}) AS tok FROM documents
+        ), h AS (
+          SELECT {_SPARK_MD5INT.format(x='tok')} AS h32 FROM toks
+        ), regs AS (
+          SELECT pmod(h32, {_HLL_M}) AS idx,
+                 max(CASE WHEN h32 div {_HLL_M} = 0 THEN 25
+                     ELSE instr(lpad(bin(h32 div {_HLL_M}), 24, '0'), '1')
+                     END) AS mr
+          FROM h GROUP BY pmod(h32, {_HLL_M})
+        ), agg AS (
+          SELECT count(*) AS c,
+                 coalesce(sum(1.0 / cast(shiftleft(1, mr) as double)), 0.0) AS s
+          FROM regs
+        ), est AS (
+          SELECT c, {_HLL_M} - c AS v,
+                 {_HLL_ALPHA} * {_HLL_M}.0 * {_HLL_M}.0
+                   / (s + ({_HLL_M} - c)) AS raw
+          FROM agg
+        )
+        SELECT cast({_HLL_M} as bigint) AS m,
+               cast(c as bigint) AS n_nonzero,
+               round(CASE WHEN raw <= 2.5 * {_HLL_M} AND v > 0
+                          THEN {_HLL_M}.0 * ln({_HLL_M}.0 / v)
+                          ELSE raw END, 2) AS hll_estimate
+        FROM est
+        """,
+    )
+
+
+ORACLE_HLL_DISTINCT = f"""
+WITH toks AS (
+  SELECT unnest({_DUCK_TOKENS.format(x='text')}) AS tok FROM documents
+), h AS (
+  SELECT {_DUCK_MD5INT.format(x='tok')} AS h32 FROM toks
+), regs AS (
+  SELECT h32 % {_HLL_M} AS idx,
+         max(CASE WHEN h32 // {_HLL_M} = 0 THEN 25
+             ELSE instr(lpad(bin(h32 // {_HLL_M}), 24, '0'), '1')
+             END) AS mr
+  FROM h GROUP BY h32 % {_HLL_M}
+), agg AS (
+  SELECT count(*) AS c,
+         coalesce(sum(1.0 / ((1::bigint << mr)::double)), 0.0) AS s
+  FROM regs
+), est AS (
+  SELECT c, {_HLL_M} - c AS v,
+         {_HLL_ALPHA} * {_HLL_M}.0 * {_HLL_M}.0
+           / (s + ({_HLL_M} - c)) AS raw
+  FROM agg
+)
+SELECT {_HLL_M}::bigint AS m,
+       c::bigint AS n_nonzero,
+       round(CASE WHEN raw <= 2.5 * {_HLL_M} AND v > 0
+                  THEN {_HLL_M}.0 * ln({_HLL_M}.0 / v)
+                  ELSE raw END, 2) AS hll_estimate
+FROM est
+"""
+
+
+# Count-min geometry: d=4 salted hash rows × w=512 buckets.  Map-side
+# partial combine bounds shuffle rows at d*w per partition — the sketch
+# build costs ONE bounded-width aggregate however large the corpus is.
+_CMS_D = 4
+_CMS_W = 512
+_CMS_CAND_DOCS = 20  # candidate tokens come from a doc sample (see docstring)
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens via a count-min sketch: build d×w salted
+    counters over the FULL corpus (fixed d*w memory; groupBy with partial
+    combine), then score a candidate set and take the top 20 by estimated
+    count (desc, token asc — total order).
+
+    This is the production pattern for frequency queries that can't hold
+    the exact token table: candidates come from a cheap source (here:
+    distinct tokens of a 20-doc sample; in a crawl, yesterday's top-k or
+    a reservoir), the sketch supplies full-corpus counts.  min() over the
+    d rows gives the classic never-underestimate bound, pinned in tests.
+    The 2048-cell sketch broadcasts for the probe join.  All counters are
+    exact integers from identical md5 bucketing — bitwise cross-engine
+    parity; no floats anywhere.
+    """
+    toks = _SPARK_TOKENS.format(x="text")
+    h = _SPARK_MD5INT.format(x="concat('s', i, ':', tok)")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH toks AS (
+          SELECT doc_id, explode({toks}) AS tok FROM documents
+        ), cells AS (
+          SELECT i, pmod({h}, {_CMS_W}) AS b
+          FROM toks LATERAL VIEW explode(sequence(0, {_CMS_D - 1})) AS i
+        ), sketch AS (
+          SELECT i, b, count(*) AS c FROM cells GROUP BY i, b
+        ), cand AS (
+          SELECT DISTINCT tok FROM toks WHERE doc_id < {_CMS_CAND_DOCS}
+        ), probe AS (
+          SELECT tok, i, pmod({h}, {_CMS_W}) AS b
+          FROM cand LATERAL VIEW explode(sequence(0, {_CMS_D - 1})) AS i
+        )
+        SELECT /*+ BROADCAST(s) */
+               p.tok AS token, cast(min(s.c) as bigint) AS est_count
+        FROM probe p JOIN sketch s ON p.i = s.i AND p.b = s.b
+        GROUP BY p.tok
+        ORDER BY est_count DESC, token
+        LIMIT 20
+        """,
+    )
+
+
+ORACLE_CMS_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS.format(x='text')}) AS tok FROM documents
+), cells AS (
+  SELECT u.i, {_DUCK_MD5INT.format(x="concat('s', u.i, ':', tok)")} % {_CMS_W} AS b
+  FROM toks, unnest(range(0, {_CMS_D})) AS u(i)
+), sketch AS (
+  SELECT i, b, count(*) AS c FROM cells GROUP BY i, b
+), cand AS (
+  SELECT DISTINCT tok FROM toks WHERE doc_id < {_CMS_CAND_DOCS}
+), probe AS (
+  SELECT tok, u.i, {_DUCK_MD5INT.format(x="concat('s', u.i, ':', tok)")} % {_CMS_W} AS b
+  FROM cand, unnest(range(0, {_CMS_D})) AS u(i)
+)
+SELECT p.tok AS token, min(s.c)::bigint AS est_count
+FROM probe p JOIN sketch s ON p.i = s.i AND p.b = s.b
+GROUP BY p.tok
+ORDER BY est_count DESC, token
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4316,6 +4647,12 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE_TOKEN_STATS),
     "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
     "winnow_fingerprint": (q_winnow_fingerprint, ORACLE_WINNOW),
+    # temporal joins + sketches (round-4 additions)
+    "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
+    "range_join": (q_range_join, ORACLE_RANGE_JOIN),
+    "rollup_multires": (q_rollup_multires, ORACLE_ROLLUP_MULTIRES),
+    "hll_distinct": (q_hll_distinct, ORACLE_HLL_DISTINCT),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, ORACLE_CMS_HEAVY_HITTERS),
     # training-data ops: multimodal binary columns
     "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL_META),
     "multimodal_frame_stats": (q_multimodal_frame_stats, ORACLE_FRAME_STATS),

@@ -373,3 +373,57 @@ def test_mix_weights_window_only_over_tiny_aggregate(spark, registry):
     assert "Join" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
     assert plan.count("Exchange") == 2 and "SinglePartition" in plan
+
+
+def test_asof_join_is_union_window_no_join_one_shuffle(spark, registry):
+    """As-of join: the union-tag-and-carry composition must plan as a
+    single hash exchange on user_id + window — NO join operator at all.
+    This is the property that makes it survive 10^12 events where an
+    inequality join would go quadratic."""
+    df = registry["asof_join"][0](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange") == 1
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_range_join_is_bucketed_hash_join_not_nested_loop(spark, registry):
+    """Range join: the hour-bucket equi-join keeps Catalyst on a hash
+    join; the naive inequality spelling would plan BroadcastNestedLoop/
+    cartesian and melt at scale."""
+    df = registry["range_join"][0](spark, SF_DIR)
+    plan = _plan(df)
+    assert "NestedLoop" not in plan
+    assert "Cartesian" not in plan
+    assert "Join" in plan  # a real equi-join survives in the plan
+
+
+def test_rollup_single_scan_expand_no_join(spark, registry):
+    """Multi-resolution rollup: all grouping levels expand from ONE scan
+    inside one aggregate — not one scan per resolution."""
+    df = registry["rollup_multires"][0](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Expand" in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_hll_no_join_bounded_shuffle(spark, registry):
+    """HLL: only the 256-register relation crosses the shuffle (map-side
+    partial max bounds rows at m per partition); no join anywhere."""
+    df = registry["hll_distinct"][0](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_cms_probe_join_broadcasts_sketch(spark, registry):
+    """Count-min: the d*w-cell sketch (provably <= 2048 rows) broadcasts
+    for the candidate probe join — pinned with an explicit hint, not left
+    to AQE size estimates."""
+    df = registry["cms_heavy_hitters"][0](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

@@ -1,0 +1,182 @@
+"""Temporal joins + sketch operators on crafted inputs: as-of join tie
+and no-match semantics, range-join boundary inclusion across bucket
+edges, rollup level consistency, HLL accuracy bounds, count-min
+never-underestimate.  Engine-vs-oracle parity is covered by the contract
+gate; these pin the SEMANTICS on inputs small enough to verify by hand."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pdf_extractor_spark.queries import (
+    q_asof_join,
+    q_cms_heavy_hitters,
+    q_hll_distinct,
+    q_range_join,
+    q_rollup_multires,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_EVENT_DDL = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def _write_events(spark, path, rows):
+    """rows: (event_id, ts_str, user_id, event_type, value)."""
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"], format="ISO8601")
+    pdf["props"] = "{}"
+    spark.createDataFrame(pdf, _EVENT_DDL).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/events.parquet")
+
+
+def _write_documents(spark, path, texts):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["crafted"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    spark.createDataFrame(
+        pdf, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+# ---------------------------------------------------------------- as-of join
+
+
+def test_asof_join_most_recent_tie_and_no_match(spark, tmp_path):
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            # user 1: purchases at 10:00 (v 5.0) and 11:00 (v 7.0)
+            (100, "2024-01-01 10:00:00", 1, "purchase", 5.0),
+            (101, "2024-01-01 11:00:00", 1, "purchase", 7.0),
+            # clicks: before any purchase / tie / between / after second
+            (1, "2024-01-01 09:00:00", 1, "click", 0.0),
+            (2, "2024-01-01 10:00:00", 1, "click", 0.0),
+            (3, "2024-01-01 10:30:00", 1, "click", 0.0),
+            (4, "2024-01-01 11:30:00", 1, "click", 0.0),
+            # user 2: click with no purchases at all
+            (5, "2024-01-01 10:30:00", 2, "click", 0.0),
+            # user 3: purchase only — must not leak into user 2's clicks
+            (300, "2024-01-01 09:00:00", 3, "purchase", 9.0),
+        ],
+    )
+    out = {
+        r["click_id"]: (r["purchase_id"], r["purchase_value"])
+        for r in q_asof_join(spark, str(tmp_path)).collect()
+    }
+    # inner as-of: clicks 1 (no prior) and 5 (no purchases for user) drop
+    assert set(out) == {2, 3, 4}
+    assert out[2] == (100, 5.0)  # ref.ts == probe.ts is INCLUSIVE
+    assert out[3] == (100, 5.0)
+    assert out[4] == (101, 7.0)  # most recent, not first
+
+
+# ---------------------------------------------------------------- range join
+
+
+def test_range_join_boundaries_and_bucket_crossing(spark, tmp_path):
+    _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 0.0),
+            (2, "2024-01-01 10:30:00", 1, "click", 0.0),
+            # gap 0 — EXCLUDED (strict lower bound)
+            (100, "2024-01-01 10:00:00", 1, "purchase", 1.0),
+            (101, "2024-01-01 10:30:00", 1, "purchase", 2.0),
+            # exactly +3600 s from click 1 — INCLUDED (closed upper bound)
+            (102, "2024-01-01 11:00:00", 1, "purchase", 3.0),
+            # 1 microsecond past click 1's window; inside click 2's
+            (103, "2024-01-01 11:00:00.000001", 1, "purchase", 4.0),
+            # same-user purchase in the NEXT hour bucket of click 2
+            (104, "2024-01-01 11:25:00", 1, "purchase", 8.0),
+            # other user inside the window — must not count
+            (200, "2024-01-01 10:15:00", 2, "purchase", 99.0),
+        ],
+    )
+    out = {
+        r["click_id"]: (r["n_purchases"], r["total_value"])
+        for r in q_range_join(spark, str(tmp_path)).collect()
+    }
+    # click 1 (10:00): 101 (10:30), 102 (+3600 exactly) — not 100, not 103
+    assert out[1] == (2, 5.0)
+    # click 2 (10:30): 102, 103 (sub-second), 104 (crosses into bucket b+1)
+    assert out[2] == (3, 15.0)
+
+
+# ------------------------------------------------------------------- rollup
+
+
+def test_rollup_levels_are_consistent(spark):
+    rows = q_rollup_multires(spark, SF_DIR).collect()
+    grand = [r for r in rows if r["event_type"] == "ALL"]
+    assert len(grand) == 1 and grand[0]["day_bucket"] == -1
+    leaf = [r for r in rows if r["hour_bucket"] != -1]
+    assert sum(r["n_events"] for r in leaf) == grand[0]["n_events"]
+    # per-type totals match their day-level breakdown
+    per_type = {
+        r["event_type"]: r["n_events"]
+        for r in rows
+        if r["event_type"] != "ALL" and r["day_bucket"] == -1
+    }
+    day = [r for r in rows if r["day_bucket"] != -1 and r["hour_bucket"] == -1]
+    for t in per_type:
+        assert sum(r["n_events"] for r in day if r["event_type"] == t) == per_type[t]
+
+
+# ---------------------------------------------------------------------- HLL
+
+
+def test_hll_estimate_within_sketch_error(spark):
+    row = q_hll_distinct(spark, SF_DIR).collect()[0]
+    exact = spark.sql(
+        """
+        SELECT count(DISTINCT tok) AS d FROM (
+          SELECT explode(filter(split(lower(text), '[^a-z0-9]+'),
+                                t -> t != '')) AS tok
+          FROM parquet.`/root/testdata/sf0.001/documents.parquet`)
+        """
+    ).collect()[0]["d"]
+    assert row["m"] == 256 and 0 < row["n_nonzero"] <= 256
+    # standard error for m=256 is 1.04/sqrt(m) = 6.5%; allow 3 sigma
+    assert abs(row["hll_estimate"] - exact) / exact < 0.20
+
+
+def test_hll_small_range_linear_counting(spark, tmp_path):
+    _write_documents(spark, tmp_path, ["alpha beta gamma", "alpha beta", ""])
+    row = q_hll_distinct(spark, str(tmp_path)).collect()[0]
+    # 3 distinct tokens → 3 registers; linear counting is exact-ish here
+    assert row["n_nonzero"] == 3
+    assert abs(row["hll_estimate"] - 3) < 0.1
+
+
+# ---------------------------------------------------------------- count-min
+
+
+def test_cms_never_underestimates_and_ranks_true_top(spark, tmp_path):
+    texts = [
+        " ".join(["alpha"] * 10 + ["beta"] * 6 + ["gamma"] * 2)
+        for _ in range(5)
+    ]
+    _write_documents(spark, tmp_path, texts)
+    out = {r["token"]: r["est_count"] for r in
+           q_cms_heavy_hitters(spark, str(tmp_path)).collect()}
+    exact = {"alpha": 50, "beta": 30, "gamma": 10}
+    for tok, c in exact.items():
+        assert out[tok] >= c  # classic CMS one-sided bound
+    top = max(out, key=lambda t: (out[t], t))
+    assert top == "alpha" and out["alpha"] >= 50
