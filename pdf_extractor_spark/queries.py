@@ -4518,21 +4518,33 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 2048-cell sketch broadcasts for the probe join.  All counters are
     exact integers from identical md5 bucketing — bitwise cross-engine
     parity; no floats anywhere.
+
+    Built wordcount-first (the bpe_pair_counts pattern): the corpus pays
+    one map-side-combined token shuffle, then the d salted hashes are
+    computed over the DISTINCT-token table weighted by count — vocab-
+    sized, not corpus-sized (measured 2.2 s → sub-second at sf0.1).  For
+    an adversarially unbounded vocabulary, hash per occurrence instead
+    and group straight to (i, bucket) — shuffle then bounds at d*w rows
+    per partition with no vocab table at all; identical counters.
     """
     toks = _SPARK_TOKENS.format(x="text")
     h = _SPARK_MD5INT.format(x="concat('s', i, ':', tok)")
     return _sql(
         spark, sf_dir, ["documents"],
         f"""
-        WITH toks AS (
-          SELECT doc_id, explode({toks}) AS tok FROM documents
+        WITH wc AS (
+          SELECT tok, count(*) AS n
+          FROM (SELECT explode({toks}) AS tok FROM documents)
+          GROUP BY tok
         ), cells AS (
-          SELECT i, pmod({h}, {_CMS_W}) AS b
-          FROM toks LATERAL VIEW explode(sequence(0, {_CMS_D - 1})) AS i
+          SELECT i, pmod({h}, {_CMS_W}) AS b, n
+          FROM wc LATERAL VIEW explode(sequence(0, {_CMS_D - 1})) AS i
         ), sketch AS (
-          SELECT i, b, count(*) AS c FROM cells GROUP BY i, b
+          SELECT i, b, sum(n) AS c FROM cells GROUP BY i, b
         ), cand AS (
-          SELECT DISTINCT tok FROM toks WHERE doc_id < {_CMS_CAND_DOCS}
+          SELECT DISTINCT tok
+          FROM (SELECT doc_id, explode({toks}) AS tok FROM documents)
+          WHERE doc_id < {_CMS_CAND_DOCS}
         ), probe AS (
           SELECT tok, i, pmod({h}, {_CMS_W}) AS b
           FROM cand LATERAL VIEW explode(sequence(0, {_CMS_D - 1})) AS i
@@ -4550,11 +4562,13 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CMS_HEAVY_HITTERS = f"""
 WITH toks AS (
   SELECT doc_id, unnest({_DUCK_TOKENS.format(x='text')}) AS tok FROM documents
+), wc AS (
+  SELECT tok, count(*) AS n FROM toks GROUP BY tok
 ), cells AS (
-  SELECT u.i, {_DUCK_MD5INT.format(x="concat('s', u.i, ':', tok)")} % {_CMS_W} AS b
-  FROM toks, unnest(range(0, {_CMS_D})) AS u(i)
+  SELECT u.i, {_DUCK_MD5INT.format(x="concat('s', u.i, ':', tok)")} % {_CMS_W} AS b, n
+  FROM wc, unnest(range(0, {_CMS_D})) AS u(i)
 ), sketch AS (
-  SELECT i, b, count(*) AS c FROM cells GROUP BY i, b
+  SELECT i, b, sum(n) AS c FROM cells GROUP BY i, b
 ), cand AS (
   SELECT DISTINCT tok FROM toks WHERE doc_id < {_CMS_CAND_DOCS}
 ), probe AS (
