@@ -166,7 +166,8 @@ def main() -> None:
                      "gopher_filters", "dsir_weights",
                      "dedup_incremental",
                      "asof_join", "range_join", "rollup_multires",
-                     "hll_distinct", "cms_heavy_hitters"):
+                     "hll_distinct", "cms_heavy_hitters",
+                     "dup_span_scrub", "hashed_classifier"):
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

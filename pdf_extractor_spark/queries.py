@@ -4583,6 +4583,193 @@ LIMIT 20
 """
 
 
+def q_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL — the action that completes the
+    `dup_spans` signal (Lee et al. 2022 exact-substring dedup at word-
+    {span_n}-gram granularity): every token covered by an n-gram that
+    also appears in at least one OTHER document is stripped, and the
+    scrubbed document is re-emitted (as counts + md5 digest, the
+    pii_scrub convention — the gate never ships full text).
+
+    Scale shape: gram hashes explode ONCE (8-byte rows; the string
+    n-grams never cross a shuffle) and are marked cross-doc-duplicated
+    by a single window over hg (`min(doc_id) OVER != max(doc_id) OVER`
+    — an aggregate + join-back would recompute the gram subtree, the
+    round-3 minhash_lsh lesson; measured 2.6 → 2.1 s at sf0.1); the
+    per-doc duplicated-position list joins back to the documents table
+    and the actual token removal is a per-row nested higher-order
+    filter over the token array — coverage test
+    `exists(dp, i -> i <= j <= i+n-1)` with NO corpus-wide token
+    explode and no window over token rows.  The oracle spells the same
+    semantics relationally (explode + anti-join + ordered string_agg) —
+    two independent formulations agreeing on digests is the strongest
+    parity signal in the catalog.
+    """
+    n = _SPAN_N
+    toks = _SPARK_TOKENS.format(x="text")
+    h = _SPARK_MD5INT.format(x="g")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH tok AS (
+          SELECT doc_id, {toks} AS t FROM documents
+        ), grams AS (
+          SELECT doc_id, pos + 1 AS pos, {h} AS hg
+          FROM (
+            SELECT doc_id,
+                   posexplode_outer(CASE WHEN size(t) >= {n} THEN
+                     transform(sequence(1, size(t)-{n - 1}),
+                               i -> concat_ws(' ', slice(t, i, {n})))
+                   ELSE array() END) AS (pos, g)
+            FROM tok
+          ) WHERE g IS NOT NULL
+        ), marked AS (
+          -- cross-doc duplicated iff the hash spans >1 doc_id: one window
+          -- over hg, gram subtree evaluated ONCE (a dup_hg aggregate +
+          -- join-back recomputes it — the round-3 minhash_lsh lesson)
+          SELECT doc_id, pos,
+                 min(doc_id) OVER w != max(doc_id) OVER w AS is_dup
+          FROM grams
+          WINDOW w AS (PARTITION BY hg)
+        ), dup_pos AS (
+          SELECT doc_id, collect_list(pos) AS dp
+          FROM marked WHERE is_dup GROUP BY doc_id
+        )
+        SELECT doc_id,
+               cast(n as bigint) AS n_tokens,
+               cast(n - size(kept) as bigint) AS n_removed,
+               md5(concat_ws(' ', kept)) AS scrub_digest
+        FROM (
+          SELECT t.doc_id, size(t.t) AS n,
+                 -- sequence(1, 0) DESCENDS in Spark: empty docs need the guard
+                 CASE WHEN size(t.t) = 0 THEN array() ELSE
+                   transform(
+                     filter(sequence(1, size(t.t)),
+                            j -> NOT exists(coalesce(d.dp, array()),
+                                            i -> j >= i AND j <= i + {n - 1})),
+                     j -> element_at(t.t, j))
+                 END AS kept
+          FROM tok t LEFT JOIN dup_pos d ON t.doc_id = d.doc_id
+        )
+        """,
+    )
+
+
+ORACLE_DUP_SPAN_SCRUB = f"""
+WITH tok AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(x='text')} AS t FROM documents
+), toks AS (
+  SELECT doc_id, t[r.pos] AS tok, r.pos
+  FROM tok, unnest(range(1, len(t) + 1)) AS r(pos)
+), grams AS (
+  SELECT doc_id, i AS pos,
+         {_DUCK_MD5INT.format(x="array_to_string(t[i:i+" + str(_SPAN_N - 1) + "], ' ')")} AS hg
+  FROM tok, unnest(range(1, len(t) - {_SPAN_N - 2})) AS r(i)
+  WHERE len(t) >= {_SPAN_N}
+), dup_hg AS (
+  SELECT hg FROM (SELECT DISTINCT hg, doc_id FROM grams)
+  GROUP BY hg HAVING count(*) >= 2
+), cover AS (
+  SELECT DISTINCT g.doc_id, r.j
+  FROM grams g JOIN dup_hg d USING (hg),
+       unnest(range(g.pos, g.pos + {_SPAN_N})) AS r(j)
+), kept AS (
+  SELECT tk.doc_id,
+         string_agg(tk.tok, ' ' ORDER BY tk.pos) AS scrubbed,
+         count(*) AS n_kept
+  FROM toks tk ANTI JOIN cover c ON tk.doc_id = c.doc_id AND tk.pos = c.j
+  GROUP BY tk.doc_id
+)
+SELECT t.doc_id,
+       len(t.t)::bigint AS n_tokens,
+       (len(t.t) - coalesce(k.n_kept, 0))::bigint AS n_removed,
+       md5(coalesce(k.scrubbed, '')) AS scrub_digest
+FROM tok t LEFT JOIN kept k ON t.doc_id = k.doc_id
+"""
+
+
+# Hashed-linear quality classifier geometry: 4096 feature buckets, integer
+# weights in [-1000, 1000] derived from md5 so both engines hold the
+# identical "model".  In production the weight table comes from a trained
+# fastText/logistic model as a broadcast map — the plumbing (bucket, sum,
+# sigmoid, threshold) is identical; the deterministic weights keep the
+# oracle exact.
+_CLF_BUCKETS = 4096
+_CLF_W_SPARK = (
+    "pmod(" + _SPARK_MD5INT.format(
+        x="concat('w:', pmod(" + _SPARK_MD5INT.format(x="tok") + f", {_CLF_BUCKETS}))"
+    ) + ", 2001) - 1000"
+)
+_CLF_W_DUCK = (
+    "(" + _DUCK_MD5INT.format(
+        x="concat('w:', (" + _DUCK_MD5INT.format(x="tok") + f") % {_CLF_BUCKETS})"
+    ) + ") % 2001 - 1000"
+)
+
+
+def q_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering plumbing — the GPT-3/CCNet-style
+    hashed bag-of-words linear classifier pass: each token hashes to one
+    of {buckets} feature buckets, the document score is the sum of the
+    bucket weights over token OCCURRENCES, and the keep verdict is a
+    sigmoid threshold.
+
+    Entirely map-only (gopher_filters shape): the score is a per-row
+    higher-order fold over the token array — ZERO shuffles, the cheapest
+    possible classifier sweep over 100 TB.  The raw score and the
+    basis-point mean weight are exact integer arithmetic (bitwise
+    cross-engine — a round(4) mean HIT the HALF_UP-vs-half-even tie on 2
+    of 500 docs at sf0.01, so the quotient ships as sign*abs-div basis
+    points instead); only the reported sigmoid is floating point
+    (rounded), and the keep verdict derives from the INTEGER score sign
+    so no boundary can flip between engines.  Two
+    md5s per occurrence; for long docs swap to wordcount-first weights
+    (the cms_heavy_hitters rewrite) at the price of two hash shuffles.
+    """
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH scored AS (
+          SELECT doc_id, size(t) AS n,
+                 aggregate(t, 0L, (acc, tok) -> acc + ({_CLF_W_SPARK}))
+                   AS score_raw
+          FROM (SELECT doc_id, {toks} AS t FROM documents)
+        )
+        SELECT doc_id,
+               cast(n as bigint) AS n_tokens,
+               cast(score_raw as bigint) AS score_raw,
+               cast(CASE WHEN score_raw < 0 THEN -1 ELSE 1 END
+                    * ((10000 * abs(score_raw)) div (1000 * greatest(n, 1)))
+                    as bigint) AS mean_weight_bp,
+               round(1.0D / (1.0D + exp(-score_raw / (1000.0D * greatest(n, 1)))), 4)
+                 AS quality_prob,
+               score_raw >= 0 AS keep
+        FROM scored
+        """,
+    )
+
+
+ORACLE_HASHED_CLASSIFIER = f"""
+WITH scored AS (
+  SELECT doc_id, len(t) AS n,
+         coalesce(list_sum(list_transform(t, tok -> {_CLF_W_DUCK})), 0)
+           AS score_raw
+  FROM (SELECT doc_id, {_DUCK_TOKENS.format(x='text')} AS t FROM documents)
+)
+SELECT doc_id,
+       n::bigint AS n_tokens,
+       score_raw::bigint AS score_raw,
+       (CASE WHEN score_raw < 0 THEN -1 ELSE 1 END
+        * ((10000 * abs(score_raw)) // (1000 * greatest(n, 1))))::bigint
+         AS mean_weight_bp,
+       round(1.0 / (1.0 + exp(-score_raw / (1000.0 * greatest(n, 1)))), 4)
+         AS quality_prob,
+       score_raw >= 0 AS keep
+FROM scored
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4661,6 +4848,8 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "bpe_token_stats": (q_bpe_token_stats, ORACLE_BPE_TOKEN_STATS),
     "fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
     "winnow_fingerprint": (q_winnow_fingerprint, ORACLE_WINNOW),
+    "dup_span_scrub": (q_dup_span_scrub, ORACLE_DUP_SPAN_SCRUB),
+    "hashed_classifier": (q_hashed_classifier, ORACLE_HASHED_CLASSIFIER),
     # temporal joins + sketches (round-4 additions)
     "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
     "range_join": (q_range_join, ORACLE_RANGE_JOIN),

@@ -427,3 +427,23 @@ def test_cms_probe_join_broadcasts_sketch(spark, registry):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_dup_span_scrub_hash_only_shuffles_no_token_explode_past_scan(spark, registry):
+    """Span scrub: the gram explode feeds hash-only aggregates; the token
+    removal is a per-row higher-order filter — no corpus-wide token rows
+    cross a shuffle, no nested-loop/cartesian anywhere."""
+    df = registry["dup_span_scrub"][0](spark, SF_DIR)
+    plan = _plan(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_hashed_classifier_is_map_only(spark, registry):
+    """Classifier sweep: zero shuffles — the whole scoring pass is a
+    per-row fold, the gopher_filters shape."""
+    df = registry["hashed_classifier"][0](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 0
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan

@@ -180,3 +180,81 @@ def test_cms_never_underestimates_and_ranks_true_top(spark, tmp_path):
         assert out[tok] >= c  # classic CMS one-sided bound
     top = max(out, key=lambda t: (out[t], t))
     assert top == "alpha" and out["alpha"] >= 50
+
+
+# --------------------------------------------------------- dup-span scrub
+
+
+def test_dup_span_scrub_removes_shared_spans_only(spark, tmp_path):
+    import hashlib
+
+    shared = " ".join(f"s{i}" for i in range(16))   # one exact 16-gram
+    texts = [
+        f"alpha beta {shared} gamma delta",          # doc 0: span + 4 own
+        f"{shared} epsilon",                         # doc 1: span + 1 own
+        "totally unique text with no duplicate spans at all",  # doc 2
+    ]
+    _write_documents(spark, tmp_path, texts)
+    from pdf_extractor_spark.queries import q_dup_span_scrub
+
+    out = {r["doc_id"]: r for r in
+           q_dup_span_scrub(spark, str(tmp_path)).collect()}
+    assert out[0]["n_tokens"] == 20 and out[0]["n_removed"] == 16
+    assert out[1]["n_tokens"] == 17 and out[1]["n_removed"] == 16
+    assert out[2]["n_removed"] == 0
+    exp0 = hashlib.md5("alpha beta gamma delta".encode()).hexdigest()
+    exp1 = hashlib.md5("epsilon".encode()).hexdigest()
+    exp2 = hashlib.md5(texts[2].encode()).hexdigest()
+    assert out[0]["scrub_digest"] == exp0
+    assert out[1]["scrub_digest"] == exp1
+    assert out[2]["scrub_digest"] == exp2
+
+
+def test_dup_span_scrub_overlapping_spans_union_coverage(spark, tmp_path):
+    import hashlib
+
+    # 17 shared tokens → TWO overlapping dup 16-grams covering all 17
+    shared = " ".join(f"s{i}" for i in range(17))
+    _write_documents(
+        spark, tmp_path, [f"head {shared} tail", f"{shared}", "unrelated words"]
+    )
+    from pdf_extractor_spark.queries import q_dup_span_scrub
+
+    out = {r["doc_id"]: r for r in
+           q_dup_span_scrub(spark, str(tmp_path)).collect()}
+    assert out[0]["n_removed"] == 17                 # union, not double count
+    assert out[0]["scrub_digest"] == hashlib.md5(b"head tail").hexdigest()
+    assert out[1]["n_removed"] == 17
+    assert out[1]["scrub_digest"] == hashlib.md5(b"").hexdigest()
+
+
+# ----------------------------------------------------- hashed classifier
+
+
+def test_hashed_classifier_integer_exactness_and_verdict(spark, tmp_path):
+    import hashlib
+
+    def md5int(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def weight(tok: str) -> int:
+        return md5int(f"w:{md5int(tok) % 4096}") % 2001 - 1000
+
+    texts = ["alpha beta gamma", "zzz qqq", ""]
+    _write_documents(spark, tmp_path, texts)
+    from pdf_extractor_spark.queries import q_hashed_classifier
+
+    out = {r["doc_id"]: r for r in
+           q_hashed_classifier(spark, str(tmp_path)).collect()}
+    for doc_id, text in enumerate(texts):
+        toks = [t for t in text.lower().split() if t]
+        exp = sum(weight(t) for t in toks)
+        r = out[doc_id]
+        assert r["score_raw"] == exp
+        assert r["keep"] == (exp >= 0)
+        n = max(len(toks), 1)
+        sign = -1 if exp < 0 else 1
+        assert r["mean_weight_bp"] == sign * ((10000 * abs(exp)) // (1000 * n))
+    # empty doc: neutral score, sigmoid exactly 0.5, kept
+    assert out[2]["score_raw"] == 0 and out[2]["quality_prob"] == 0.5
+    assert out[2]["keep"] is True
