@@ -258,3 +258,72 @@ def test_hashed_classifier_integer_exactness_and_verdict(spark, tmp_path):
     # empty doc: neutral score, sigmoid exactly 0.5, kept
     assert out[2]["score_raw"] == 0 and out[2]["quality_prob"] == 0.5
     assert out[2]["keep"] is True
+
+
+# ------------------------------------------------ seeded fuzz vs pandas
+
+
+def _random_events(seed, n_users=5, n_events=120):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for eid in range(n_events):
+        rows.append(
+            (
+                eid,
+                str(base + pd.Timedelta(microseconds=int(rng.integers(0, 6 * 3600 * 1_000_000)))),
+                int(rng.integers(0, n_users)),
+                str(rng.choice(["click", "purchase", "view"])),
+                round(float(rng.uniform(0, 10)), 2),
+            )
+        )
+    return rows
+
+
+@pytest.mark.parametrize("seed", [7, 21, 99])
+def test_asof_join_matches_bruteforce(spark, tmp_path_factory, seed):
+    rows = _random_events(seed)
+    path = tmp_path_factory.mktemp(f"asof{seed}")
+    _write_events(spark, path, rows)
+    got = {
+        r["click_id"]: (r["purchase_id"], r["purchase_value"])
+        for r in q_asof_join(spark, str(path)).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], format="ISO8601")
+    exp = {}
+    clicks = pdf[pdf.event_type == "click"]
+    pur = pdf[pdf.event_type == "purchase"]
+    for _, c in clicks.iterrows():
+        prior = pur[(pur.user_id == c.user_id) & (pur.ts <= c.ts)]
+        if len(prior):
+            best = prior.sort_values("ts").iloc[-1]
+            exp[c.event_id] = (best.event_id, best.value)
+    assert got == exp
+
+
+@pytest.mark.parametrize("seed", [7, 21, 99])
+def test_range_join_matches_bruteforce(spark, tmp_path_factory, seed):
+    rows = _random_events(seed)
+    path = tmp_path_factory.mktemp(f"rng{seed}")
+    _write_events(spark, path, rows)
+    got = {
+        r["click_id"]: (r["n_purchases"], r["total_value"])
+        for r in q_range_join(spark, str(path)).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"], format="ISO8601")
+    exp = {}
+    clicks = pdf[pdf.event_type == "click"]
+    pur = pdf[pdf.event_type == "purchase"]
+    for _, c in clicks.iterrows():
+        hit = pur[
+            (pur.user_id == c.user_id)
+            & (pur.ts > c.ts)
+            & (pur.ts <= c.ts + pd.Timedelta(hours=1))
+        ]
+        if len(hit):
+            exp[c.event_id] = (len(hit), round(float(hit.value.sum()), 4))
+    assert got == exp
