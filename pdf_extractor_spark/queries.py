@@ -4771,6 +4771,237 @@ FROM scored
 
 
 # --------------------------------------------------------------------------
+# sequence analytics over the events stream (round-4, third batch): the
+# transcript-side analogs — "which tool follows which", funnel completion,
+# semi-structured props parsing, behavioral-prefix conversation dedup
+# --------------------------------------------------------------------------
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (the tool-call transition analog for agent transcripts: which tool
+    follows which, reference session flow api.py:214-260).
+
+    Plan shape: ONE exchange on user_id feeds the lag window; the
+    transition groupBy is a partial-aggregated hash agg over at most
+    |types|^2 = 25 keys, and the per-row probability window runs over that
+    tiny grouped table.  Nothing but (prev, next, count) crosses the
+    second shuffle — scale-safe at any event volume."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events
+        ), counts AS (
+          SELECT prev_type, event_type AS next_type,
+                 cast(count(*) as bigint) AS n_transitions
+          FROM seq WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, event_type
+        )
+        SELECT prev_type, next_type, n_transitions,
+               round(cast(n_transitions as double)
+                     / sum(n_transitions) OVER (PARTITION BY prev_type), 4)
+                 AS p_next
+        FROM counts
+        """,
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), counts AS (
+  SELECT prev_type, event_type AS next_type,
+         count(*)::bigint AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n_transitions,
+       round(n_transitions::double
+             / sum(n_transitions) OVER (PARTITION BY prev_type), 4) AS p_next
+FROM counts
+"""
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel completion (view -> click -> purchase): a
+    user reaches stage k only with an event AFTER their stage-(k-1) entry.
+
+    Plan shape: ONE exchange on user_id, then three running-min windows
+    over the SAME (user_id, ts, event_id) sort — Spark plans a single
+    Sort + three Window operators with no re-exchange; the final rollup
+    aggregates 150 user rows.  The classic per-stage-join spelling scans
+    events three times and shuffles each scan; this is one scan."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH w1 AS (
+          SELECT user_id, ts, event_id, event_type,
+                 min(CASE WHEN event_type = 'view' THEN ts END) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS t_view
+          FROM events
+        ), w2 AS (
+          SELECT *,
+                 min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS t_click
+          FROM w1
+        ), w3 AS (
+          SELECT *,
+                 min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS t_purchase
+          FROM w2
+        ), per_user AS (
+          SELECT user_id, min(t_view) AS t_view, min(t_click) AS t_click,
+                 min(t_purchase) AS t_purchase
+          FROM w3 GROUP BY user_id
+        )
+        SELECT cast(count(t_view) as bigint) AS reached_view,
+               cast(count(t_click) as bigint) AS reached_click,
+               cast(count(t_purchase) as bigint) AS reached_purchase,
+               round(cast(count(t_click) as double)
+                     / greatest(count(t_view), 1), 4) AS conv_view_click,
+               round(cast(count(t_purchase) as double)
+                     / greatest(count(t_click), 1), 4) AS conv_click_purchase
+        FROM per_user
+        """,
+    )
+
+
+ORACLE_EVENT_FUNNEL = """
+WITH w1 AS (
+  SELECT user_id, ts, event_id, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS t_view
+  FROM events
+), w2 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS t_click
+  FROM w1
+), w3 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS t_purchase
+  FROM w2
+), per_user AS (
+  SELECT user_id, min(t_view) AS t_view, min(t_click) AS t_click,
+         min(t_purchase) AS t_purchase
+  FROM w3 GROUP BY user_id
+)
+SELECT count(t_view)::bigint AS reached_view,
+       count(t_click)::bigint AS reached_click,
+       count(t_purchase)::bigint AS reached_purchase,
+       round(count(t_click)::double / greatest(count(t_view), 1), 4)
+         AS conv_view_click,
+       round(count(t_purchase)::double / greatest(count(t_click), 1), 4)
+         AS conv_click_purchase
+FROM per_user
+"""
+
+
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload parsing: extract a typed field out of the
+    JSON ``props`` column (the tool-call-arguments analog in transcripts)
+    and aggregate it per event type.
+
+    Plan shape: get_json_object evaluates JVM-side inside the scan's
+    project (no Python), the aggregate is a 5-key hash agg — map-side
+    combined, nothing else shuffles.  At 100 TB the JSON parse is the
+    per-row cost and stays in whole-stage codegen."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        SELECT event_type,
+               cast(count(*) as bigint) AS n_events,
+               cast(count(get_json_object(props, '$.k')) as bigint) AS n_with_k,
+               cast(min(cast(get_json_object(props, '$.k') as bigint)) as bigint)
+                 AS min_k,
+               cast(max(cast(get_json_object(props, '$.k') as bigint)) as bigint)
+                 AS max_k,
+               cast(sum(cast(get_json_object(props, '$.k') as bigint)) as bigint)
+                 AS sum_k,
+               round(avg(cast(get_json_object(props, '$.k') as bigint)), 4)
+                 AS avg_k
+        FROM events
+        GROUP BY event_type
+        """,
+    )
+
+
+ORACLE_JSON_PROPS_STATS = """
+SELECT event_type,
+       count(*)::bigint AS n_events,
+       count(json_extract_string(props, '$.k'))::bigint AS n_with_k,
+       min(json_extract_string(props, '$.k')::bigint)::bigint AS min_k,
+       max(json_extract_string(props, '$.k')::bigint)::bigint AS max_k,
+       sum(json_extract_string(props, '$.k')::bigint)::bigint AS sum_k,
+       round(avg(json_extract_string(props, '$.k')::bigint), 4) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_behavior_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-SENSITIVE conversation-level dedup: fingerprint each user's
+    first 8 events (md5 over the ordered event-type prefix) and group
+    identical behavioral openers — the transcript analog of detecting
+    re-submitted conversations whose turn SEQUENCE matches even when
+    set-based dedup would miss the ordering.
+
+    Plan shape: one hash aggregate on user_id builds the ordered prefix
+    via sort_array(collect_list(struct(ts, event_id, event_type))) —
+    partial-aggregated, so each map task pre-folds its slice; the
+    fingerprint groupBy then shuffles only (32-byte hash, user_id) rows.
+    No window, no join."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH prefixes AS (
+          SELECT user_id,
+                 array_join(
+                   slice(transform(
+                     sort_array(collect_list(struct(ts, event_id, event_type))),
+                     x -> x.event_type), 1, 8), '|') AS opener
+          FROM events GROUP BY user_id
+        )
+        SELECT md5(opener) AS fingerprint,
+               opener,
+               cast(count(*) as bigint) AS n_users,
+               cast(min(user_id) as bigint) AS canonical_user
+        FROM prefixes
+        GROUP BY opener
+        """,
+    )
+
+
+ORACLE_BEHAVIOR_FINGERPRINT = """
+WITH prefixes AS (
+  SELECT user_id,
+         array_to_string(
+           (list(event_type ORDER BY ts, event_id))[1:8], '|') AS opener
+  FROM events GROUP BY user_id
+)
+SELECT md5(opener) AS fingerprint,
+       opener,
+       count(*)::bigint AS n_users,
+       min(user_id)::bigint AS canonical_user
+FROM prefixes
+GROUP BY opener
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4850,6 +5081,11 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "winnow_fingerprint": (q_winnow_fingerprint, ORACLE_WINNOW),
     "dup_span_scrub": (q_dup_span_scrub, ORACLE_DUP_SPAN_SCRUB),
     "hashed_classifier": (q_hashed_classifier, ORACLE_HASHED_CLASSIFIER),
+    # sequence analytics over the events stream (round-4 additions)
+    "event_transitions": (q_event_transitions, ORACLE_EVENT_TRANSITIONS),
+    "event_funnel": (q_event_funnel, ORACLE_EVENT_FUNNEL),
+    "json_props_stats": (q_json_props_stats, ORACLE_JSON_PROPS_STATS),
+    "behavior_fingerprint": (q_behavior_fingerprint, ORACLE_BEHAVIOR_FINGERPRINT),
     # temporal joins + sketches (round-4 additions)
     "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
     "range_join": (q_range_join, ORACLE_RANGE_JOIN),

@@ -447,3 +447,49 @@ def test_hashed_classifier_is_map_only(spark, registry):
     assert plan.count("Exchange") == 0
     assert "Join" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_funnel_single_scan_shared_sort_three_windows(spark, registry):
+    """Funnel: one events scan and one (user_id, ts, event_id) sort shared
+    by all three running-min windows — the per-stage-join spelling would
+    scan and shuffle three times."""
+    import re
+
+    df = registry["event_funnel"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert len(re.findall(r"\bSort\b", plan)) == 1
+    assert plan.count("Window") == 3
+    assert "Join" not in plan
+
+
+def test_transitions_no_join_single_scan(spark, registry):
+    """Transition matrix: lag window + hash agg over <= |types|^2 keys;
+    the probability normalization windows over the tiny grouped table,
+    never the event stream."""
+    df = registry["event_transitions"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_json_props_parse_stays_jvm_side_single_shuffle(spark, registry):
+    """JSON props: get_json_object evaluates inside the scan's project —
+    no Python stage; the only exchange is the 5-key hash aggregate."""
+    df = registry["json_props_stats"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_behavior_fingerprint_partial_agg_no_window(spark, registry):
+    """Prefix fingerprint: sort_array(collect_list) builds the ordered
+    opener inside a partial-aggregated groupBy — no Window operator, no
+    join; only (hash, user) rows cross the second shuffle."""
+    df = registry["behavior_fingerprint"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2
