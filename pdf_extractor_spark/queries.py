@@ -5002,6 +5002,299 @@ GROUP BY opener
 
 
 # --------------------------------------------------------------------------
+# curation additions (round-4, third batch): incremental NEAR-dup via the
+# LSH band index, graded n-gram contamination, mergeable quantile sketch,
+# key-skew diagnostics
+# --------------------------------------------------------------------------
+
+def q_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest NEAR-dup screening — the minhash twin of
+    q_dedup_incremental: today's arrival batch (top-20%-of-doc_id slice)
+    is screened against the existing corpus through the LSH BAND INDEX,
+    so each arrival gets a verdict (``near_dup_candidate`` / ``novel``),
+    its corpus-candidate count, and the nearest (min-id) corpus match to
+    route into exact-Jaccard verification.
+
+    Scale shape: the signature subtree is evaluated ONCE (eager
+    localCheckpoint) and split into corpus/arrival sides — in production
+    the corpus band table is a MAINTAINED index (the ledger pattern of
+    ``streaming/ledger.py``), not re-derived per ingest, and the arrival
+    side is small by construction so it BROADCASTS into the band join:
+    zero corpus-side shuffle.  Only (band, bucket-key, doc_id) rows ever
+    move; the super-bucket cap of q_minhash_lsh_pairs applies to the
+    maintained index upstream."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", F.col(f"mh{i}"), F.col(f"mh{j}")).alias("bucket"),
+            )
+            for b, (i, j) in enumerate(_BAND_DEFS)
+        ]
+    )
+    bands = (
+        sig.select("doc_id", F.explode(band_structs).alias("bb"))
+        .select("doc_id", "bb.band", "bb.bucket")
+        .localCheckpoint(eager=True)  # ONE signature evaluation, two consumers
+    )
+    # cutoff from the DOCUMENTS table, not the band index: a tokenless
+    # max-id doc has no bands and must not shift the arrival boundary
+    cut = _t(spark, sf_dir, "documents").agg(
+        F.floor(F.max("doc_id") * 0.8).cast("bigint").alias("c")
+    )
+    corpus = (
+        bands.crossJoin(F.broadcast(cut))
+        .where(F.col("doc_id") < F.col("c"))
+        .select("doc_id", "band", "bucket")
+    )
+    arr_bands = (
+        bands.crossJoin(F.broadcast(cut))
+        .where(F.col("doc_id") >= F.col("c"))
+        .select(F.col("doc_id").alias("arrival_id"), "band", "bucket")
+    )
+    cand = (
+        corpus.join(F.broadcast(arr_bands), ["band", "bucket"])
+        .groupBy("arrival_id")
+        .agg(
+            F.countDistinct("doc_id").alias("n_corpus_candidates"),
+            F.min("doc_id").alias("nearest_corpus_doc"),
+        )
+    )
+    # every arrival doc gets a verdict — including tokenless docs that
+    # produce no bands at all (they are trivially novel)
+    arrivals = (
+        _t(spark, sf_dir, "documents")
+        .crossJoin(F.broadcast(cut))
+        .where(F.col("doc_id") >= F.col("c"))
+        .select("doc_id")
+    )
+    return arrivals.join(
+        F.broadcast(cand), arrivals.doc_id == cand.arrival_id, "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("n_corpus_candidates").isNotNull(), F.lit("near_dup_candidate"))
+        .otherwise(F.lit("novel"))
+        .alias("verdict"),
+        F.coalesce("n_corpus_candidates", F.lit(0)).cast("bigint")
+        .alias("n_corpus_candidates"),
+        F.col("nearest_corpus_doc").cast("bigint").alias("nearest_corpus_doc"),
+    )
+
+
+ORACLE_LSH_INCREMENTAL = (
+    _DUCK_SHINGLES.replace("WITH toks", "WITH sig AS (WITH toks")
+    .rstrip()
+    + _DUCK_HASHED
+    + f"SELECT doc_id,\n{_duck_mh_cols()}\nFROM hashed),\n"
+    + f"bands AS ({_duck_band_sql()}),\n"
+    + """cut AS (
+  SELECT cast(floor(max(doc_id) * 0.8) as bigint) AS c FROM documents
+), corpus AS (
+  SELECT b.* FROM bands b, cut WHERE b.doc_id < c
+), arr_bands AS (
+  SELECT b.doc_id AS arrival_id, b.band, b.bucket
+  FROM bands b, cut WHERE b.doc_id >= c
+), cand AS (
+  SELECT a.arrival_id,
+         count(DISTINCT cb.doc_id)::bigint AS n_corpus_candidates,
+         min(cb.doc_id)::bigint AS nearest_corpus_doc
+  FROM arr_bands a JOIN corpus cb
+    ON a.band = cb.band AND a.bucket = cb.bucket
+  GROUP BY a.arrival_id
+), arrivals AS (
+  SELECT d.doc_id FROM documents d, cut WHERE d.doc_id >= c
+)
+SELECT a.doc_id,
+       CASE WHEN cand.arrival_id IS NOT NULL THEN 'near_dup_candidate'
+            ELSE 'novel' END AS verdict,
+       coalesce(cand.n_corpus_candidates, 0)::bigint AS n_corpus_candidates,
+       cand.nearest_corpus_doc::bigint AS nearest_corpus_doc
+FROM arrivals a
+LEFT JOIN cand ON a.doc_id = cand.arrival_id
+"""
+)
+
+
+def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED benchmark contamination (the GPT-3/PaLM overlap spelling):
+    for every corpus doc, the fraction of its DISTINCT 3-gram shingles
+    that also appear in the benchmark set (docs with doc_id % 97 == 0) —
+    unlike the exact-hash decontaminate trio, partial overlaps score
+    between 0 and 1 and the keep/drop cut is graded.
+
+    Scale shape: grams travel as 8-byte hashes; the benchmark gram set is
+    tiny by construction and BROADCASTS (hint-pinned), so the corpus side
+    joins map-side with zero extra shuffle beyond its own per-doc
+    aggregate.  The contamination verdict is an integer compare
+    (5*hits >= total, i.e. >= 20%), exact on both engines."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        _SPARK_SHINGLES + _SPARK_HASHED
+        + """, grams AS (
+  SELECT doc_id, explode(array_distinct(hs)) AS h FROM hashed
+), bench AS (
+  SELECT DISTINCT h FROM grams WHERE doc_id % 97 = 0
+)
+SELECT /*+ BROADCAST(b) */ g.doc_id,
+       cast(count(*) as bigint) AS n_grams,
+       cast(count(b.h) as bigint) AS n_overlap,
+       round(cast(count(b.h) as double) / count(*), 4) AS overlap_frac,
+       5 * count(b.h) >= count(*) AS contaminated
+FROM grams g LEFT JOIN bench b ON g.h = b.h
+WHERE g.doc_id % 97 != 0
+GROUP BY g.doc_id
+""",
+    )
+
+
+ORACLE_NGRAM_CONTAMINATION = (
+    _DUCK_SHINGLES.rstrip()
+    + _DUCK_HASHED
+    + """, grams AS (
+  SELECT doc_id, unnest(list_distinct(hs)) AS h FROM hashed
+), bench AS (
+  SELECT DISTINCT h FROM grams WHERE doc_id % 97 = 0
+)
+SELECT g.doc_id,
+       count(*)::bigint AS n_grams,
+       count(b.h)::bigint AS n_overlap,
+       round(count(b.h)::double / count(*), 4) AS overlap_frac,
+       5 * count(b.h) >= count(*) AS contaminated
+FROM grams g LEFT JOIN bench b ON g.h = b.h
+WHERE g.doc_id % 97 != 0
+GROUP BY g.doc_id
+"""
+)
+
+
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-linear quantile sketch (the HDR-histogram shape) over
+    document lengths: bin k = floor(log2(n)) with 4 linear sub-bins per
+    octave, so the relative error of any estimate is bounded at 25% and
+    the whole sketch is a tiny additive bin-count table — executors fold
+    their slices map-side and the merge is a sum, unlike exact
+    percentile() which buffers values.  Quantiles (p50/p90/p99) come from
+    the cumulative bin walk with linear interpolation inside the hit bin.
+
+    Every bin edge is integer arithmetic — length(bin(n))-1 for the
+    octave (no libm log2 at bin boundaries), integer div for the sub-bin
+    — so the sketch is bitwise cross-engine; only the final interpolation
+    is float, as single IEEE ops."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH binned AS (
+          SELECT length(bin(n_chars)) - 1 AS k,
+                 (4 * n_chars) div shiftleft(cast(1 as bigint),
+                                             length(bin(n_chars)) - 1) - 4 AS sub
+          FROM documents WHERE n_chars >= 1
+        ), bins AS (
+          SELECT cast(4 * k + sub as bigint) AS bin_id,
+                 cast(shiftleft(cast(1 as bigint), k) as double)
+                   * (1.0 + sub / 4.0) AS lo,
+                 cast(shiftleft(cast(1 as bigint), k) as double)
+                   * (1.0 + (sub + 1) / 4.0) AS hi,
+                 cast(count(*) as bigint) AS cnt
+          FROM binned GROUP BY k, sub
+        ), walk AS (
+          SELECT *,
+                 cast(sum(cnt) OVER (ORDER BY bin_id
+                                     ROWS UNBOUNDED PRECEDING) as double) AS cume,
+                 cast(sum(cnt) OVER () as double) AS total
+          FROM bins
+        )
+        SELECT q, bin_id,
+               round(lo + (q * total - (cume - cnt)) / cnt * (hi - lo), 4)
+                 AS estimate,
+               lo AS bin_lo, hi AS bin_hi,
+               cast(cnt as bigint) AS bin_count,
+               cast(total as bigint) AS n_values
+        FROM walk
+        JOIN (SELECT cast(q as double) AS q
+              FROM VALUES (0.5), (0.9), (0.99) AS qs(q)) qs
+          ON cume >= q * total AND (cume - cnt) < q * total
+        """,
+    )
+
+
+ORACLE_QUANTILE_SKETCH = """
+WITH binned AS (
+  SELECT length(bin(n_chars)) - 1 AS k,
+         (4 * n_chars) // (1::bigint << (length(bin(n_chars)) - 1)) - 4 AS sub
+  FROM documents WHERE n_chars >= 1
+), bins AS (
+  SELECT (4 * k + sub)::bigint AS bin_id,
+         (1::bigint << k)::double * (1.0 + sub / 4.0) AS lo,
+         (1::bigint << k)::double * (1.0 + (sub + 1) / 4.0) AS hi,
+         count(*)::bigint AS cnt
+  FROM binned GROUP BY k, sub
+), walk AS (
+  SELECT *,
+         (sum(cnt) OVER (ORDER BY bin_id
+                         ROWS UNBOUNDED PRECEDING))::double AS cume,
+         (sum(cnt) OVER ())::double AS total
+  FROM bins
+)
+SELECT q, bin_id,
+       round(lo + (q * total - (cume - cnt)) / cnt * (hi - lo), 4) AS estimate,
+       lo AS bin_lo, hi AS bin_hi,
+       cnt::bigint AS bin_count,
+       total::bigint AS n_values
+FROM walk
+JOIN (SELECT q::double AS q FROM (VALUES (0.5), (0.9), (0.99)) qs(q)) qs
+  ON cume >= q * total AND (cume - cnt) < q * total
+"""
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics — the operator you run BEFORE picking a
+    partition strategy: per-key counts, global share, cumulative share
+    down the ranked order, and a heavy-key flag (share >= 2%, integer
+    compare) that tells you which keys need salting before the next
+    groupBy/join on this key.
+
+    Scale shape: ONE hash aggregate over the stream (map-side combined);
+    the ranking windows run over the GROUPED table (|keys| rows, not
+    |events|).  At a billion distinct keys you'd pre-bucket by count
+    range and rank only the top stratum — the grouped-table window here
+    is the honest small-cardinality spelling."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH counts AS (
+          SELECT user_id, cast(count(*) as bigint) AS n
+          FROM events GROUP BY user_id
+        )
+        SELECT cast(rank() OVER (ORDER BY n DESC, user_id) as bigint) AS rnk,
+               user_id, n,
+               round(cast(n as double) / sum(n) OVER (), 4) AS share,
+               round(cast(sum(n) OVER (ORDER BY n DESC, user_id
+                                       ROWS UNBOUNDED PRECEDING) as double)
+                     / sum(n) OVER (), 4) AS cume_share,
+               50 * n >= sum(n) OVER () AS is_heavy
+        FROM counts
+        """,
+    )
+
+
+ORACLE_SKEW_REPORT = """
+WITH counts AS (
+  SELECT user_id, count(*)::bigint AS n
+  FROM events GROUP BY user_id
+)
+SELECT rank() OVER (ORDER BY n DESC, user_id)::bigint AS rnk,
+       user_id, n,
+       round(n::double / sum(n) OVER (), 4) AS share,
+       round((sum(n) OVER (ORDER BY n DESC, user_id
+                           ROWS UNBOUNDED PRECEDING))::double
+             / sum(n) OVER (), 4) AS cume_share,
+       50 * n >= sum(n) OVER () AS is_heavy
+FROM counts
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -5086,6 +5379,11 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "event_funnel": (q_event_funnel, ORACLE_EVENT_FUNNEL),
     "json_props_stats": (q_json_props_stats, ORACLE_JSON_PROPS_STATS),
     "behavior_fingerprint": (q_behavior_fingerprint, ORACLE_BEHAVIOR_FINGERPRINT),
+    # curation additions (round-4, third batch)
+    "lsh_incremental": (q_lsh_incremental, ORACLE_LSH_INCREMENTAL),
+    "ngram_contamination": (q_ngram_contamination, ORACLE_NGRAM_CONTAMINATION),
+    "quantile_sketch": (q_quantile_sketch, ORACLE_QUANTILE_SKETCH),
+    "skew_report": (q_skew_report, ORACLE_SKEW_REPORT),
     # temporal joins + sketches (round-4 additions)
     "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
     "range_join": (q_range_join, ORACLE_RANGE_JOIN),

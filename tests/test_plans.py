@@ -493,3 +493,45 @@ def test_behavior_fingerprint_partial_agg_no_window(spark, registry):
     assert "Window" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange") == 2
+
+
+def test_lsh_incremental_broadcasts_arrival_side_and_verdict_join(spark, registry):
+    """Incremental LSH: the arrival band table and the candidate verdict
+    table both BROADCAST (explicit hints) — the corpus band index never
+    shuffles; the signature subtree is checkpoint-materialized once."""
+    df = registry["lsh_incremental"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_ngram_contamination_bench_grams_broadcast(spark, registry):
+    """Graded contamination: the benchmark gram set broadcasts
+    (hint-pinned); the corpus side never sort-merges on gram hashes."""
+    df = registry["ngram_contamination"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_sketch_integer_bins_no_python_single_scan(spark, registry):
+    """Quantile sketch: one scan folds into the additive bin table; the
+    quantile probe is a broadcast join against 3 literal rows."""
+    df = registry["quantile_sketch"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_report_windows_run_over_grouped_table(spark, registry):
+    """Skew report: the ranking windows see |keys| rows, not |events| —
+    exactly one aggregate exchange plus the single-partition window."""
+    df = registry["skew_report"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2
