@@ -167,7 +167,13 @@ def main() -> None:
                      "dedup_incremental",
                      "asof_join", "range_join", "rollup_multires",
                      "hll_distinct", "cms_heavy_hitters",
-                     "dup_span_scrub", "hashed_classifier"):
+                     "dup_span_scrub", "hashed_classifier",
+                     "event_transitions", "event_funnel",
+                     "json_props_stats", "behavior_fingerprint",
+                     "lsh_incremental", "ngram_contamination",
+                     "quantile_sketch", "skew_report",
+                     "ann_recall", "ivf_build_stats",
+                     "domain_caps", "rate_anomaly"):
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

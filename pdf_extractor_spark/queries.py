@@ -5295,6 +5295,228 @@ FROM counts
 
 
 # --------------------------------------------------------------------------
+# quality measurement + policy ops (round-4, fourth batch): ANN recall,
+# IVF index balance, per-source caps, windowed rate anomalies
+# --------------------------------------------------------------------------
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@5 of the IVF single-probe path against exact
+    brute-force top-5, per query — the "don't guess the ANN quality"
+    operator: before shipping an index config you run this on a sampled
+    query set and read the recall number, exactly like the accuracy
+    bounds pinned for HLL/CMS.
+
+    Scale shape: ONE corpus pass — the 5-query batch broadcasts into the
+    scoring join (the cosine_topk_batch shape), then BOTH ranks come from
+    two windows over the same scored rows: the exact rank partitions by
+    qid, the in-cell rank partitions by (qid, label=ql) so rows inside
+    the query's cell carry their IVF rank on the same row.  A hit is a
+    row in both top-5 sets — no exact-vs-ivf join, no double evaluation
+    of the scored subtree (the naive two-CTE spelling re-scans the corpus
+    per consumer; measured and removed).  The recall deficit this reports
+    is precisely what multi-probe buys back."""
+    return _sql(
+        spark, sf_dir, ["embeddings"],
+        f"""
+        WITH qs AS (
+          SELECT vec_id AS qid, embedding AS qv, label AS ql
+          FROM embeddings WHERE vec_id < 5
+        ), scored AS (
+          SELECT /*+ BROADCAST(q) */ q.qid, e.vec_id,
+                 e.label = q.ql AS in_cell,
+                 {_SPARK_COS} AS cos_sim
+          FROM embeddings e JOIN qs q ON e.vec_id != q.qid
+        ), ranked AS (
+          SELECT qid, vec_id, in_cell,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cos_sim DESC, vec_id) AS rk_exact,
+                 row_number() OVER (PARTITION BY qid, in_cell
+                                    ORDER BY cos_sim DESC, vec_id) AS rk_cell
+          FROM scored
+        )
+        SELECT qid,
+               cast(count(*) as bigint) AS k,
+               cast(sum(CASE WHEN in_cell AND rk_cell <= 5 THEN 1 ELSE 0 END)
+                    as bigint) AS n_hit,
+               round(cast(sum(CASE WHEN in_cell AND rk_cell <= 5
+                                   THEN 1 ELSE 0 END) as double)
+                     / count(*), 4) AS recall_at_5
+        FROM ranked WHERE rk_exact <= 5
+        GROUP BY qid
+        """,
+    )
+
+
+ORACLE_ANN_RECALL = f"""
+WITH qs AS (
+  SELECT vec_id AS qid, embedding AS qv, label AS ql
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.qid, e.vec_id, e.label = q.ql AS in_cell, {_DUCK_COS} AS cos_sim
+  FROM embeddings e JOIN qs q ON e.vec_id != q.qid
+), ranked AS (
+  SELECT qid, vec_id, in_cell,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, vec_id) AS rk_exact,
+         row_number() OVER (PARTITION BY qid, in_cell
+                            ORDER BY cos_sim DESC, vec_id) AS rk_cell
+  FROM scored
+)
+SELECT qid,
+       count(*)::bigint AS k,
+       sum(CASE WHEN in_cell AND rk_cell <= 5 THEN 1 ELSE 0 END)::bigint
+         AS n_hit,
+       round(sum(CASE WHEN in_cell AND rk_cell <= 5
+                      THEN 1 ELSE 0 END)::double / count(*), 4)
+         AS recall_at_5
+FROM ranked WHERE rk_exact <= 5
+GROUP BY qid
+"""
+
+
+def q_ivf_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index balance report — skew_report for the vector index: per
+    coarse cell, vector count, share, and the imbalance ratio against a
+    perfectly balanced index; an oversized flag (>= 2x fair share,
+    integer compare) marks the cells that dominate probe latency and
+    should be split before shipping.
+
+    Scale shape: one hash aggregate on the int label (map-side combined),
+    windows over the k-row cell table."""
+    return _sql(
+        spark, sf_dir, ["embeddings"],
+        """
+        WITH cells AS (
+          SELECT label, cast(count(*) as bigint) AS n_vecs
+          FROM embeddings GROUP BY label
+        )
+        SELECT label, n_vecs,
+               round(cast(n_vecs as double) / sum(n_vecs) OVER (), 4) AS share,
+               round(cast(n_vecs as double) * count(*) OVER ()
+                     / sum(n_vecs) OVER (), 4) AS balance_ratio,
+               n_vecs * count(*) OVER () >= 2 * sum(n_vecs) OVER ()
+                 AS is_oversized
+        FROM cells
+        """,
+    )
+
+
+ORACLE_IVF_BUILD_STATS = """
+WITH cells AS (
+  SELECT label, count(*)::bigint AS n_vecs
+  FROM embeddings GROUP BY label
+)
+SELECT label, n_vecs,
+       round(n_vecs::double / sum(n_vecs) OVER (), 4) AS share,
+       round(n_vecs::double * count(*) OVER () / sum(n_vecs) OVER (), 4)
+         AS balance_ratio,
+       n_vecs * count(*) OVER () >= 2 * sum(n_vecs) OVER () AS is_oversized
+FROM cells
+"""
+
+
+_DOMAIN_CAP = 60
+
+
+def q_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps — the web-pipeline rule that no single
+    domain dominates the training mix: within each source, docs rank by
+    a deterministic priority (longest first, doc_id tiebreak) and only
+    the top N survive; every doc gets kept/dropped plus its rank so the
+    cut is auditable.
+
+    Scale shape: ONE shuffle on source feeds the row_number window; at a
+    heavy-tailed 10^12-doc corpus the same query runs after a per-source
+    count prefilter so only over-cap sources enter the window (noted, not
+    needed at test scale)."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        SELECT doc_id, source, n_chars,
+               cast(row_number() OVER (PARTITION BY source
+                                       ORDER BY n_chars DESC, doc_id)
+                    as bigint) AS priority_rank,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id)
+                 <= {_DOMAIN_CAP} AS kept
+        FROM documents
+        """,
+    )
+
+
+ORACLE_DOMAIN_CAPS = f"""
+SELECT doc_id, source, n_chars,
+       (row_number() OVER (PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id))::bigint
+         AS priority_rank,
+       row_number() OVER (PARTITION BY source
+                          ORDER BY n_chars DESC, doc_id)
+         <= {_DOMAIN_CAP} AS kept
+FROM documents
+"""
+
+
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed rate anomaly detection: tumbling 5-minute counts per
+    event type, z-scored against that type's own mean/stddev across all
+    windows; |z| >= 3 flags the anomalous bursts a streaming monitor
+    would alert on (the batch spelling of the alerting rule).
+
+    Scale shape: one 5-key-x-windows hash aggregate (map-side combined);
+    the normalization windows run over the grouped (type, window) table.
+    In streaming the same stats come from the watermarked windowed_rates
+    aggregation with the baseline maintained incrementally."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH rates AS (
+          SELECT event_type,
+                 cast(floor(unix_timestamp(ts) / 300) * 300 as bigint)
+                   AS window_start,
+                 cast(count(*) as bigint) AS n_events
+          FROM events GROUP BY event_type, floor(unix_timestamp(ts) / 300) * 300
+        )
+        SELECT event_type, window_start, n_events,
+               round(avg(n_events) OVER (PARTITION BY event_type), 4)
+                 AS mean_rate,
+               round(coalesce(stddev_samp(n_events)
+                              OVER (PARTITION BY event_type), 0.0), 4)
+                 AS std_rate,
+               round((n_events - avg(n_events) OVER (PARTITION BY event_type))
+                     / greatest(stddev_samp(n_events)
+                                OVER (PARTITION BY event_type),
+                                cast(1e-9 as double)), 4) AS z_score,
+               abs(n_events - avg(n_events) OVER (PARTITION BY event_type))
+                 >= 3 * greatest(stddev_samp(n_events)
+                                 OVER (PARTITION BY event_type),
+                                 cast(1e-9 as double)) AS is_anomaly
+        FROM rates
+        """,
+    )
+
+
+ORACLE_RATE_ANOMALY = """
+WITH rates AS (
+  SELECT event_type,
+         (floor(epoch(ts) / 300) * 300)::bigint AS window_start,
+         count(*)::bigint AS n_events
+  FROM events GROUP BY event_type, floor(epoch(ts) / 300) * 300
+)
+SELECT event_type, window_start, n_events,
+       round(avg(n_events) OVER (PARTITION BY event_type), 4) AS mean_rate,
+       round(coalesce(stddev_samp(n_events)
+                      OVER (PARTITION BY event_type), 0.0), 4) AS std_rate,
+       round((n_events - avg(n_events) OVER (PARTITION BY event_type))
+             / greatest(stddev_samp(n_events) OVER (PARTITION BY event_type),
+                        1e-9::double), 4) AS z_score,
+       abs(n_events - avg(n_events) OVER (PARTITION BY event_type))
+         >= 3 * greatest(stddev_samp(n_events) OVER (PARTITION BY event_type),
+                         1e-9::double) AS is_anomaly
+FROM rates
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -5384,6 +5606,11 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "ngram_contamination": (q_ngram_contamination, ORACLE_NGRAM_CONTAMINATION),
     "quantile_sketch": (q_quantile_sketch, ORACLE_QUANTILE_SKETCH),
     "skew_report": (q_skew_report, ORACLE_SKEW_REPORT),
+    # quality measurement + policy ops (round-4, fourth batch)
+    "ann_recall": (q_ann_recall, ORACLE_ANN_RECALL),
+    "ivf_build_stats": (q_ivf_build_stats, ORACLE_IVF_BUILD_STATS),
+    "domain_caps": (q_domain_caps, ORACLE_DOMAIN_CAPS),
+    "rate_anomaly": (q_rate_anomaly, ORACLE_RATE_ANOMALY),
     # temporal joins + sketches (round-4 additions)
     "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
     "range_join": (q_range_join, ORACLE_RANGE_JOIN),

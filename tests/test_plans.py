@@ -535,3 +535,28 @@ def test_skew_report_windows_run_over_grouped_table(spark, registry):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert plan.count("Exchange") == 2
+
+
+def test_ann_recall_single_corpus_pass_no_rank_join(spark, registry):
+    """ANN recall: ONE scored pass — both ranks come from windows over the
+    same rows (exact by qid, in-cell by (qid, in_cell)); the two-CTE
+    exact-vs-ivf join spelling re-scans the corpus per consumer."""
+    df = registry["ann_recall"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 2  # corpus + query sample only
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # broadcast scoring join
+    assert plan.count("Window") == 2
+
+
+def test_ivf_build_stats_and_domain_caps_and_rate_anomaly_shapes(spark, registry):
+    """Diagnostics family: one scan, no joins; windows only over grouped
+    (or per-source ranked) tables."""
+    for name in ("ivf_build_stats", "domain_caps", "rate_anomaly"):
+        plan = _plan(registry[name][0](spark, SF_DIR)).split("== Initial Plan ==")[0]
+        assert plan.count("Scan parquet") == 1, name
+        assert "Join" not in plan, name
+        assert "EvalPython" not in plan and "InPandas" not in plan, name
+    # domain_caps: both row_number expressions share ONE window operator
+    dc = _plan(registry["domain_caps"][0](spark, SF_DIR)).split("== Initial Plan ==")[0]
+    assert dc.count("Exchange") == 1
