@@ -173,7 +173,11 @@ def main() -> None:
                      "lsh_incremental", "ngram_contamination",
                      "quantile_sketch", "skew_report",
                      "ann_recall", "ivf_build_stats",
-                     "domain_caps", "rate_anomaly"):
+                     "domain_caps", "rate_anomaly",
+                     "langid_confusion", "char_entropy",
+                     "ks_drift", "minhash_est_error",
+                     "salted_join", "zipf_fit",
+                     "unigram_drift", "graph_degree_stats"):
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -448,15 +448,20 @@ _BAND_DEFS = [(0, 1), (2, 3), (4, 5), (6, 7)]  # 4 bands x 2 rows
 _LSH_BUCKET_CAP = 1000  # super-bucket guard: skip degenerate buckets
 
 
-def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, sig: Optional[DataFrame] = None
+) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any band bucket.
 
     Scale path: explode each doc into its 4 (band, bucket) keys, ONE
     aggregation groups docs per bucket, pairs expand bucket-locally —
     O(sum bucket^2) work, never an O(n^2) cross join, and the signature
     subtree is evaluated exactly once (a unionAll-of-selects or a
-    bands-self-join would recompute it 4-8x)."""
-    sig = q_minhash_signatures(spark, sf_dir)
+    bands-self-join would recompute it 4-8x).  Callers that ALSO consume
+    the signatures (minhash_est_error) pass a materialized ``sig`` so the
+    subtree isn't re-derived per consumer."""
+    if sig is None:
+        sig = q_minhash_signatures(spark, sf_dir)
     band_structs = F.array(
         *[
             F.struct(
@@ -5517,6 +5522,536 @@ FROM rates
 
 
 # --------------------------------------------------------------------------
+# classifier/sketch accuracy + drift ops (round-4, fifth batch): measure
+# the heuristics the pipeline relies on, don't guess
+# --------------------------------------------------------------------------
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the lang_id heuristic against the labeled
+    ``lang`` column — ann_recall for the language classifier: per
+    (true label, prediction) cell, count and share-of-true-label, so the
+    per-language error rate of the stopword heuristic is a measured
+    number before it gates a corpus cut.
+
+    Scale shape: the per-row predicate is the same zero-shuffle token
+    fold lang_id uses; the confusion aggregate has |langs| x 2 keys and
+    the share window runs over that grouped table."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH t AS (
+          SELECT lang,
+                 CASE WHEN size(filter({toks}, x -> x IN ({_STOPWORDS}))) /
+                           cast(greatest(size({toks}), 1) as double) >= 0.08
+                      THEN 'en' ELSE 'other' END AS predicted_lang
+          FROM documents
+        ), cells AS (
+          SELECT lang AS true_lang, predicted_lang,
+                 cast(count(*) as bigint) AS n
+          FROM t GROUP BY lang, predicted_lang
+        )
+        SELECT true_lang, predicted_lang, n,
+               round(cast(n as double)
+                     / sum(n) OVER (PARTITION BY true_lang), 4)
+                 AS share_of_true,
+               (true_lang = 'en') = (predicted_lang = 'en') AS is_correct
+        FROM cells
+        """,
+    )
+
+
+ORACLE_LANGID_CONFUSION = f"""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN len(list_filter({_DUCK_TOKENS.format(x='text')},
+                                   x -> x IN ({_STOPWORDS}))) /
+                   cast(greatest(len({_DUCK_TOKENS.format(x='text')}), 1)
+                        as double) >= 0.08
+              THEN 'en' ELSE 'other' END AS predicted_lang
+  FROM documents
+), cells AS (
+  SELECT lang AS true_lang, predicted_lang, count(*)::bigint AS n
+  FROM t GROUP BY lang, predicted_lang
+)
+SELECT true_lang, predicted_lang, n,
+       round(n::double / sum(n) OVER (PARTITION BY true_lang), 4)
+         AS share_of_true,
+       (true_lang = 'en') = (predicted_lang = 'en') AS is_correct
+FROM cells
+"""
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the
+    information-theoretic quality signal (low-entropy pages are padding /
+    keyword stuffing / binary junk; the compression-ratio proxy that
+    needs no compressor).
+
+    Scale shape: ZERO SHUFFLE — the char histogram is the run-length
+    structure of the SORTED char array (the repetition_signals trick),
+    so entropy is a per-row higher-order fold on the scan: sort chars,
+    find run boundaries, fold -sum(p*log2(p)) over run lengths in
+    deterministic (sorted) order, which is why the float sum is
+    cross-engine stable.  Empty docs are excluded on both engines."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH c AS (
+          -- split('') emits the char array in ONE regex pass; the
+          -- substring-per-index transform spelling costs 5.8x (measured
+          -- at sf0.1: 4.33 vs 0.75 s for the same char-array subtree)
+          SELECT doc_id, array_sort(split(lower(text), '')) AS cs
+          FROM documents WHERE length(text) >= 1
+        ), b AS (
+          SELECT doc_id, size(cs) AS n,
+                 concat(IF(size(cs) >= 2,
+                           filter(sequence(1, size(cs) - 1),
+                                  i -> element_at(cs, i) != element_at(cs, i+1)),
+                           cast(array() as array<int>)),
+                        array(size(cs))) AS bounds
+          FROM c
+        ), r AS (
+          SELECT doc_id, n,
+                 transform(sequence(1, size(bounds)),
+                           j -> element_at(bounds, j)
+                                - IF(j = 1, 0, element_at(bounds, j-1))) AS runs
+          FROM b
+        )
+        SELECT doc_id,
+               cast(n as bigint) AS n_chars_used,
+               cast(size(runs) as bigint) AS n_distinct_chars,
+               round(cast(0.0 as double)
+                     - aggregate(runs, cast(0.0 as double),
+                                 (acc, l) -> acc + (l / cast(n as double))
+                                   * log2(l / cast(n as double))), 4)
+                 AS entropy_bits,
+               round(cast(0.0 as double)
+                     - aggregate(runs, cast(0.0 as double),
+                                 (acc, l) -> acc + (l / cast(n as double))
+                                   * log2(l / cast(n as double))), 4) < 2.0
+                 AS low_entropy
+        FROM r
+        """,
+    )
+
+
+ORACLE_CHAR_ENTROPY = """
+WITH c AS (
+  SELECT doc_id,
+         list_sort([lower(text)[i] FOR i IN range(1, length(text) + 1)]) AS cs
+  FROM documents WHERE length(text) >= 1
+), b AS (
+  SELECT doc_id, len(cs) AS n,
+         list_concat([i FOR i IN range(1, len(cs)) IF cs[i] != cs[i+1]],
+                     [len(cs)]) AS bounds
+  FROM c
+), r AS (
+  SELECT doc_id, n,
+         [bounds[j] - CASE WHEN j = 1 THEN 0 ELSE bounds[j-1] END
+          FOR j IN range(1, len(bounds) + 1)] AS runs
+  FROM b
+)
+SELECT doc_id,
+       n::bigint AS n_chars_used,
+       len(runs)::bigint AS n_distinct_chars,
+       round(0.0::double
+             - list_sum([(l / n::double) * log2(l / n::double)
+                         FOR l IN runs]), 4) AS entropy_bits,
+       round(0.0::double
+             - list_sum([(l / n::double) * log2(l / n::double)
+                         FOR l IN runs]), 4) < 2.0 AS low_entropy
+FROM r
+"""
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between the existing
+    corpus and the arrival batch (the dedup_incremental split) on the
+    document-length distribution — the "did today's crawl change shape"
+    gate a production ingest runs before mixing new data in.  Flags at
+    the alpha=0.05 critical value 1.358*sqrt((na+nb)/(na*nb)).
+
+    Scale shape: ONE scan folds into a per-distinct-value count table
+    (two FILTER aggregates); both ECDFs and the sup-gap come from windows
+    over that grouped table — values x 1 rows, never the corpus."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH cut AS (
+          SELECT cast(floor(max(doc_id) * 0.8) as bigint) AS c FROM documents
+        ), per_v AS (
+          SELECT n_chars AS v,
+                 count(*) FILTER (WHERE doc_id < c) AS na_v,
+                 count(*) FILTER (WHERE doc_id >= c) AS nb_v
+          FROM documents CROSS JOIN cut
+          GROUP BY n_chars
+        ), walk AS (
+          SELECT cast(sum(na_v) OVER (ORDER BY v
+                                      ROWS UNBOUNDED PRECEDING) as double) AS ca,
+                 cast(sum(nb_v) OVER (ORDER BY v
+                                      ROWS UNBOUNDED PRECEDING) as double) AS cb,
+                 cast(sum(na_v) OVER () as double) AS na,
+                 cast(sum(nb_v) OVER () as double) AS nb
+          FROM per_v
+        )
+        SELECT round(max(abs(ca / na - cb / nb)), 4) AS ks_d,
+               cast(max(na) as bigint) AS n_old,
+               cast(max(nb) as bigint) AS n_new,
+               max(abs(ca / na - cb / nb))
+                 >= 1.358 * sqrt((max(na) + max(nb)) / (max(na) * max(nb)))
+                 AS drifted
+        FROM walk
+        """,
+    )
+
+
+ORACLE_KS_DRIFT = """
+WITH cut AS (
+  SELECT cast(floor(max(doc_id) * 0.8) as bigint) AS c FROM documents
+), per_v AS (
+  SELECT n_chars AS v,
+         count(*) FILTER (WHERE doc_id < c) AS na_v,
+         count(*) FILTER (WHERE doc_id >= c) AS nb_v
+  FROM documents CROSS JOIN cut
+  GROUP BY n_chars
+), walk AS (
+  SELECT (sum(na_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING))::double AS ca,
+         (sum(nb_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING))::double AS cb,
+         (sum(na_v) OVER ())::double AS na,
+         (sum(nb_v) OVER ())::double AS nb
+  FROM per_v
+)
+SELECT round(max(abs(ca / na - cb / nb)), 4) AS ks_d,
+       max(na)::bigint AS n_old,
+       max(nb)::bigint AS n_new,
+       max(abs(ca / na - cb / nb))
+         >= 1.358 * sqrt((max(na) + max(nb)) / (max(na) * max(nb))) AS drifted
+FROM walk
+"""
+
+
+def q_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED MinHash estimation error — for every LSH candidate pair,
+    the signature-estimated Jaccard (fraction of the 8 minhash components
+    that agree) against the exact shingle-set Jaccard: the operator that
+    tells you whether 8 permutations are enough BEFORE you trust the
+    banding at corpus scale (completes the accuracy-measurement family:
+    hll bound, cms bound, ann_recall, this).
+
+    Scale shape: candidate pairs are few (bucket-capped), so the pair
+    table broadcasts into the signature lookups and then into the
+    shingle-set verification — the near_dup_verified join discipline; in
+    production the signature table is materialized once (the
+    lsh_incremental checkpoint pattern) — done here too: the signatures
+    are eagerly checkpointed and SHARED with the pair derivation, so the
+    md5-per-shingle subtree runs once, not three times (5.4 -> ~3 s at
+    sf0.1 measured)."""
+    sig = q_minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
+    cand = q_minhash_lsh_pairs(spark, sf_dir, sig=sig)
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(_N_MINHASH)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(_N_MINHASH)],
+    )
+    agree = " + ".join(
+        f"IF(a{k} = b{k}, 1, 0)" for k in range(_N_MINHASH)
+    )
+    sets3 = _sql(
+        spark, sf_dir, ["documents"],
+        _SPARK_SHINGLES
+        + ", s AS (SELECT doc_id, array_distinct(shingles) AS g FROM sh)"
+        + " SELECT doc_id, g FROM s",
+    )
+    with_sigs = (
+        F.broadcast(F.broadcast(F.broadcast(cand).join(sig_a, "doc_a")).join(sig_b, "doc_b"))
+        .join(sets3.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga")), "doc_a")
+    )
+    return (
+        F.broadcast(with_sigs)
+        .join(sets3.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb")), "doc_b")
+        .selectExpr(
+            "doc_a", "doc_b",
+            f"round(({agree}) / cast(8 as double), 4) AS est_jaccard",
+            "round(size(array_intersect(ga, gb)) /"
+            " cast(size(array_union(ga, gb)) as double), 4) AS exact_jaccard",
+            f"round(({agree}) / cast(8 as double)"
+            " - size(array_intersect(ga, gb)) /"
+            " cast(size(array_union(ga, gb)) as double), 4) AS est_error",
+        )
+    )
+
+
+_DUCK_MH_AGREE = " + ".join(
+    f"CASE WHEN sa.mh{k} = sb.mh{k} THEN 1 ELSE 0 END" for k in range(_N_MINHASH)
+)
+
+ORACLE_MINHASH_EST_ERROR = f"""
+WITH cand AS ({ORACLE_LSH_PAIRS}),
+sig AS ({ORACLE_MINHASH}),
+sets3 AS (
+  {_DUCK_SHINGLES}
+  , s AS (SELECT doc_id, list_distinct(shingles) AS g FROM sh)
+  SELECT doc_id, g FROM s
+)
+SELECT c.doc_a, c.doc_b,
+       round(({_DUCK_MH_AGREE}) / cast(8 as double), 4) AS est_jaccard,
+       round(len(list_intersect(a.g, b.g)) /
+             cast(len(list_distinct(list_concat(a.g, b.g))) as double), 4)
+         AS exact_jaccard,
+       round(({_DUCK_MH_AGREE}) / cast(8 as double)
+             - len(list_intersect(a.g, b.g)) /
+               cast(len(list_distinct(list_concat(a.g, b.g))) as double), 4)
+         AS est_error
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+JOIN sets3 a ON a.doc_id = c.doc_a
+JOIN sets3 b ON b.doc_id = c.doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# skew machinery + corpus statistics (round-4, sixth batch)
+# --------------------------------------------------------------------------
+
+_SALT_N = 8
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLICIT skew-salted join — the north-rule "skew handled
+    explicitly" machinery as a verifiable operator: the fact stream joins
+    a per-key dim table on (key, salt) where the fact side salts by a
+    row-id hash and the dim side EXPLODES to all salts, so one hot key
+    spreads over _SALT_N reducers instead of melting a single task.  The
+    oracle is the UNSALTED join — parity proves salting changes the
+    physical distribution and nothing else.
+
+    Use when AQE skew-join can't apply (non-equi conditions, stateful
+    streaming joins, or pre-AQE engines); otherwise prefer AQE.  The dim
+    explode multiplies the SMALL side only (|dim| x salts rows)."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        f"""
+        WITH dim AS (
+          SELECT user_id, event_type AS first_type
+          FROM (SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events) ranked
+          WHERE rn = 1
+        ), dim_salted AS (
+          SELECT d.user_id, d.first_type, s.salt
+          FROM dim d
+          LATERAL VIEW explode(sequence(0, {_SALT_N - 1})) s AS salt
+        ), fact_salted AS (
+          SELECT user_id, event_type, value,
+                 cast(pmod(xxhash64(event_id), {_SALT_N}) as int) AS salt
+          FROM events
+        )
+        SELECT f.event_type, d.first_type,
+               cast(count(*) as bigint) AS n_events,
+               round(sum(f.value), 4) AS total_value
+        FROM fact_salted f
+        JOIN dim_salted d ON f.user_id = d.user_id AND f.salt = d.salt
+        GROUP BY f.event_type, d.first_type
+        """,
+    )
+
+
+# the UNSALTED spelling: salting must be invisible in the result
+ORACLE_SALTED_JOIN = """
+WITH dim AS (
+  SELECT user_id, event_type AS first_type
+  FROM (SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events) ranked
+  WHERE rn = 1
+)
+SELECT f.event_type, d.first_type,
+       count(*)::bigint AS n_events,
+       round(sum(f.value), 4) AS total_value
+FROM events f
+JOIN dim d ON f.user_id = d.user_id
+GROUP BY f.event_type, d.first_type
+"""
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: the log-log slope of
+    frequency vs rank (natural text sits near -1; generated/spammy
+    corpora flatten or steepen) — a one-number corpus-health check.
+
+    Scale shape: the wordcount is the only corpus-sized shuffle (the
+    bpe_pair_counts pattern); rank is a window over the vocab table, the
+    regression folds vocab-sized (rank<=1000 head) rows into regr_slope /
+    regr_r2 partial aggregates."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH wc AS (
+          SELECT tok, cast(count(*) as bigint) AS f
+          FROM (SELECT explode({toks}) AS tok FROM documents)
+          GROUP BY tok
+        ), ranked AS (
+          SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r
+          FROM wc
+        )
+        SELECT round(regr_slope(ln(f), ln(r)), 4) AS zipf_exponent,
+               round(regr_r2(ln(f), ln(r)), 4) AS fit_r2,
+               cast(count(*) as bigint) AS n_ranks
+        FROM ranked WHERE r <= 1000
+        """,
+    )
+
+
+ORACLE_ZIPF_FIT = f"""
+WITH wc AS (
+  SELECT tok, count(*)::bigint AS f
+  FROM (SELECT unnest({_DUCK_TOKENS.format(x='text')}) AS tok FROM documents)
+  GROUP BY tok
+), ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r
+  FROM wc
+)
+SELECT round(regr_slope(ln(f), ln(r)), 4) AS zipf_exponent,
+       round(regr_r2(ln(f), ln(r)), 4) AS fit_r2,
+       count(*)::bigint AS n_ranks
+FROM ranked WHERE r <= 1000
+"""
+
+
+def q_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT drift between corpus and arrival batch — the companion to
+    ks_drift's length test: cross-entropy of the arrival docs under the
+    existing corpus's add-one-smoothed unigram LM.  Rising bits/token
+    means today's crawl speaks a different language than the corpus
+    (topic shift, spam wave, encoding break).
+
+    Scale shape: ONE wordcount over the old slice (the only corpus-sized
+    shuffle), materialized ONCE with an eager localCheckpoint and consumed
+    by both the totals aggregate and the token lookup — the pure-CTE
+    spelling re-ran the wordcount per consumer (6 scans, measured).  The
+    vocab-sized model BROADCASTS into the arrival-token lookup; per-doc
+    mean log-prob folds doc-locally, the final row aggregates |arrivals|
+    doc values."""
+    toks = _SPARK_TOKENS.format(x="text")
+    docs = _t(spark, sf_dir, "documents")
+    cut = docs.agg(F.floor(F.max("doc_id") * 0.8).cast("bigint").alias("c"))
+    old_wc = (
+        docs.crossJoin(F.broadcast(cut))
+        .where(F.col("doc_id") < F.col("c"))
+        .selectExpr(f"explode({toks}) AS tok")
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)  # ONE wordcount, two consumers
+    )
+    totals = old_wc.agg(
+        F.sum("cnt").cast("double").alias("n_total"),
+        F.count("*").cast("double").alias("v_size"),
+    )
+    new_toks = (
+        docs.crossJoin(F.broadcast(cut))
+        .where(F.col("doc_id") >= F.col("c"))
+        .selectExpr("doc_id", f"explode({toks}) AS tok")
+    )
+    scored = (
+        new_toks.crossJoin(F.broadcast(totals))
+        .join(F.broadcast(old_wc), "tok", "left")
+        .selectExpr(
+            "doc_id",
+            "-log2((coalesce(cnt, 0) + 1) / (n_total + v_size + 1)) AS bits",
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.avg("bits"), 6).alias("doc_bits"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_new_docs"),
+            F.round(F.avg("doc_bits"), 4).alias("avg_cross_entropy_bits"),
+            F.round(F.pow(F.lit(2.0), F.avg("doc_bits")), 2).alias("perplexity"),
+        )
+    )
+
+
+ORACLE_UNIGRAM_DRIFT = f"""
+WITH cut AS (
+  SELECT cast(floor(max(doc_id) * 0.8) as bigint) AS c FROM documents
+), old_wc AS (
+  SELECT tok, count(*)::bigint AS cnt
+  FROM (SELECT doc_id, unnest({_DUCK_TOKENS.format(x='text')}) AS tok
+        FROM documents)
+  CROSS JOIN cut WHERE doc_id < c
+  GROUP BY tok
+), totals AS (
+  SELECT sum(cnt)::double AS n_total, count(*)::double AS v_size
+  FROM old_wc
+), new_toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS.format(x='text')}) AS tok
+  FROM documents CROSS JOIN cut WHERE doc_id >= c
+), scored AS (
+  SELECT t.doc_id,
+         -log2((coalesce(m.cnt, 0) + 1) / (n_total + v_size + 1)) AS bits
+  FROM new_toks t
+  CROSS JOIN totals
+  LEFT JOIN old_wc m ON t.tok = m.tok
+), per_doc AS (
+  SELECT doc_id, round(avg(bits), 6) AS doc_bits
+  FROM scored GROUP BY doc_id
+)
+SELECT count(*)::bigint AS n_new_docs,
+       round(avg(doc_bits), 4) AS avg_cross_entropy_bits,
+       round(pow(2.0::double, avg(doc_bits)), 2) AS perplexity
+FROM per_doc
+"""
+
+
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree table of the LSH candidate-pair graph — dedup-graph
+    observability: a node whose degree explodes marks boilerplate that
+    glues clusters (the same pathology the super-bucket cap and the
+    verified-edge clustering defend against), so the degree rank is what
+    you check when cluster sizes look wrong.
+
+    Scale shape: edges are few (bucket-capped); degrees are one hash
+    aggregate over the doubled edge list, the rank window runs over the
+    degree table."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    doubled = pairs.selectExpr("doc_a AS doc_id").unionAll(
+        pairs.selectExpr("doc_b AS doc_id")
+    )
+    return (
+        doubled.groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+        .selectExpr(
+            "doc_id", "degree",
+            "cast(rank() OVER (ORDER BY degree DESC, doc_id) as bigint)"
+            " AS degree_rank",
+        )
+    )
+
+
+ORACLE_GRAPH_DEGREE_STATS = f"""
+WITH cand AS ({ORACLE_LSH_PAIRS}),
+doubled AS (
+  SELECT doc_a AS doc_id FROM cand
+  UNION ALL
+  SELECT doc_b AS doc_id FROM cand
+), deg AS (
+  SELECT doc_id, count(*)::bigint AS degree FROM doubled GROUP BY doc_id
+)
+SELECT doc_id, degree,
+       (rank() OVER (ORDER BY degree DESC, doc_id))::bigint AS degree_rank
+FROM deg
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -5611,6 +6146,16 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "ivf_build_stats": (q_ivf_build_stats, ORACLE_IVF_BUILD_STATS),
     "domain_caps": (q_domain_caps, ORACLE_DOMAIN_CAPS),
     "rate_anomaly": (q_rate_anomaly, ORACLE_RATE_ANOMALY),
+    # classifier/sketch accuracy + drift (round-4, fifth batch)
+    "langid_confusion": (q_langid_confusion, ORACLE_LANGID_CONFUSION),
+    "char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
+    "ks_drift": (q_ks_drift, ORACLE_KS_DRIFT),
+    "minhash_est_error": (q_minhash_est_error, ORACLE_MINHASH_EST_ERROR),
+    # skew machinery + corpus statistics (round-4, sixth batch)
+    "salted_join": (q_salted_join, ORACLE_SALTED_JOIN),
+    "zipf_fit": (q_zipf_fit, ORACLE_ZIPF_FIT),
+    "unigram_drift": (q_unigram_drift, ORACLE_UNIGRAM_DRIFT),
+    "graph_degree_stats": (q_graph_degree_stats, ORACLE_GRAPH_DEGREE_STATS),
     # temporal joins + sketches (round-4 additions)
     "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
     "range_join": (q_range_join, ORACLE_RANGE_JOIN),

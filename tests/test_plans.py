@@ -560,3 +560,76 @@ def test_ivf_build_stats_and_domain_caps_and_rate_anomaly_shapes(spark, registry
     # domain_caps: both row_number expressions share ONE window operator
     dc = _plan(registry["domain_caps"][0](spark, SF_DIR)).split("== Initial Plan ==")[0]
     assert dc.count("Exchange") == 1
+
+
+def test_char_entropy_zero_shuffle(spark, registry):
+    """Entropy: sorted-run fold per row — no exchange anywhere (the
+    repetition_signals shape applied to characters)."""
+    df = registry["char_entropy"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange") == 0
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_langid_confusion_window_over_cells(spark, registry):
+    df = registry["langid_confusion"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_ks_drift_windows_over_value_table(spark, registry):
+    """KS: ECDF windows run over the per-distinct-value grouped table;
+    no sort-merge or python anywhere."""
+    df = registry["ks_drift"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_minhash_est_error_all_joins_broadcast(spark, registry):
+    """Estimation error: pair table broadcasts into signature and
+    shingle-set lookups — never a shuffle of the set relation."""
+    df = registry["minhash_est_error"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 4
+
+
+def test_salted_join_salts_the_join_key(spark, registry):
+    """Salted join: the dim side explodes to all salts (Generate) and the
+    join keys include the salt column — the hot key spreads over _SALT_N
+    reducers; no cartesian/nested-loop anywhere."""
+    df = registry["salted_join"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "Generate explode" in plan
+    assert "salt" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_zipf_fit_single_wordcount(spark, registry):
+    df = registry["zipf_fit"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_unigram_drift_wordcount_materialized_once(spark, registry):
+    """Unigram drift: the old-slice wordcount sits behind ONE eager
+    checkpoint; only the cut aggregate and the arrival explode re-scan
+    documents (the pure-CTE spelling re-ran the wordcount per consumer —
+    6 scans, measured)."""
+    df = registry["unigram_drift"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 2
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1  # model lookup
+
+
+def test_graph_degree_stats_no_sortmerge(spark, registry):
+    df = registry["graph_degree_stats"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
