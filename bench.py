@@ -177,7 +177,8 @@ def main() -> None:
                      "langid_confusion", "char_entropy",
                      "ks_drift", "minhash_est_error",
                      "salted_join", "zipf_fit",
-                     "unigram_drift", "graph_degree_stats"):
+                     "unigram_drift", "graph_degree_stats",
+                     "cohort_retention", "token_gini"):
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -429,9 +429,20 @@ _DUCK_HASHED = (
 )
 
 
-def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_minhash_signatures(
+    spark: SparkSession, sf_dir: str, sh: Optional[DataFrame] = None
+) -> DataFrame:
     """MinHash signatures (8 permutations) over word 3-gram shingles — the
-    near-dup primitive; LSH banding builds on these columns."""
+    near-dup primitive; LSH banding builds on these columns.  Callers that
+    already materialized the (doc_id, shingles) table pass it as ``sh`` so
+    the tokenize+shingle subtree isn't re-derived."""
+    if sh is not None:
+        sh.createOrReplaceTempView("sh_shared")
+        return spark.sql(
+            "WITH"
+            + _SPARK_HASHED[1:].replace("FROM sh\n", "FROM sh_shared\n")
+            + f"SELECT doc_id,\n{_spark_mh_cols()}\nFROM hashed"
+        )
     return _sql(
         spark, sf_dir, ["documents"],
         _SPARK_SHINGLES + _SPARK_HASHED
@@ -704,14 +715,19 @@ def q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-merge fallback that shuffles the full per-doc shingle-string-array
     table (~3× corpus text).  With the hints pinned, the shingle-set
     relation NEVER crosses an exchange — verified by
-    tests/test_plans.py::test_near_dup_verified_broadcasts_candidates."""
-    cand = q_minhash_lsh_pairs(spark, sf_dir)
-    sets3 = _sql(
+    tests/test_plans.py::test_near_dup_verified_broadcasts_candidates.
+
+    The (doc_id, shingles) table is materialized ONCE (eager
+    localCheckpoint) and SHARED between the signature/banding lineage and
+    the exact-Jaccard set lookup — the independent-derivation spelling
+    tokenized and shingled the corpus twice (measured)."""
+    sh = _sql(
         spark, sf_dir, ["documents"],
-        _SPARK_SHINGLES
-        + ", s AS (SELECT doc_id, array_distinct(shingles) AS g FROM sh)"
-        + " SELECT doc_id, g FROM s",
-    )
+        _SPARK_SHINGLES + "SELECT doc_id, shingles FROM sh",
+    ).localCheckpoint(eager=True)
+    sig = q_minhash_signatures(spark, sf_dir, sh=sh)
+    cand = q_minhash_lsh_pairs(spark, sf_dir, sig=sig)
+    sets3 = sh.selectExpr("doc_id", "array_distinct(shingles) AS g")
     with_a = F.broadcast(cand).join(
         sets3.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga")),
         "doc_a",
@@ -6051,6 +6067,114 @@ FROM deg
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-cohort retention matrix: users grouped by first-seen day, the
+    distinct-active count at each day offset, and retention as the share
+    of the cohort's day-0 size — the standard engagement rollup, and for
+    transcript pipelines the "do sources keep producing" view.
+
+    Scale shape: firsts is one user-keyed aggregate; the activity join is
+    user-keyed (both sides shuffle once on user_id); the retention
+    normalization windows over the (cohort, offset) grouped table.  Day-0
+    active count IS the cohort size by construction, so no extra join for
+    the denominator."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH firsts AS (
+          SELECT user_id, min(cast(ts as date)) AS cohort_day
+          FROM events GROUP BY user_id
+        ), activity AS (
+          SELECT DISTINCT user_id, cast(ts as date) AS active_day
+          FROM events
+        ), cohorted AS (
+          SELECT f.cohort_day,
+                 cast(datediff(a.active_day, f.cohort_day) as bigint)
+                   AS day_offset,
+                 cast(count(DISTINCT a.user_id) as bigint) AS n_active
+          FROM activity a JOIN firsts f ON a.user_id = f.user_id
+          GROUP BY f.cohort_day, datediff(a.active_day, f.cohort_day)
+        )
+        SELECT date_format(cohort_day, 'yyyy-MM-dd') AS cohort_day,
+               day_offset, n_active,
+               round(cast(n_active as double)
+                     / max(CASE WHEN day_offset = 0 THEN n_active END)
+                         OVER (PARTITION BY cohort_day), 4) AS retention
+        FROM cohorted
+        """,
+    )
+
+
+ORACLE_COHORT_RETENTION = """
+WITH firsts AS (
+  SELECT user_id, min(cast(ts as date)) AS cohort_day
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, cast(ts as date) AS active_day
+  FROM events
+), cohorted AS (
+  SELECT f.cohort_day,
+         date_diff('day', f.cohort_day, a.active_day)::bigint AS day_offset,
+         count(DISTINCT a.user_id)::bigint AS n_active
+  FROM activity a JOIN firsts f ON a.user_id = f.user_id
+  GROUP BY f.cohort_day, date_diff('day', f.cohort_day, a.active_day)
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       day_offset, n_active,
+       round(n_active::double
+             / max(CASE WHEN day_offset = 0 THEN n_active END)
+                 OVER (PARTITION BY cohort_day), 4) AS retention
+FROM cohorted
+"""
+
+
+def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-document token counts — the one-number
+    inequality check on corpus composition (a corpus where 1% of docs
+    hold half the tokens trains differently than a flat one; pairs with
+    skew_report/domain_caps as the act-on-it ops).
+
+    Uses the ranked formula G = 2*sum(r*x)/(n*sum(x)) - (n+1)/n, which is
+    tie-permutation-invariant (equal x within a tie block contribute
+    x*sum(consecutive ranks) regardless of order) — so the arbitrary
+    tie order cannot diverge engines.  One wordless aggregate + one
+    window over doc-count rows; integer products, two exact divisions."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH t AS (
+          SELECT cast(size({toks}) as bigint) AS x FROM documents
+        ), ranked AS (
+          SELECT x, cast(row_number() OVER (ORDER BY x) as bigint) AS r
+          FROM t
+        )
+        SELECT cast(count(*) as bigint) AS n_docs,
+               cast(sum(x) as bigint) AS total_tokens,
+               round(cast(2 as double) * sum(r * x)
+                       / (count(*) * cast(sum(x) as double))
+                     - (count(*) + cast(1 as double)) / count(*), 4) AS gini
+        FROM ranked
+        """,
+    )
+
+
+ORACLE_TOKEN_GINI = f"""
+WITH t AS (
+  SELECT len({_DUCK_TOKENS.format(x='text')})::bigint AS x FROM documents
+), ranked AS (
+  SELECT x, (row_number() OVER (ORDER BY x))::bigint AS r
+  FROM t
+)
+SELECT count(*)::bigint AS n_docs,
+       sum(x)::bigint AS total_tokens,
+       round(cast(2 as double) * sum(r * x)
+               / (count(*) * sum(x)::double)
+             - (count(*) + cast(1 as double)) / count(*), 4) AS gini
+FROM ranked
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6156,6 +6280,8 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "zipf_fit": (q_zipf_fit, ORACLE_ZIPF_FIT),
     "unigram_drift": (q_unigram_drift, ORACLE_UNIGRAM_DRIFT),
     "graph_degree_stats": (q_graph_degree_stats, ORACLE_GRAPH_DEGREE_STATS),
+    "cohort_retention": (q_cohort_retention, ORACLE_COHORT_RETENTION),
+    "token_gini": (q_token_gini, ORACLE_TOKEN_GINI),
     # temporal joins + sketches (round-4 additions)
     "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
     "range_join": (q_range_join, ORACLE_RANGE_JOIN),

@@ -633,3 +633,17 @@ def test_graph_degree_stats_no_sortmerge(spark, registry):
     plan = _plan(df).split("== Initial Plan ==")[0]
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cohort_retention_no_cartesian(spark, registry):
+    df = registry["cohort_retention"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_token_gini_single_scan_no_join(spark, registry):
+    df = registry["token_gini"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan

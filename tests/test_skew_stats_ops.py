@@ -122,3 +122,50 @@ def test_graph_degree_stats_clique_degrees(spark, tmp_path):
     assert set(out) == {0, 1, 2}
     assert all(out[d]["degree"] == 2 for d in (0, 1, 2))
     assert [out[d]["degree_rank"] for d in (0, 1, 2)] == [1, 2, 3]
+
+
+# ------------------------------------------------------------ cohort_retention
+
+
+def test_cohort_retention_matrix_by_hand(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_cohort_retention
+
+    rows = [
+        # u1: first day 01-01, active 01-01/02/03
+        (1, "2024-01-01 10:00:00", 1, "view", 0.0),
+        (2, "2024-01-02 10:00:00", 1, "view", 0.0),
+        (3, "2024-01-03 10:00:00", 1, "view", 0.0),
+        # u2: day-0 only
+        (10, "2024-01-01 11:00:00", 2, "view", 0.0),
+        (11, "2024-01-01 12:00:00", 2, "click", 0.0),  # same day, 1 active
+        # u3: cohort 01-02, returns on 01-04
+        (20, "2024-01-02 09:00:00", 3, "view", 0.0),
+        (21, "2024-01-04 09:00:00", 3, "view", 0.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        (r["cohort_day"], r["day_offset"]): (r["n_active"], r["retention"])
+        for r in q_cohort_retention(spark, str(tmp_path)).collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 0.5)
+    assert out[("2024-01-01", 2)] == (1, 0.5)
+    assert out[("2024-01-02", 0)] == (1, 1.0)
+    assert out[("2024-01-02", 2)] == (1, 1.0)
+    assert len(out) == 5  # no fabricated offsets
+
+
+# ---------------------------------------------------------------- token_gini
+
+
+def test_token_gini_flat_and_concentrated(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_token_gini
+
+    _write_documents(spark, tmp_path, [(0, "a b"), (1, "c d"), (2, "e f")])
+    row = q_token_gini(spark, str(tmp_path)).collect()[0]
+    assert (row["n_docs"], row["total_tokens"], row["gini"]) == (3, 6, 0.0)
+
+    _write_documents(spark, tmp_path, [(0, ""), (1, ""), (2, "a b c d e f")])
+    row = q_token_gini(spark, str(tmp_path)).collect()[0]
+    # maximal concentration at n=3: (n-1)/n = 0.6667
+    assert (row["total_tokens"], row["gini"]) == (6, 0.6667)
