@@ -178,7 +178,9 @@ def main() -> None:
                      "ks_drift", "minhash_est_error",
                      "salted_join", "zipf_fit",
                      "unigram_drift", "graph_degree_stats",
-                     "cohort_retention", "token_gini"):
+                     "cohort_retention", "token_gini",
+                     "containment_pairs", "dedup_aware_split",
+                     "split_leakage_check"):
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

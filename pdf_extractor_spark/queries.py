@@ -2952,6 +2952,237 @@ ORACLE_DEDUP_CANONICAL = (
 )
 
 
+_CONTAIN_MIN = 0.9  # max-containment threshold for the engulfed flag
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment over LSH candidate pairs: |A∩B|/|A| and
+    |A∩B|/|B| on the word-3-gram shingle sets, alongside the symmetric
+    Jaccard.  This is the quote-inclusion detector: a short doc fully
+    embedded in a much longer one has containment ≈ 1 while its Jaccard
+    can sit far below the dedup threshold — symmetric verification alone
+    ships the duplicate.  ``engulfed`` flags exactly that case
+    (max containment ≥ 0.9 but Jaccard < the verify threshold).
+
+    Same scale shape as ``near_dup_verified``: candidates are LSH-bucket
+    bounded, both containment denominators are per-side set sizes already
+    in hand, the shingle-set relation never crosses an exchange (candidate
+    side explicitly broadcast, plan-pinned).  Shingle sets are non-empty
+    by construction (only docs with ≥1 token enter the shingle table), so
+    the divisions are safe without guards."""
+    sh = _sql(
+        spark, sf_dir, ["documents"],
+        _SPARK_SHINGLES + "SELECT doc_id, shingles FROM sh",
+    ).localCheckpoint(eager=True)
+    sig = q_minhash_signatures(spark, sf_dir, sh=sh)
+    cand = q_minhash_lsh_pairs(spark, sf_dir, sig=sig)
+    sets3 = sh.selectExpr("doc_id", "array_distinct(shingles) AS g")
+    with_a = F.broadcast(cand).join(
+        sets3.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("ga")),
+        "doc_a",
+    )
+    return (
+        F.broadcast(with_a)
+        .join(
+            sets3.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("gb")),
+            "doc_b",
+        )
+        .selectExpr(
+            "doc_a", "doc_b",
+            "round(size(array_intersect(ga, gb)) /"
+            " cast(size(array_union(ga, gb)) as double), 4) AS jaccard",
+            "round(size(array_intersect(ga, gb)) /"
+            " cast(size(ga) as double), 4) AS cont_a",
+            "round(size(array_intersect(ga, gb)) /"
+            " cast(size(gb) as double), 4) AS cont_b",
+        )
+        .withColumn(
+            "engulfed",
+            (F.greatest("cont_a", "cont_b") >= _CONTAIN_MIN)
+            & (F.col("jaccard") < _VERIFY_JACCARD_MIN),
+        )
+    )
+
+
+ORACLE_CONTAINMENT_PAIRS = f"""
+WITH cand AS ({ORACLE_LSH_PAIRS}),
+sets3 AS (
+  {_DUCK_SHINGLES}
+  , s AS (SELECT doc_id, list_distinct(shingles) AS g FROM sh)
+  SELECT doc_id, g FROM s
+), scored AS (
+  SELECT c.doc_a, c.doc_b,
+         round(len(list_intersect(a.g, b.g)) /
+               cast(len(list_distinct(list_concat(a.g, b.g))) as double), 4)
+           AS jaccard,
+         round(len(list_intersect(a.g, b.g)) /
+               cast(len(a.g) as double), 4) AS cont_a,
+         round(len(list_intersect(a.g, b.g)) /
+               cast(len(b.g) as double), 4) AS cont_b
+  FROM cand c
+  JOIN sets3 a ON a.doc_id = c.doc_a
+  JOIN sets3 b ON b.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard, cont_a, cont_b,
+       greatest(cont_a, cont_b) >= {_CONTAIN_MIN}
+         AND jaccard < {_VERIFY_JACCARD_MIN} AS engulfed
+FROM scored
+"""
+
+
+# shared recursive-CTE prefix: verified near-dup edges → connected-component
+# labels (min doc_id per component) — the DuckDB mirror of
+# propagate_min_labels over verified edges
+_DUCK_VERIFIED_LABELS = (
+    "WITH RECURSIVE p AS (\n"
+    f"  SELECT doc_a, doc_b FROM ({ORACLE_NEAR_DUP_VERIFIED}) WHERE verified\n"
+    "),\n"
+    "e AS (\n"
+    "  SELECT doc_a, doc_b FROM p\n"
+    "  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM p\n"
+    "),\n"
+    "reach(src, dst) AS (\n"
+    "  SELECT doc_id, doc_id FROM documents\n"
+    "  UNION\n"
+    "  SELECT r.src, e.doc_b FROM reach r JOIN e ON e.doc_a = r.dst\n"
+    "),\n"
+    "labels AS (SELECT src AS doc_id, min(dst) AS cluster_id\n"
+    "           FROM reach GROUP BY src)"
+)
+
+# 10 deterministic md5 buckets → 80/10/10 train/val/test
+_SPLIT_CASE = (
+    "CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'"
+    " ELSE 'test' END"
+)
+
+
+def q_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split that CANNOT leak near-dups
+    across splits: the split key is the verified-cluster label, not the
+    document id, so every member of a near-dup cluster hashes to the same
+    bucket by construction.  The naive doc_id-hash split puts the two
+    copies of a duplicated eval-worthy document in train AND val — the
+    quiet contamination `split_leakage_check` measures.
+
+    Assignment is md5(cluster_id) mod 10 → buckets 0-7 train, 8 val,
+    9 test (80/10/10).  Scale shape: after the O(log d) components job
+    the split is a map-only expression — no shuffle, no sampling state,
+    reproducible across reruns and engines."""
+    labels = q_dedup_clusters_verified(spark, sf_dir).drop("is_keeper")
+    bucket = _SPARK_MD5INT.format(x="cast(cluster_id as string)") + " % 10"
+    return labels.selectExpr(
+        "doc_id", "cluster_id", f"cast({bucket} as bigint) AS bucket"
+    ).selectExpr("doc_id", "cluster_id", "bucket", f"{_SPLIT_CASE} AS split")
+
+
+ORACLE_DEDUP_AWARE_SPLIT = (
+    _DUCK_VERIFIED_LABELS
+    + f""",
+assign AS (
+  SELECT doc_id, cluster_id,
+         ({_DUCK_MD5INT.format(x='cluster_id::varchar')} % 10)::bigint
+           AS bucket
+  FROM labels
+)
+SELECT doc_id, cluster_id, bucket, {_SPLIT_CASE} AS split
+FROM assign
+"""
+)
+
+
+def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED split contamination: for each split policy — ``naive``
+    (md5 of doc_id) vs ``cluster`` (md5 of the verified-cluster label) —
+    count the verified near-dup edges whose endpoints land in different
+    splits.  The cluster policy's leak rate is 0 BY CONSTRUCTION (both
+    endpoints share a cluster, hence a hash, hence a split); the naive
+    policy's rate is the quiet eval contamination a doc-hash split ships.
+    The don't-guess companion to `dedup_aware_split`.
+
+    Scale shape: verified edges are few (LSH-bounded), explicitly
+    broadcast into the assignment table; the per-edge policy fan-out is a
+    2-element explode of an already-tiny relation; one grouped aggregate
+    ends the plan."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        q_near_dup_verified(spark, sf_dir)
+        .where("verified")
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    labels, _iters = propagate_min_labels(docs, edges)
+    bn = _SPARK_MD5INT.format(x="cast(doc_id as string)") + " % 10"
+    bc = _SPARK_MD5INT.format(x="cast(cluster_id as string)") + " % 10"
+    assign = labels.selectExpr(
+        "doc_id",
+        f"{_SPLIT_CASE.replace('bucket', f'({bn})')} AS sn",
+        f"{_SPLIT_CASE.replace('bucket', f'({bc})')} AS sc",
+    )
+    j = F.broadcast(
+        F.broadcast(edges).join(
+            assign.selectExpr("doc_id AS doc_a", "sn AS sna", "sc AS sca"),
+            "doc_a",
+        )
+    ).join(
+        assign.selectExpr("doc_id AS doc_b", "sn AS snb", "sc AS scb"),
+        "doc_b",
+    )
+    return (
+        j.selectExpr(
+            "explode(array("
+            "  named_struct('policy', 'naive',"
+            "               'crossed', IF(sna != snb, 1L, 0L)),"
+            "  named_struct('policy', 'cluster',"
+            "               'crossed', IF(sca != scb, 1L, 0L)))) AS pc"
+        )
+        .selectExpr("pc.policy AS policy", "pc.crossed AS crossed")
+        .groupBy("policy")
+        .agg(
+            F.expr("cast(count(*) as bigint)").alias("total_edges"),
+            F.expr("cast(sum(crossed) as bigint)").alias("crossing_edges"),
+            F.expr("round(sum(crossed) / cast(count(*) as double), 4)").alias(
+                "leak_rate"
+            ),
+        )
+    )
+
+
+ORACLE_SPLIT_LEAKAGE = (
+    _DUCK_VERIFIED_LABELS
+    + f""",
+assign AS (
+  SELECT doc_id,
+         {_SPLIT_CASE.replace('bucket', 'bn')} AS sn,
+         {_SPLIT_CASE.replace('bucket', 'bc')} AS sc
+  FROM (
+    SELECT doc_id,
+           {_DUCK_MD5INT.format(x='doc_id::varchar')} % 10 AS bn,
+           {_DUCK_MD5INT.format(x='cluster_id::varchar')} % 10 AS bc
+    FROM labels
+  )
+),
+j AS (
+  SELECT a.sn AS sna, a.sc AS sca, b.sn AS snb, b.sc AS scb
+  FROM p
+  JOIN assign a ON a.doc_id = p.doc_a
+  JOIN assign b ON b.doc_id = p.doc_b
+),
+u AS (
+  SELECT 'naive' AS policy,
+         CASE WHEN sna != snb THEN 1 ELSE 0 END AS crossed FROM j
+  UNION ALL
+  SELECT 'cluster' AS policy,
+         CASE WHEN sca != scb THEN 1 ELSE 0 END AS crossed FROM j
+)
+SELECT policy, count(*)::bigint AS total_edges,
+       sum(crossed)::bigint AS crossing_edges,
+       round(sum(crossed)::double / count(*), 4) AS leak_rate
+FROM u GROUP BY policy
+"""
+)
+
+
 # longest run of one value in the SORTED token array == count of the most
 # frequent token: a zero-shuffle, map-side spelling of the Gopher-style
 # repetition signals (Rae et al. 2021 §A1.1) that needs no explode/groupBy
@@ -6210,6 +6441,9 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_clusters_verified": (q_dedup_clusters_verified, ORACLE_DEDUP_CLUSTERS_VERIFIED),
     "dedup_canonical": (q_dedup_canonical, ORACLE_DEDUP_CANONICAL),
+    "containment_pairs": (q_containment_pairs, ORACLE_CONTAINMENT_PAIRS),
+    "dedup_aware_split": (q_dedup_aware_split, ORACLE_DEDUP_AWARE_SPLIT),
+    "split_leakage_check": (q_split_leakage_check, ORACLE_SPLIT_LEAKAGE),
     "repetition_signals": (q_repetition_signals, ORACLE_REPETITION_SIGNALS),
     "corpus_filter": (q_corpus_filter, ORACLE_CORPUS_FILTER),
     "corpus_curation": (q_corpus_curation, ORACLE_CORPUS_CURATION),

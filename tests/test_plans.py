@@ -647,3 +647,13 @@ def test_token_gini_single_scan_no_join(spark, registry):
     plan = _plan(df).split("== Initial Plan ==")[0]
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_containment_pairs_broadcasts_candidates(spark, registry):
+    """Same pinned shape as near_dup_verified: candidate side broadcast in
+    both verification joins; the shingle-set relation never sort-merges."""
+    df = registry["containment_pairs"][0](spark, SF_DIR)
+    df.collect()  # AQE final plan
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in final and "CartesianProduct" not in final
