@@ -180,7 +180,8 @@ def main() -> None:
                      "unigram_drift", "graph_degree_stats",
                      "cohort_retention", "token_gini",
                      "containment_pairs", "dedup_aware_split",
-                     "split_leakage_check"):
+                     "split_leakage_check", "heuristic_kappa",
+                     "tokenizer_fertility", "recency_weights"):
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -6406,6 +6406,201 @@ FROM ranked
 """
 
 
+def q_heuristic_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the stopword lang-id heuristic as a binary
+    en/not-en classifier against the labeled ``lang`` column — the
+    chance-corrected companion to `langid_confusion`: raw accuracy looks
+    great on an 80%-English corpus even for a classifier that always says
+    'en'; kappa subtracts exactly that base rate.  The one-number gate to
+    trend before trusting the heuristic with a corpus cut.
+
+    Scale shape: the same zero-shuffle per-row token fold lang_id uses,
+    folded to a single 2x2 contingency row; po/pe/kappa are fixed-order
+    scalar arithmetic on the four counts (bitwise cross-engine)."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH t AS (
+          SELECT (lang = 'en') AS truth,
+                 size(filter({toks}, x -> x IN ({_STOPWORDS}))) /
+                   cast(greatest(size({toks}), 1) as double) >= 0.08 AS pred
+          FROM documents
+        ), c AS (
+          SELECT cast(count(*) as bigint) AS n,
+                 cast(sum(CASE WHEN truth AND pred THEN 1 ELSE 0 END)
+                      as bigint) AS tp,
+                 cast(sum(CASE WHEN NOT truth AND pred THEN 1 ELSE 0 END)
+                      as bigint) AS fp,
+                 cast(sum(CASE WHEN truth AND NOT pred THEN 1 ELSE 0 END)
+                      as bigint) AS fn,
+                 cast(sum(CASE WHEN NOT truth AND NOT pred THEN 1 ELSE 0 END)
+                      as bigint) AS tn
+          FROM t
+        ), m AS (
+          SELECT n, tp, fp, fn, tn,
+                 (tp + tn) / cast(n as double) AS po,
+                 ((tp + fp) / cast(n as double)) * ((tp + fn) / cast(n as double))
+                 + ((fn + tn) / cast(n as double)) * ((fp + tn) / cast(n as double))
+                   AS pe
+          FROM c
+        )
+        SELECT n, tp, fp, fn, tn, round(po, 4) AS po, round(pe, 4) AS pe,
+               round(CASE WHEN pe = 1 THEN 0 ELSE (po - pe) / (1 - pe) END, 4)
+                 AS kappa
+        FROM m
+        """,
+    )
+
+
+ORACLE_HEURISTIC_KAPPA = f"""
+WITH t AS (
+  SELECT (lang = 'en') AS truth,
+         len(list_filter({_DUCK_TOKENS.format(x='text')},
+                         x -> x IN ({_STOPWORDS}))) /
+           cast(greatest(len({_DUCK_TOKENS.format(x='text')}), 1) as double)
+           >= 0.08 AS pred
+  FROM documents
+), c AS (
+  SELECT count(*)::bigint AS n,
+         sum(CASE WHEN truth AND pred THEN 1 ELSE 0 END)::bigint AS tp,
+         sum(CASE WHEN NOT truth AND pred THEN 1 ELSE 0 END)::bigint AS fp,
+         sum(CASE WHEN truth AND NOT pred THEN 1 ELSE 0 END)::bigint AS fn,
+         sum(CASE WHEN NOT truth AND NOT pred THEN 1 ELSE 0 END)::bigint AS tn
+  FROM t
+), m AS (
+  SELECT n, tp, fp, fn, tn,
+         (tp + tn) / cast(n as double) AS po,
+         ((tp + fp) / cast(n as double)) * ((tp + fn) / cast(n as double))
+         + ((fn + tn) / cast(n as double)) * ((fp + tn) / cast(n as double))
+           AS pe
+  FROM c
+)
+SELECT n, tp, fp, fn, tn, round(po, 4) AS po, round(pe, 4) AS pe,
+       round(CASE WHEN pe = 1 THEN 0 ELSE (po - pe) / (1 - pe) END, 4)
+         AS kappa
+FROM m
+"""
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: bytes/token and chars/token under
+    the BPE-style pre-tokenizer — the "which languages are expensive to
+    tokenize" table that decides context-window budgeting and per-language
+    sampling before training (multi-byte scripts burn tokens faster).
+
+    Scale shape: one scan, per-row regexp counts (zero shuffle), a
+    |langs|-row aggregate.  Byte counts are UTF-8 octets (Spark
+    octet_length == DuckDB strlen); tokenless languages emit NULL
+    fertility via nullif, not a divide-by-zero."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH t AS (
+          SELECT lang,
+                 cast(octet_length(text) as bigint) AS n_bytes,
+                 cast(length(text) as bigint) AS n_chars_t,
+                 cast(size(regexp_extract_all(text, '{_BPE_PAT}', 0))
+                      as bigint) AS n_pieces
+          FROM documents
+        )
+        SELECT lang, cast(count(*) as bigint) AS n_docs,
+               cast(sum(n_pieces) as bigint) AS total_pieces,
+               round(sum(n_pieces) / cast(count(*) as double), 4)
+                 AS pieces_per_doc,
+               round(sum(n_bytes) / cast(nullif(sum(n_pieces), 0) as double), 4)
+                 AS bytes_per_piece,
+               round(sum(n_chars_t) / cast(nullif(sum(n_pieces), 0) as double), 4)
+                 AS chars_per_piece
+        FROM t GROUP BY lang
+        """,
+    )
+
+
+ORACLE_TOKENIZER_FERTILITY = f"""
+WITH t AS (
+  SELECT lang,
+         strlen(text)::bigint AS n_bytes,
+         length(text)::bigint AS n_chars_t,
+         len(regexp_extract_all(text, '{_BPE_PAT}'))::bigint AS n_pieces
+  FROM documents
+)
+SELECT lang, count(*)::bigint AS n_docs,
+       sum(n_pieces)::bigint AS total_pieces,
+       round(sum(n_pieces) / cast(count(*) as double), 4) AS pieces_per_doc,
+       round(sum(n_bytes) / cast(nullif(sum(n_pieces), 0) as double), 4)
+         AS bytes_per_piece,
+       round(sum(n_chars_t) / cast(nullif(sum(n_pieces), 0) as double), 4)
+         AS chars_per_piece
+FROM t GROUP BY lang
+"""
+
+
+_RECENCY_HALFLIFE_DAYS = 7
+
+
+def q_recency_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life recency weights per event, normalized within event_type —
+    the "favor fresh data" sampling knob (weight halves every 7 days from
+    the newest event in the corpus; the anchor is max(ts), so the output
+    is deterministic and rerun-stable, never wall-clock).
+
+    Scale shape: the anchor is a scalar aggregate; the per-type
+    normalizers are a |types|-row aggregate BROADCAST back (a window
+    partitioned by a low-cardinality type column would funnel the whole
+    fact table through |types| reducers — the grouped-agg + broadcast
+    join spelling is the 100-TB shape).  Age arithmetic is exact integer
+    micros; exp is one libm call on identical doubles."""
+    events = _t(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events")
+    aged = events.sparkSession.sql(
+        """
+        SELECT event_id, event_type,
+               (unix_micros(cast((SELECT max(ts) FROM events) as timestamp))
+                - unix_micros(cast(ts as timestamp)))
+               / cast(86400000000 as double) AS age_days
+        FROM events
+        """
+    ).withColumn(
+        "wraw",
+        F.expr(
+            f"exp(-ln(2) * age_days / cast({_RECENCY_HALFLIFE_DAYS} as double))"
+        ),
+    )
+    sums = aged.groupBy("event_type").agg(F.sum("wraw").alias("type_sum"))
+    return (
+        aged.join(F.broadcast(sums), "event_type")
+        .selectExpr(
+            "event_id", "event_type",
+            "round(age_days, 4) AS age_days",
+            "round(wraw, 6) AS weight",
+            "round(wraw / type_sum, 8) AS norm_weight",
+        )
+    )
+
+
+ORACLE_RECENCY_WEIGHTS = f"""
+WITH aged AS (
+  SELECT event_id, event_type,
+         (epoch_us((SELECT max(ts) FROM events)) - epoch_us(ts))
+         / cast(86400000000 as double) AS age_days
+  FROM events
+), w AS (
+  SELECT event_id, event_type, age_days,
+         exp(-ln(2) * age_days / cast({_RECENCY_HALFLIFE_DAYS} as double))
+           AS wraw
+  FROM aged
+), sums AS (
+  SELECT event_type, sum(wraw) AS type_sum FROM w GROUP BY event_type
+)
+SELECT w.event_id, w.event_type,
+       round(w.age_days, 4) AS age_days,
+       round(w.wraw, 6) AS weight,
+       round(w.wraw / s.type_sum, 8) AS norm_weight
+FROM w JOIN sums s ON s.event_type = w.event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6516,6 +6711,9 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "graph_degree_stats": (q_graph_degree_stats, ORACLE_GRAPH_DEGREE_STATS),
     "cohort_retention": (q_cohort_retention, ORACLE_COHORT_RETENTION),
     "token_gini": (q_token_gini, ORACLE_TOKEN_GINI),
+    "heuristic_kappa": (q_heuristic_kappa, ORACLE_HEURISTIC_KAPPA),
+    "tokenizer_fertility": (q_tokenizer_fertility, ORACLE_TOKENIZER_FERTILITY),
+    "recency_weights": (q_recency_weights, ORACLE_RECENCY_WEIGHTS),
     # temporal joins + sketches (round-4 additions)
     "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
     "range_join": (q_range_join, ORACLE_RANGE_JOIN),

@@ -657,3 +657,29 @@ def test_containment_pairs_broadcasts_candidates(spark, registry):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert final.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in final and "CartesianProduct" not in final
+
+
+def test_heuristic_kappa_single_scan_no_join(spark, registry):
+    df = registry["heuristic_kappa"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "EvalPython" not in plan
+
+
+def test_tokenizer_fertility_single_scan_no_join(spark, registry):
+    df = registry["tokenizer_fertility"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "EvalPython" not in plan
+
+
+def test_recency_weights_broadcasts_type_sums_no_window(spark, registry):
+    """The per-type normalizers must come back as a broadcast join, not a
+    window partitioned by the low-cardinality type column (which would
+    funnel the fact table through |types| reducers)."""
+    df = registry["recency_weights"][0](spark, SF_DIR)
+    df.collect()  # AQE final plan
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+    assert "Window" not in final
