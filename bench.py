@@ -181,7 +181,8 @@ def main() -> None:
                      "cohort_retention", "token_gini",
                      "containment_pairs", "dedup_aware_split",
                      "split_leakage_check", "heuristic_kappa",
-                     "tokenizer_fertility", "recency_weights"):
+                     "tokenizer_fertility", "recency_weights",
+                     "boilerplate_prefix", "sliding_active_users"):
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -6601,6 +6601,112 @@ FROM w JOIN sums s ON s.event_type = w.event_type
 """
 
 
+def q_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source longest-common-prefix — the shared-boilerplate detector
+    (site headers, license banners, template preambles) that tells the
+    curation pass what to strip BEFORE dedup, where boilerplate otherwise
+    glues unrelated docs into LSH clusters.
+
+    Uses the lexicographic min/max trick: LCP(min(text), max(text)) ==
+    LCP of ALL texts in the group, so the whole op is ONE aggregate (two
+    string min/max) + a per-group char-compare fold over just two strings
+    — never a cross-doc comparison.  A single-doc source reports its full
+    text as the trivial prefix (lcp == length); all-empty sources report
+    0.  Spark's sequence(1, 0) DESCENDS, hence the greatest(n, 1) guard
+    under the n = 0 CASE arm; DuckDB's list_position returns NULL (not 0)
+    on no-mismatch, hence the coalesce."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH g AS (
+          SELECT source, cast(count(*) as bigint) AS n_docs,
+                 min(text) AS a, max(text) AS b
+          FROM documents GROUP BY source
+        ), m AS (
+          SELECT source, n_docs, a,
+                 least(length(a), length(b)) AS n,
+                 array_position(
+                   transform(sequence(1, greatest(least(length(a), length(b)), 1)),
+                             i -> substring(a, i, 1) = substring(b, i, 1)),
+                   false) AS mm
+          FROM g
+        ), l AS (
+          SELECT source, n_docs, a,
+                 CASE WHEN n = 0 THEN 0 WHEN mm = 0 THEN n ELSE mm - 1 END AS lcp
+          FROM m
+        )
+        SELECT source, n_docs, cast(lcp as bigint) AS lcp_len,
+               substring(a, 1, cast(lcp as int)) AS prefix
+        FROM l
+        """,
+    )
+
+
+ORACLE_BOILERPLATE_PREFIX = """
+WITH g AS (
+  SELECT source, count(*)::bigint AS n_docs,
+         min(text) AS a, max(text) AS b
+  FROM documents GROUP BY source
+), m AS (
+  SELECT source, n_docs, a,
+         least(length(a), length(b)) AS n,
+         coalesce(list_position(
+           [substr(a, i, 1) = substr(b, i, 1)
+            FOR i IN range(1, least(length(a), length(b)) + 1)],
+           false), 0) AS mm
+  FROM g
+), l AS (
+  SELECT source, n_docs, a,
+         CASE WHEN n = 0 THEN 0 WHEN mm = 0 THEN n ELSE mm - 1 END AS lcp
+  FROM m
+)
+SELECT source, n_docs, lcp::bigint AS lcp_len,
+       substr(a, 1, lcp::int) AS prefix
+FROM l
+"""
+
+
+def q_sliding_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute sliding windows on a 5-minute slide: events and DISTINCT
+    active users per window — the smoothed engagement series tumbling
+    windows can't give (a user spanning two 5-min buckets counts once per
+    covering window, not once per bucket).
+
+    Scale shape: the slide fans each event into width/slide = 3 window
+    rows (an Expand, not a join), then ONE grouped distinct aggregate.
+    Exact distinct is the oracle-able spelling; the 100-TB variant keeps
+    one HLL sketch per 5-min base bucket and merges 3 sketches per
+    window (see DEPLOYMENT.md)."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS window_start,
+               cast(count(*) as bigint) AS n_events,
+               cast(count(DISTINCT user_id) as bigint) AS n_users
+        FROM (
+          SELECT window(ts, '15 minutes', '5 minutes') AS w, user_id
+          FROM events
+        )
+        GROUP BY w.start
+        """,
+    )
+
+
+ORACLE_SLIDING_ACTIVE_USERS = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events
+), w AS (
+  SELECT user_id, ((sec // 300) * 300 - 300 * i) AS start_sec
+  FROM e, (SELECT unnest(range(0, 3)) AS i)
+)
+SELECT strftime(make_timestamp(start_sec * 1000000),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*)::bigint AS n_events,
+       count(DISTINCT user_id)::bigint AS n_users
+FROM w GROUP BY start_sec
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6714,6 +6820,8 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "heuristic_kappa": (q_heuristic_kappa, ORACLE_HEURISTIC_KAPPA),
     "tokenizer_fertility": (q_tokenizer_fertility, ORACLE_TOKENIZER_FERTILITY),
     "recency_weights": (q_recency_weights, ORACLE_RECENCY_WEIGHTS),
+    "boilerplate_prefix": (q_boilerplate_prefix, ORACLE_BOILERPLATE_PREFIX),
+    "sliding_active_users": (q_sliding_active_users, ORACLE_SLIDING_ACTIVE_USERS),
     # temporal joins + sketches (round-4 additions)
     "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
     "range_join": (q_range_join, ORACLE_RANGE_JOIN),

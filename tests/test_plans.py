@@ -683,3 +683,22 @@ def test_recency_weights_broadcasts_type_sums_no_window(spark, registry):
     assert "BroadcastHashJoin" in final
     assert "SortMergeJoin" not in final
     assert "Window" not in final
+
+
+def test_boilerplate_prefix_single_scan_no_join(spark, registry):
+    """LCP comes from the min/max aggregate, never a cross-doc compare:
+    one scan, one aggregate, no join, no generator."""
+    df = registry["boilerplate_prefix"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "Generate" not in plan
+
+
+def test_sliding_active_users_expand_not_join(spark, registry):
+    """The 3x window fan-out must be an Expand over one scan — not a
+    range join against a window dimension."""
+    df = registry["sliding_active_users"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
