@@ -182,7 +182,9 @@ def main() -> None:
                      "containment_pairs", "dedup_aware_split",
                      "split_leakage_check", "heuristic_kappa",
                      "tokenizer_fertility", "recency_weights",
-                     "boilerplate_prefix", "sliding_active_users"):
+                     "boilerplate_prefix", "sliding_active_users",
+                     "embedding_drift", "cluster_size_histogram",
+                     "dedup_savings"):
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

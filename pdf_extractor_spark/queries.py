@@ -6707,6 +6707,195 @@ FROM w GROUP BY start_sec
 """
 
 
+_EMB_DIM = 64  # testdata embedding dim; the oracle is generated for it
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between two corpus halves (even vs odd
+    vec_ids — the deterministic stand-in for corpus vs arrival batch):
+    cosine between the two MEAN vectors, both norms, and the largest
+    per-dimension shift.  The vector-space companion to ks_drift (length)
+    and unigram_drift (content): an embedding model or upstream corpus
+    change moves the mean long before top-k retrieval visibly degrades.
+
+    Scale shape: a two-level tree — mapInPandas emits one (parity,
+    partial-sum, count) row per partition (numpy fold, NO per-dimension
+    rows), applyInPandas reduces the ~partitions×2 partials per parity,
+    and the final cosine is a 1×1 join evaluated with array folds.  At
+    10^12 vectors nothing larger than (partitions × dim) doubles ever
+    crosses the wire; there is no Generate in the plan (plan-pinned).
+    The DuckDB oracle is generated for the testdata dim with explicit
+    per-dimension avg()s; float order differences are absorbed by
+    round(4)."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            par = (pdf["vec_id"] % 2).to_numpy()
+            out = {"parity": [], "s": [], "n": []}
+            for p in (0, 1):
+                sub = pdf[par == p]
+                if len(sub):
+                    m = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+                    out["parity"].append(int(p))
+                    out["s"].append(m.sum(axis=0).tolist())
+                    out["n"].append(int(len(sub)))
+            if out["n"]:
+                yield pd.DataFrame(out)
+
+    parts = emb.mapInPandas(partials, "parity int, s array<double>, n bigint")
+
+    def reduce_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        s = np.sum(np.stack([np.asarray(v, dtype=np.float64) for v in pdf["s"]]),
+                   axis=0)
+        n = int(pdf["n"].sum())
+        return pd.DataFrame(
+            {"parity": [int(key[0])], "mean": [(s / n).tolist()], "n": [n]}
+        )
+
+    means = parts.groupBy("parity").applyInPandas(
+        reduce_group, "parity int, mean array<double>, n bigint"
+    )
+    a = means.where("parity = 0").selectExpr("n AS n_even", "mean AS ma")
+    b = means.where("parity = 1").selectExpr("n AS n_odd", "mean AS mb")
+    return a.crossJoin(b).selectExpr(
+        "n_even", "n_odd",
+        "round(aggregate(zip_with(ma, mb, (x, y) -> x * y), 0D,"
+        " (acc, v) -> acc + v)"
+        " / nullif(sqrt(aggregate(ma, 0D, (acc, x) -> acc + x * x))"
+        " * sqrt(aggregate(mb, 0D, (acc, x) -> acc + x * x)), 0D), 4)"
+        " AS mean_cosine",
+        "round(sqrt(aggregate(ma, 0D, (acc, x) -> acc + x * x)), 4)"
+        " AS norm_even",
+        "round(sqrt(aggregate(mb, 0D, (acc, x) -> acc + x * x)), 4)"
+        " AS norm_odd",
+        "round(array_max(zip_with(ma, mb, (x, y) -> abs(x - y))), 4)"
+        " AS max_dim_shift",
+    )
+
+
+def _drift_oracle() -> str:
+    dims = range(1, _EMB_DIM + 1)
+    avgs = ",\n         ".join(f"avg(embedding[{i}]) AS m{i}" for i in dims)
+    dot = " + ".join(f"a.m{i}*b.m{i}" for i in dims)
+    na = " + ".join(f"a.m{i}*a.m{i}" for i in dims)
+    nb = " + ".join(f"b.m{i}*b.m{i}" for i in dims)
+    shifts = ", ".join(f"abs(a.m{i} - b.m{i})" for i in dims)
+    return f"""
+WITH m AS (
+  SELECT vec_id % 2 AS parity, count(*)::bigint AS n,
+         {avgs}
+  FROM embeddings GROUP BY vec_id % 2
+)
+SELECT a.n AS n_even, b.n AS n_odd,
+       round(({dot}) / nullif(sqrt({na}) * sqrt({nb}), 0), 4) AS mean_cosine,
+       round(sqrt({na}), 4) AS norm_even,
+       round(sqrt({nb}), 4) AS norm_odd,
+       round(greatest({shifts}), 4) AS max_dim_shift
+FROM m a JOIN m b ON a.parity = 0 AND b.parity = 1
+"""
+
+
+ORACLE_EMBEDDING_DRIFT = _drift_oracle()
+
+
+def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the verified near-dup graph: how many
+    clusters of each size, the documents they hold, and each size's share
+    of the corpus — the one-glance dedup observability table (a fat tail
+    means boilerplate is gluing clusters; a spike at size 2 means mirror
+    pairs; size-1 share is the already-unique mass).
+
+    Scale shape: after the components job, two grouped aggregates
+    (cluster_id → size, size → count) and a window over the tiny
+    histogram table."""
+    labels = q_dedup_clusters_verified(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.expr("cast(count(*) as bigint)").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.expr("cast(count(*) as bigint)").alias("n_clusters"))
+        .selectExpr(
+            "cluster_size", "n_clusters",
+            "cluster_size * n_clusters AS n_docs",
+        )
+        .selectExpr(
+            "cluster_size", "n_clusters", "n_docs",
+            "round(n_docs / cast(sum(n_docs) OVER () as double), 4)"
+            " AS doc_share",
+        )
+    )
+
+
+ORACLE_CLUSTER_SIZE_HISTOGRAM = (
+    _DUCK_VERIFIED_LABELS
+    + """,
+sizes AS (
+  SELECT cluster_id, count(*)::bigint AS cluster_size
+  FROM labels GROUP BY cluster_id
+),
+hist AS (
+  SELECT cluster_size, count(*)::bigint AS n_clusters,
+         (cluster_size * count(*))::bigint AS n_docs
+  FROM sizes GROUP BY cluster_size
+)
+SELECT cluster_size, n_clusters, n_docs,
+       round(n_docs / cast(sum(n_docs) OVER () as double), 4) AS doc_share
+FROM hist
+"""
+)
+
+
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup savings report: documents and characters the
+    canonical-selection pass removes, as counts and rates — the number
+    that justifies (or kills) a dedup run, per source, BEFORE the delete
+    is executed.  Pairs with `dedup_canonical` (which docs) and
+    `cluster_size_histogram` (cluster shape).
+
+    Scale shape: one doc_id-keyed join of the canonical table back to
+    (source, n_chars), then a |sources|-row aggregate; integer sums
+    throughout."""
+    canon = q_dedup_canonical(spark, sf_dir).select("doc_id", "keep")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return (
+        canon.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.expr("cast(count(*) as bigint)").alias("n_docs"),
+            F.expr("cast(sum(IF(keep, 1, 0)) as bigint)").alias("n_kept"),
+            F.expr("cast(sum(IF(keep, 0, 1)) as bigint)").alias("n_removed"),
+            F.expr("cast(sum(n_chars) as bigint)").alias("chars_total"),
+            F.expr("cast(sum(IF(keep, 0, n_chars)) as bigint)").alias(
+                "chars_removed"
+            ),
+            F.expr(
+                "round(sum(IF(keep, 0, 1)) / cast(count(*) as double), 4)"
+            ).alias("doc_removal_rate"),
+        )
+    )
+
+
+ORACLE_DEDUP_SAVINGS = f"""
+SELECT d.source, count(*)::bigint AS n_docs,
+       sum(CASE WHEN c.keep THEN 1 ELSE 0 END)::bigint AS n_kept,
+       sum(CASE WHEN c.keep THEN 0 ELSE 1 END)::bigint AS n_removed,
+       sum(d.n_chars)::bigint AS chars_total,
+       sum(CASE WHEN c.keep THEN 0 ELSE d.n_chars END)::bigint
+         AS chars_removed,
+       round(sum(CASE WHEN c.keep THEN 0 ELSE 1 END)
+             / cast(count(*) as double), 4) AS doc_removal_rate
+FROM ({ORACLE_DEDUP_CANONICAL}) c
+JOIN documents d ON d.doc_id = c.doc_id
+GROUP BY d.source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -6822,6 +7011,11 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "recency_weights": (q_recency_weights, ORACLE_RECENCY_WEIGHTS),
     "boilerplate_prefix": (q_boilerplate_prefix, ORACLE_BOILERPLATE_PREFIX),
     "sliding_active_users": (q_sliding_active_users, ORACLE_SLIDING_ACTIVE_USERS),
+    "embedding_drift": (q_embedding_drift, ORACLE_EMBEDDING_DRIFT),
+    "cluster_size_histogram": (
+        q_cluster_size_histogram, ORACLE_CLUSTER_SIZE_HISTOGRAM,
+    ),
+    "dedup_savings": (q_dedup_savings, ORACLE_DEDUP_SAVINGS),
     # temporal joins + sketches (round-4 additions)
     "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
     "range_join": (q_range_join, ORACLE_RANGE_JOIN),

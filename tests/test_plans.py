@@ -702,3 +702,13 @@ def test_sliding_active_users_expand_not_join(spark, registry):
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_embedding_drift_no_dim_explode(spark, registry):
+    """The drift means must come from the two-level Arrow-partial tree —
+    never a posexplode into per-dimension rows."""
+    df = registry["embedding_drift"][0](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Generate" not in plan        # no dim explode
+    assert "MapInPandas" in plan         # partition partials
+    assert "FlatMapGroupsInPandas" in plan  # per-parity reduce
