@@ -184,7 +184,8 @@ def main() -> None:
                      "tokenizer_fertility", "recency_weights",
                      "boilerplate_prefix", "sliding_active_users",
                      "embedding_drift", "cluster_size_histogram",
-                     "dedup_savings"):
+                     "dedup_savings", "quality_calibration",
+                     "robust_outliers", "activity_profile"):
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

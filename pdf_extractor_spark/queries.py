@@ -6896,6 +6896,200 @@ GROUP BY d.source
 """
 
 
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table of the hashed linear classifier against the
+    rule-based quality heuristic: documents bucketed by classifier
+    probability decile, with the classifier keep rate and the heuristic
+    ok rate per bucket.  A monotone heuristic-ok curve means the learned
+    gate and the rules agree on ORDER even where thresholds differ; a
+    flat curve means one of them is noise — measured before either gates
+    a corpus cut (the calibration companion to `heuristic_kappa`).
+
+    Scale shape: BOTH signals are per-row expressions, so the whole table
+    is ONE scan + a 10-key aggregate — no join of two scored passes.  The
+    bucket key floors the (already round(4)) probability, positive-only,
+    so no engine rounding boundary can move a doc across buckets."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH t AS (
+          SELECT doc_id, length(text) AS n_chars_raw,
+                 size(regexp_extract_all(text, '[.!?,;:]', 0)) AS punct,
+                 {toks} AS t
+          FROM documents
+        ), scored AS (
+          SELECT doc_id,
+                 aggregate(t, 0L, (acc, tok) -> acc + ({_CLF_W_SPARK}))
+                   AS score_raw,
+                 size(t) AS n,
+                 (n_chars_raw >= 200 AND n_chars_raw <= 50000
+                  AND punct / cast(greatest(n_chars_raw, 1) as double)
+                      BETWEEN 0.005 AND 0.2) AS heuristic_ok
+          FROM t
+        ), p AS (
+          SELECT doc_id, heuristic_ok, score_raw >= 0 AS clf_keep,
+                 round(1.0D / (1.0D + exp(-score_raw
+                       / (1000.0D * greatest(n, 1)))), 4) AS prob
+          FROM scored
+        )
+        SELECT cast(least(floor(prob * 10), 9) as bigint) AS prob_bucket,
+               cast(count(*) as bigint) AS n_docs,
+               round(avg(CASE WHEN clf_keep THEN 1.0D ELSE 0.0D END), 4)
+                 AS clf_keep_rate,
+               round(avg(CASE WHEN heuristic_ok THEN 1.0D ELSE 0.0D END), 4)
+                 AS heuristic_ok_rate,
+               round(avg(prob), 4) AS mean_prob
+        FROM p GROUP BY least(floor(prob * 10), 9)
+        """,
+    )
+
+
+ORACLE_QUALITY_CALIBRATION = f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars_raw,
+         len(regexp_extract_all(text, '[.!?,;:]')) AS punct,
+         {_DUCK_TOKENS.format(x='text')} AS t
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         coalesce(list_sum(list_transform(t, tok -> {_CLF_W_DUCK})), 0)
+           AS score_raw,
+         len(t) AS n,
+         (n_chars_raw >= 200 AND n_chars_raw <= 50000
+          AND punct / cast(greatest(n_chars_raw, 1) as double)
+              BETWEEN 0.005 AND 0.2) AS heuristic_ok
+  FROM t
+), p AS (
+  SELECT doc_id, heuristic_ok, score_raw >= 0 AS clf_keep,
+         round(1.0 / (1.0 + exp(-score_raw
+               / (1000.0 * greatest(n, 1)))), 4) AS prob
+  FROM scored
+)
+SELECT least(floor(prob * 10), 9)::bigint AS prob_bucket,
+       count(*)::bigint AS n_docs,
+       round(avg(CASE WHEN clf_keep THEN 1.0 ELSE 0.0 END), 4)
+         AS clf_keep_rate,
+       round(avg(CASE WHEN heuristic_ok THEN 1.0 ELSE 0.0 END), 4)
+         AS heuristic_ok_rate,
+       round(avg(prob), 4) AS mean_prob
+FROM p GROUP BY least(floor(prob * 10), 9)
+"""
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier detection on event values, per type —
+    the z-score spelling (`rate_anomaly`) breaks exactly when it matters
+    most: outliers inflate the mean AND the stddev, masking themselves.
+    Median and MAD have a 50% breakdown point; the modified z-score
+    0.6745·(x−med)/MAD > 3.5 is the classic Iglewicz–Hoaglin rule.
+
+    Scale shape: two grouped EXACT percentiles over the |types|-key
+    aggregate (exact median buffers per group — at 10^12 events swap
+    percentile() for approx_percentile or the additive quantile_sketch;
+    same plan otherwise) and two broadcast joins back; constant-MAD
+    types degrade to z = 0, never divide-by-zero."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH med AS (
+          SELECT event_type, percentile(value, 0.5D) AS med
+          FROM events GROUP BY event_type
+        ), dev AS (
+          SELECT /*+ BROADCAST(m) */
+                 e.event_id, e.event_type, e.value, m.med,
+                 abs(e.value - m.med) AS adev
+          FROM events e JOIN med m ON m.event_type = e.event_type
+        ), mad AS (
+          SELECT event_type, percentile(adev, 0.5D) AS mad
+          FROM dev GROUP BY event_type
+        )
+        SELECT /*+ BROADCAST(m) */
+               d.event_id, d.event_type,
+               round(d.value, 4) AS value,
+               round(d.med, 4) AS med,
+               round(m.mad, 4) AS mad,
+               round(CASE WHEN m.mad = 0 THEN 0
+                          ELSE cast(0.6745 as double) * (d.value - d.med)
+                               / m.mad END, 4) AS robust_z,
+               (m.mad != 0 AND abs(cast(0.6745 as double)
+                    * (d.value - d.med) / m.mad)
+                    > cast(3.5 as double)) AS is_outlier
+        FROM dev d JOIN mad m ON m.event_type = d.event_type
+        """,
+    )
+
+
+ORACLE_ROBUST_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, median(value) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON m.event_type = e.event_type
+), mad AS (
+  SELECT event_type, median(adev) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type,
+       round(d.value, 4) AS value,
+       round(d.med, 4) AS med,
+       round(m.mad, 4) AS mad,
+       round(CASE WHEN m.mad = 0 THEN 0
+                  ELSE cast(0.6745 as double) * (d.value - d.med)
+                       / m.mad END, 4) AS robust_z,
+       (m.mad != 0 AND abs(cast(0.6745 as double)
+            * (d.value - d.med) / m.mad)
+            > cast(3.5 as double)) AS is_outlier
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+"""
+
+
+def q_activity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile per event type: counts, share of the
+    type's traffic, and a peak-hour flag — the seasonality baseline that
+    turns `rate_anomaly` thresholds from global guesses into per-hour
+    expectations (and tells the ingest scheduler when the crawl is
+    cheap).
+
+    Scale shape: one grouped aggregate to |types|×24 keys; the share and
+    peak windows run over that tiny grouped table.  The peak flag
+    compares counts to the type max — ties flag together, deterministic
+    regardless of row order."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH g AS (
+          SELECT event_type, cast(hour(ts) as bigint) AS hour_of_day,
+                 cast(count(*) as bigint) AS n_events
+          FROM events GROUP BY event_type, hour(ts)
+        )
+        SELECT event_type, hour_of_day, n_events,
+               round(n_events / cast(sum(n_events)
+                     OVER (PARTITION BY event_type) as double), 4) AS share,
+               n_events = max(n_events) OVER (PARTITION BY event_type)
+                 AS is_peak_hour
+        FROM g
+        """,
+    )
+
+
+ORACLE_ACTIVITY_PROFILE = """
+WITH g AS (
+  SELECT event_type, hour(ts)::bigint AS hour_of_day,
+         count(*)::bigint AS n_events
+  FROM events GROUP BY event_type, hour(ts)
+)
+SELECT event_type, hour_of_day, n_events,
+       round(n_events / cast(sum(n_events)
+             OVER (PARTITION BY event_type) as double), 4) AS share,
+       n_events = max(n_events) OVER (PARTITION BY event_type)
+         AS is_peak_hour
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7016,6 +7210,9 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
         q_cluster_size_histogram, ORACLE_CLUSTER_SIZE_HISTOGRAM,
     ),
     "dedup_savings": (q_dedup_savings, ORACLE_DEDUP_SAVINGS),
+    "quality_calibration": (q_quality_calibration, ORACLE_QUALITY_CALIBRATION),
+    "robust_outliers": (q_robust_outliers, ORACLE_ROBUST_OUTLIERS),
+    "activity_profile": (q_activity_profile, ORACLE_ACTIVITY_PROFILE),
     # temporal joins + sketches (round-4 additions)
     "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
     "range_join": (q_range_join, ORACLE_RANGE_JOIN),

@@ -712,3 +712,30 @@ def test_embedding_drift_no_dim_explode(spark, registry):
     assert "Generate" not in plan        # no dim explode
     assert "MapInPandas" in plan         # partition partials
     assert "FlatMapGroupsInPandas" in plan  # per-parity reduce
+
+
+def test_quality_calibration_single_scan_no_join(spark, registry):
+    """Both signals are per-row expressions: the calibration table must
+    be ONE scan + a 10-key aggregate, not a join of two scored passes."""
+    df = registry["quality_calibration"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "EvalPython" not in plan
+
+
+def test_robust_outliers_broadcast_medians(spark, registry):
+    """The per-type median/MAD tables are |types| rows — both join-backs
+    must broadcast; no sort-merge, no full-table window."""
+    df = registry["robust_outliers"][0](spark, SF_DIR)
+    df.collect()  # AQE final plan
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in final
+    assert "Window" not in final
+
+
+def test_activity_profile_single_scan_window_on_grouped(spark, registry):
+    df = registry["activity_profile"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
