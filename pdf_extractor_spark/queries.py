@@ -7090,6 +7090,483 @@ FROM g
 """
 
 
+def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-grain sweep line over gap-based sessions: how many sessions
+    are open at each hour boundary, plus the starts/ends that hour — the
+    capacity-planning companion to `sessionize` (how many concurrent
+    conversations must the serving tier hold open?).
+
+    Scale shape: the only event-volume shuffle is the sessionize window;
+    sessions collapse to ±1 deltas keyed by hour, so the cumulative sum
+    runs over a table bounded by the TIME RANGE (|hours| keys), not the
+    event count — a global window that is safe at any scale because its
+    input is tiny.  Epoch-seconds output dodges the toPandas ns/us
+    artifact."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH gaps AS (
+          SELECT user_id, ts,
+                 CASE WHEN unix_timestamp(ts)
+                           - unix_timestamp(lag(ts) OVER
+                               (PARTITION BY user_id ORDER BY ts)) > 1800
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS is_start
+          FROM events
+        ), sess AS (
+          SELECT user_id, ts,
+                 sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM gaps
+        ), spans AS (
+          SELECT user_id, session_no,
+                 date_trunc('hour', min(ts)) AS h0,
+                 date_trunc('hour', max(ts)) + INTERVAL 1 HOUR AS h1
+          FROM sess GROUP BY user_id, session_no
+        ), deltas AS (
+          SELECT h0 AS hr, 1 AS delta FROM spans
+          UNION ALL
+          SELECT h1 AS hr, -1 AS delta FROM spans
+        ), hourly AS (
+          SELECT hr,
+                 cast(sum(IF(delta > 0, 1, 0)) as bigint) AS n_starts,
+                 cast(sum(IF(delta < 0, 1, 0)) as bigint) AS n_ends,
+                 cast(sum(delta) as bigint) AS net
+          FROM deltas GROUP BY hr
+        )
+        SELECT cast(unix_timestamp(hr) as bigint) AS hour_ts,
+               n_starts, n_ends,
+               cast(sum(net) OVER (ORDER BY hr
+                    ROWS UNBOUNDED PRECEDING) as bigint) AS active_sessions
+        FROM hourly
+        """,
+    )
+
+
+ORACLE_SESSION_CONCURRENCY = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN floor(epoch(ts))
+                   - floor(epoch(lag(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts))) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps
+), spans AS (
+  SELECT user_id, session_no,
+         date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) + INTERVAL 1 HOUR AS h1
+  FROM sess GROUP BY user_id, session_no
+), deltas AS (
+  SELECT h0 AS hr, 1 AS delta FROM spans
+  UNION ALL
+  SELECT h1 AS hr, -1 AS delta FROM spans
+), hourly AS (
+  SELECT hr,
+         sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END)::bigint AS n_starts,
+         sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END)::bigint AS n_ends,
+         sum(delta)::bigint AS net
+  FROM deltas GROUP BY hr
+)
+SELECT floor(epoch(hr))::bigint AS hour_ts,
+       n_starts, n_ends,
+       sum(net) OVER (ORDER BY hr ROWS UNBOUNDED PRECEDING)::bigint
+         AS active_sessions
+FROM hourly
+"""
+
+
+def q_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift changepoint detection on the hourly per-type event
+    series: compare the trailing 6-hour mean (ending BEFORE the current
+    hour) against the leading 6-hour mean (starting AT it); a relative
+    jump > 0.5 flags a changepoint.  The two-sided rolling-mean test is
+    the streaming-friendly cousin of CUSUM — no recursion, so it stays a
+    pure window plan (CUSUM's running max needs a sequential fold).
+
+    Scale shape: event volume collapses to |types|×|hours| keys in ONE
+    grouped aggregate; both rolling means are ROWS frames over that tiny
+    keyed table.  Rows without full 6+6 context are emitted unflagged
+    (boundary hours can't evidence a shift)."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr,
+                 cast(count(*) as bigint) AS n_events
+          FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ), w AS (
+          SELECT event_type, hr, n_events,
+                 avg(n_events) OVER (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS before_mean,
+                 count(*) OVER (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS n_before,
+                 avg(n_events) OVER (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS after_mean,
+                 count(*) OVER (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS n_after
+          FROM hourly
+        )
+        SELECT event_type,
+               cast(unix_timestamp(hr) as bigint) AS hour_ts, n_events,
+               round(before_mean, 4) AS before_mean,
+               round(after_mean, 4) AS after_mean,
+               round(abs(after_mean - before_mean)
+                     / greatest(before_mean, cast(1.0 as double)), 4)
+                 AS shift_score,
+               (n_before = 6 AND n_after = 6
+                AND abs(after_mean - before_mean)
+                    / greatest(before_mean, cast(1.0 as double))
+                    > cast(0.5 as double)) AS is_shift
+        FROM w WHERE n_before > 0
+        """,
+    )
+
+
+ORACLE_LEVEL_SHIFT = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         count(*)::bigint AS n_events
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), w AS (
+  SELECT event_type, hr, n_events,
+         avg(n_events) OVER (PARTITION BY event_type ORDER BY hr
+             ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS before_mean,
+         count(*) OVER (PARTITION BY event_type ORDER BY hr
+             ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS n_before,
+         avg(n_events) OVER (PARTITION BY event_type ORDER BY hr
+             ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS after_mean,
+         count(*) OVER (PARTITION BY event_type ORDER BY hr
+             ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS n_after
+  FROM hourly
+)
+SELECT event_type,
+       floor(epoch(hr))::bigint AS hour_ts, n_events,
+       round(before_mean, 4) AS before_mean,
+       round(after_mean, 4) AS after_mean,
+       round(abs(after_mean - before_mean)
+             / greatest(before_mean, cast(1.0 as double)), 4) AS shift_score,
+       (n_before = 6 AND n_after = 6
+        AND abs(after_mean - before_mean)
+            / greatest(before_mean, cast(1.0 as double))
+            > cast(0.5 as double)) AS is_shift
+FROM w WHERE n_before > 0
+"""
+
+
+# EWMA weights (1-alpha)^k for alpha=0.25 are 3^k/4^k — exact binary
+# doubles, so per-term products are bitwise-identical across engines and
+# the fixed left-to-right 8-term sum needs only the usual round(4).
+_EWMA_W = [0.75 ** k for k in range(8)]
+
+
+def _ewma_expr(cast_tpl: str) -> tuple[str, str]:
+    num = " + ".join(
+        f"coalesce(l{k}, 0) * {cast_tpl.format(w=repr(_EWMA_W[k]))}"
+        if k else f"n_events * {cast_tpl.format(w='1.0')}"
+        for k in range(8)
+    )
+    den = " + ".join(
+        f"(CASE WHEN l{k} IS NULL THEN 0.0 ELSE "
+        f"{cast_tpl.format(w=repr(_EWMA_W[k]))} END)"
+        if k else cast_tpl.format(w="1.0")
+        for k in range(8)
+    )
+    return num, den
+
+
+def q_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over the hourly per-type
+    event series, truncated at 8 taps (alpha=0.25; the omitted tail
+    carries <0.1 weight) — the smoothed expectation that `rate_anomaly`
+    and `level_shift` thresholds should be read against.
+
+    The textbook EWMA is a recursion, which SQL windows can't express;
+    the 8-tap FIR truncation IS window-expressible (explicit lag taps),
+    keeps the plan a pure window over the tiny hourly table, and
+    renormalizes by the present taps' weight so series heads aren't
+    biased low.
+
+    Scale shape: one grouped aggregate to |types|×|hours| keys, then a
+    single window pass computing all 7 lags in one frame scan."""
+    lags = ",\n                 ".join(
+        f"lag(n_events, {k}) OVER (PARTITION BY event_type ORDER BY hr)"
+        f" AS l{k}" for k in range(1, 8)
+    )
+    num, den = _ewma_expr("cast({w} as double)")
+    return _sql(
+        spark, sf_dir, ["events"],
+        f"""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr,
+                 cast(count(*) as bigint) AS n_events
+          FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ), taps AS (
+          SELECT event_type, hr, n_events,
+                 {lags}
+          FROM hourly
+        )
+        SELECT event_type,
+               cast(unix_timestamp(hr) as bigint) AS hour_ts, n_events,
+               round(({num}) / ({den}), 4) AS ewma,
+               round(n_events - ({num}) / ({den}), 4) AS residual
+        FROM taps
+        """,
+    )
+
+
+_EWMA_NUM_DUCK, _EWMA_DEN_DUCK = _ewma_expr("cast({w} as double)")
+_EWMA_LAGS_DUCK = ",\n         ".join(
+    f"lag(n_events, {k}) OVER (PARTITION BY event_type ORDER BY hr) AS l{k}"
+    for k in range(1, 8)
+)
+
+ORACLE_EWMA_HOURLY = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         count(*)::bigint AS n_events
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), taps AS (
+  SELECT event_type, hr, n_events,
+         {_EWMA_LAGS_DUCK}
+  FROM hourly
+)
+SELECT event_type,
+       floor(epoch(hr))::bigint AS hour_ts, n_events,
+       round(({_EWMA_NUM_DUCK}) / ({_EWMA_DEN_DUCK}), 4) AS ewma,
+       round(n_events - ({_EWMA_NUM_DUCK}) / ({_EWMA_DEN_DUCK}), 4)
+         AS residual
+FROM taps
+"""
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage per source: build the corpus top-1000
+    token vocabulary, then report what share of each source's token
+    OCCURRENCES and distinct token TYPES fall outside it — the OOV audit
+    run before freezing a tokenizer (a high OOV source either needs vocab
+    budget or gets shredded into bytes at training time).
+
+    Scale shape: one (source, token) hash aggregate with map-side partial
+    combine is the only corpus-volume shuffle; the vocabulary is a
+    1000-row relation joined BROADCAST back onto the grouped table; the
+    final aggregate has |sources| keys.  Rank ties at the vocab boundary
+    break by token text, so the cut is deterministic in both engines."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH tok AS (
+          SELECT source, token
+          FROM documents
+          LATERAL VIEW explode({_SPARK_TOKENS.format(x='text')}) AS token
+        ), st AS (
+          SELECT source, token, cast(count(*) as bigint) AS n
+          FROM tok GROUP BY source, token
+        ), vocab AS (
+          SELECT token FROM (
+            SELECT token,
+                   row_number() OVER (ORDER BY sum(n) DESC, token) AS rk
+            FROM st GROUP BY token
+          ) WHERE rk <= 1000
+        )
+        SELECT /*+ BROADCAST(v) */
+               st.source,
+               cast(sum(st.n) as bigint) AS n_occurrences,
+               cast(count(*) as bigint) AS n_types,
+               cast(sum(IF(v.token IS NULL, st.n, 0)) as bigint)
+                 AS oov_occurrences,
+               cast(sum(IF(v.token IS NULL, 1, 0)) as bigint) AS oov_types,
+               round(sum(IF(v.token IS NULL, st.n, 0))
+                     / cast(sum(st.n) as double), 4) AS oov_occurrence_rate,
+               round(sum(IF(v.token IS NULL, 1, 0))
+                     / cast(count(*) as double), 4) AS oov_type_rate
+        FROM st LEFT JOIN vocab v ON v.token = st.token
+        GROUP BY st.source
+        """,
+    )
+
+
+ORACLE_VOCAB_COVERAGE = f"""
+WITH tok AS (
+  SELECT source, unnest({_DUCK_TOKENS.format(x='text')}) AS token
+  FROM documents
+), st AS (
+  SELECT source, token, count(*)::bigint AS n
+  FROM tok GROUP BY source, token
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY sum(n) DESC, token) AS rk
+    FROM st GROUP BY token
+  ) WHERE rk <= 1000
+)
+SELECT st.source,
+       sum(st.n)::bigint AS n_occurrences,
+       count(*)::bigint AS n_types,
+       sum(CASE WHEN v.token IS NULL THEN st.n ELSE 0 END)::bigint
+         AS oov_occurrences,
+       sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::bigint AS oov_types,
+       round(sum(CASE WHEN v.token IS NULL THEN st.n ELSE 0 END)
+             / cast(sum(st.n) as double), 4) AS oov_occurrence_rate,
+       round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+             / cast(count(*) as double), 4) AS oov_type_rate
+FROM st LEFT JOIN vocab v ON v.token = st.token
+GROUP BY st.source
+"""
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with a vowel-group syllable
+    heuristic (a syllable ≈ one maximal [aeiouy]+ run — the standard
+    dictionary-free approximation), rolled up per source — the
+    readability axis of the quality battery (`quality_score` measures
+    shape, this measures prose difficulty; both gate corpus cuts).
+
+    Scale shape: every signal is a per-row regexp count, so the whole
+    operator is ONE scan + a |sources|-key aggregate — zero joins.  All
+    three counts are exact integers; only the final score divides, under
+    round(4)."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH f AS (
+          SELECT source,
+                 greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1)
+                   AS n_sentences,
+                 greatest(size(filter(split(lower(text), '[^a-z0-9]+'),
+                                      t -> t != '')), 1) AS n_words,
+                 greatest(size(regexp_extract_all(lower(text),
+                                                  '[aeiouy]+', 0)), 1)
+                   AS n_syllables
+          FROM documents
+        ), scored AS (
+          SELECT source, n_sentences, n_words, n_syllables,
+                 cast(206.835 as double)
+                 - cast(1.015 as double) * n_words / n_sentences
+                 - cast(84.6 as double) * n_syllables / n_words AS flesch
+          FROM f
+        )
+        SELECT source,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(n_words) as bigint) AS total_words,
+               round(avg(cast(n_words as double) / n_sentences), 4)
+                 AS mean_words_per_sentence,
+               round(avg(cast(n_syllables as double) / n_words), 4)
+                 AS mean_syllables_per_word,
+               round(avg(flesch), 4) AS mean_flesch,
+               cast(sum(IF(flesch < 30, 1, 0)) as bigint) AS n_difficult,
+               round(sum(IF(flesch < 30, 1, 0)) / cast(count(*) as double), 4)
+                 AS difficult_rate
+        FROM scored GROUP BY source
+        """,
+    )
+
+
+ORACLE_READABILITY = """
+WITH f AS (
+  SELECT source,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         greatest(len(list_filter(
+             regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+             t -> t != '')), 1) AS n_words,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+           AS n_syllables
+  FROM documents
+), scored AS (
+  SELECT source, n_sentences, n_words, n_syllables,
+         cast(206.835 as double)
+         - cast(1.015 as double) * n_words / n_sentences
+         - cast(84.6 as double) * n_syllables / n_words AS flesch
+  FROM f
+)
+SELECT source,
+       count(*)::bigint AS n_docs,
+       sum(n_words)::bigint AS total_words,
+       round(avg(cast(n_words as double) / n_sentences), 4)
+         AS mean_words_per_sentence,
+       round(avg(cast(n_syllables as double) / n_words), 4)
+         AS mean_syllables_per_word,
+       round(avg(flesch), 4) AS mean_flesch,
+       sum(CASE WHEN flesch < 30 THEN 1 ELSE 0 END)::bigint AS n_difficult,
+       round(sum(CASE WHEN flesch < 30 THEN 1 ELSE 0 END)
+             / cast(count(*) as double), 4) AS difficult_rate
+FROM scored GROUP BY source
+"""
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded Levenshtein near-duplicate pairs on document heads: docs
+    bucket by (lang, first token, length band) so only plausibly-similar
+    docs ever meet, each bucket is CAPPED at 20 members, and the exact
+    edit distance runs on the 40-char normalized prefix — the
+    typo/near-variant dedup family that shingle Jaccard misses (one-char
+    edits barely move a shingle set but sit at levenshtein 1).
+
+    Scale shape: one hash shuffle on the bucket key, a row_number cap
+    bounding every bucket's pair expansion at C(20,2), then a bucket-LOCAL
+    self-join — O(sum bucket^2) with bucket^2 <= 400, never all-pairs.
+    Levenshtein is exact integer arithmetic, bitwise-identical across
+    engines."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH k AS (
+          SELECT doc_id,
+                 concat_ws('|', lang,
+                           substring(regexp_replace(lower(text),
+                                     '[^a-z0-9]+', ' '), 1, 8),
+                           cast(cast(floor(n_chars / 64) as bigint)
+                                as string)) AS bucket,
+                 substring(regexp_replace(lower(text), '[^a-z0-9]+', ' '),
+                           1, 40) AS head
+          FROM documents
+        ), capped AS (
+          SELECT doc_id, bucket, head,
+                 row_number() OVER (PARTITION BY bucket ORDER BY doc_id)
+                   AS rk
+          FROM k
+        ), members AS (
+          SELECT doc_id, bucket, head FROM capped WHERE rk <= 20
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               cast(levenshtein(a.head, b.head) as bigint) AS edit_dist
+        FROM members a JOIN members b
+          ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.head, b.head) <= 5
+        """,
+    )
+
+
+ORACLE_EDIT_DISTANCE_PAIRS = """
+WITH k AS (
+  SELECT doc_id,
+         concat_ws('|', lang,
+                   substring(regexp_replace(lower(text),
+                             '[^a-z0-9]+', ' ', 'g'), 1, 8),
+                   cast(cast(floor(n_chars / 64) as bigint) as varchar))
+           AS bucket,
+         substring(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                   1, 40) AS head
+  FROM documents
+), capped AS (
+  SELECT doc_id, bucket, head,
+         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rk
+  FROM k
+), members AS (
+  SELECT doc_id, bucket, head FROM capped WHERE rk <= 20
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.head, b.head)::bigint AS edit_dist
+FROM members a JOIN members b
+  ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7213,6 +7690,14 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "quality_calibration": (q_quality_calibration, ORACLE_QUALITY_CALIBRATION),
     "robust_outliers": (q_robust_outliers, ORACLE_ROBUST_OUTLIERS),
     "activity_profile": (q_activity_profile, ORACLE_ACTIVITY_PROFILE),
+    # vocabulary / readability / edit-distance ops (round-4 additions)
+    "vocab_coverage": (q_vocab_coverage, ORACLE_VOCAB_COVERAGE),
+    "readability": (q_readability, ORACLE_READABILITY),
+    "edit_distance_pairs": (q_edit_distance_pairs, ORACLE_EDIT_DISTANCE_PAIRS),
+    # time-series smoothing + sweep-line ops (round-4 additions)
+    "session_concurrency": (q_session_concurrency, ORACLE_SESSION_CONCURRENCY),
+    "level_shift": (q_level_shift, ORACLE_LEVEL_SHIFT),
+    "ewma_hourly": (q_ewma_hourly, ORACLE_EWMA_HOURLY),
     # temporal joins + sketches (round-4 additions)
     "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
     "range_join": (q_range_join, ORACLE_RANGE_JOIN),

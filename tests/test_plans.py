@@ -739,3 +739,53 @@ def test_activity_profile_single_scan_window_on_grouped(spark, registry):
     plan = _plan(df).split("== Initial Plan ==")[0]
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_session_concurrency_cumsum_over_hour_keys_only(spark, registry):
+    """The global cumulative sum must run AFTER the hour-key aggregate —
+    a single-partition window is only safe because its input is bounded
+    by the time range, not the event count."""
+    df = registry["session_concurrency"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    # two windows total: the per-user sessionize pair + the global cumsum;
+    # the cumsum window sits above the hour HashAggregate, never the raw scan
+    assert "HashAggregate" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_level_shift_and_ewma_windows_over_grouped_table(spark, registry):
+    for name in ("level_shift", "ewma_hourly"):
+        df = registry[name][0](spark, SF_DIR)
+        plan = _plan(df).split("== Initial Plan ==")[0]
+        assert plan.count("Scan parquet") == 1, name
+        assert "Join" not in plan, name
+        # rolling frames run over the (type, hour) aggregate, so a Window
+        # appears above a HashAggregate
+        assert "Window" in plan and "HashAggregate" in plan, name
+
+
+def test_vocab_coverage_vocab_join_is_broadcast(spark, registry):
+    """The 1000-row vocabulary must broadcast back onto the (source,
+    token) table — a sort-merge there would shuffle the whole wordcount."""
+    df = registry["vocab_coverage"][0](spark, SF_DIR)
+    df.collect()  # AQE final plan
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+
+
+def test_readability_single_scan_no_join(spark, registry):
+    df = registry["readability"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "EvalPython" not in plan
+
+
+def test_edit_distance_pairs_bucket_local_no_cartesian(spark, registry):
+    """Pair expansion must stay an equi-join on the bucket key (hash or
+    broadcast), never a cartesian/nested-loop over members."""
+    df = registry["edit_distance_pairs"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
