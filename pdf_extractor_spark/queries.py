@@ -7567,6 +7567,274 @@ WHERE levenshtein(a.head, b.head) <= 5
 """
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the event stream: rows bucket into
+    quasi-identifier cells (event_type, hour-of-day, coarse value band);
+    a cell whose rows trace back to fewer than k=5 distinct users is
+    re-identifiable — report per type how much traffic sits in such
+    cells.  The release gate a training-data pipeline runs BEFORE
+    shipping an interaction log (the structural companion to
+    `pii_scrub`, which handles content).
+
+    Scale shape: one exact count-distinct aggregate to the QI-cell keys
+    (Spark plans it as a two-phase expand+agg), then a |types|-key rollup
+    — no joins, all integers."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH cells AS (
+          SELECT event_type,
+                 cast(hour(ts) as bigint) AS hod,
+                 cast(floor(value / 10) as bigint) AS value_band,
+                 cast(count(*) as bigint) AS n_rows,
+                 cast(count(DISTINCT user_id) as bigint) AS k
+          FROM events
+          GROUP BY event_type, hour(ts), floor(value / 10)
+        )
+        SELECT event_type,
+               cast(count(*) as bigint) AS n_cells,
+               cast(sum(n_rows) as bigint) AS n_rows,
+               cast(min(k) as bigint) AS min_k,
+               cast(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) as bigint)
+                 AS cells_below_k,
+               cast(sum(CASE WHEN k < 5 THEN n_rows ELSE 0 END) as bigint)
+                 AS rows_at_risk,
+               round(sum(CASE WHEN k < 5 THEN n_rows ELSE 0 END)
+                     / cast(sum(n_rows) as double), 4) AS risk_rate
+        FROM cells GROUP BY event_type
+        """,
+    )
+
+
+ORACLE_K_ANONYMITY = """
+WITH cells AS (
+  SELECT event_type,
+         cast(hour(ts) as bigint) AS hod,
+         cast(floor(value / 10) as bigint) AS value_band,
+         count(*)::bigint AS n_rows,
+         count(DISTINCT user_id)::bigint AS k
+  FROM events
+  GROUP BY event_type, hour(ts), floor(value / 10)
+)
+SELECT event_type,
+       count(*)::bigint AS n_cells,
+       sum(n_rows)::bigint AS n_rows,
+       min(k)::bigint AS min_k,
+       sum(CASE WHEN k < 5 THEN 1 ELSE 0 END)::bigint AS cells_below_k,
+       sum(CASE WHEN k < 5 THEN n_rows ELSE 0 END)::bigint AS rows_at_risk,
+       round(sum(CASE WHEN k < 5 THEN n_rows ELSE 0 END)
+             / cast(sum(n_rows) as double), 4) AS risk_rate
+FROM cells GROUP BY event_type
+"""
+
+
+def _pagerank_sql(iters: int = 3) -> str:
+    """Damped PageRank over the event-type transition graph, unrolled to
+    a fixed iteration count — ONE engine-agnostic SQL string (no
+    Spark/DuckDB-specific functions), so the oracle is literally the same
+    text the engine runs.  Dangling mass (nodes never seen as a
+    predecessor) is redistributed uniformly each step, keeping total rank
+    at 1.0 — pinned by test."""
+    sql = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), counts AS (
+  SELECT prev_type, event_type AS next_type,
+         cast(count(*) as double) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+), edges AS (
+  SELECT prev_type, next_type,
+         n / sum(n) OVER (PARTITION BY prev_type) AS w
+  FROM counts
+), nodes AS (
+  SELECT node, max(is_out) = 1 AS has_out FROM (
+    SELECT prev_type AS node, 1 AS is_out FROM edges
+    UNION ALL
+    SELECT next_type AS node, 0 AS is_out FROM edges
+  ) u GROUP BY node
+), r0a AS (
+  SELECT node, has_out,
+         cast(count(*) OVER () as double) AS nn
+  FROM nodes
+), r0 AS (
+  SELECT node, has_out, nn, cast(1.0 as double) / nn AS r,
+         sum(CASE WHEN has_out THEN cast(0.0 as double)
+                  ELSE cast(1.0 as double) / nn END) OVER () AS dm
+  FROM r0a
+)"""
+    prev = "r0"
+    for t in range(1, iters + 1):
+        sql += f""", m{t} AS (
+  SELECT e.next_type AS node, sum(r.r * e.w) AS s
+  FROM edges e JOIN {prev} r ON r.node = e.prev_type
+  GROUP BY e.next_type
+), r{t}a AS (
+  SELECT n.node, n.has_out, n.nn,
+         cast(0.15 as double) / n.nn
+         + cast(0.85 as double)
+           * (coalesce(m{t}.s, cast(0.0 as double)) + n.dm / n.nn) AS r
+  FROM {prev} n LEFT JOIN m{t} ON m{t}.node = n.node
+), r{t} AS (
+  SELECT node, has_out, nn, r,
+         sum(CASE WHEN has_out THEN cast(0.0 as double) ELSE r END)
+           OVER () AS dm
+  FROM r{t}a
+)"""
+        prev = f"r{t}"
+    sql += f"""
+SELECT node AS event_type, round(r, 4) AS pagerank,
+       cast(row_number() OVER (ORDER BY round(r, 4) DESC, node) as bigint)
+         AS rank_pos,
+       has_out
+FROM {prev}
+"""
+    return sql
+
+
+ORACLE_PAGERANK_EVENTS = _pagerank_sql()
+
+
+def q_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped (d=0.85) PageRank over the first-order event-type
+    transition graph, 3 unrolled iterations with uniform dangling-mass
+    redistribution — which tool/event is the structural hub of agent
+    sessions, weighting incoming edges by where the mass actually flows
+    rather than raw in-degree (`graph_degree_stats` counts; this ranks).
+
+    Scale shape: the ONLY event-volume work is the lag window + the
+    transition aggregate (same as `event_transitions`); every iteration
+    is a join + groupBy over the |types|² edge relation, the textbook
+    distributed-PageRank step — at a billion nodes each iteration stays
+    one hash shuffle on the join key.  The SQL is engine-agnostic; the
+    oracle is the identical string."""
+    return _sql(spark, sf_dir, ["events"], _pagerank_sql())
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's DISTINCT word
+    3-grams whose corpus-wide first appearance (min doc_id) IS this doc —
+    late near-copies score ~0, fresh content ~1.  The incremental-value
+    signal a curation pass reads when deciding whether an arrival batch
+    adds anything the corpus doesn't already have (the per-doc companion
+    to `dedup_incremental`).
+
+    Scale shape: ONE shuffle keyed by the gram string: the min-doc window
+    and the distinct both ride it (no gram-table self-join); the per-doc
+    rollup then shuffles only doc keys.  First-appearance ties are
+    impossible — min(doc_id) is exact."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        _SPARK_SHINGLES + """
+        , grams AS (
+          SELECT DISTINCT doc_id, shingle
+          FROM sh LATERAL VIEW explode(shingles) AS shingle
+        ), firsts AS (
+          SELECT doc_id, shingle,
+                 min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+          FROM grams
+        )
+        SELECT doc_id,
+               cast(count(*) as bigint) AS n_grams,
+               cast(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                    as bigint) AS n_novel,
+               round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                     / cast(count(*) as double), 4) AS novelty_rate
+        FROM firsts GROUP BY doc_id
+        """,
+    )
+
+
+ORACLE_NGRAM_NOVELTY = _DUCK_SHINGLES + """
+, grams AS (
+  SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh
+), firsts AS (
+  SELECT doc_id, shingle,
+         min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+  FROM grams
+)
+SELECT doc_id,
+       count(*)::bigint AS n_grams,
+       sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::bigint
+         AS n_novel,
+       round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+             / cast(count(*) as double), 4) AS novelty_rate
+FROM firsts GROUP BY doc_id
+"""
+
+
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise token-vocabulary Jaccard between sources — how much of
+    each source's lexicon another source already covers, the redundancy
+    map `mix_weights` should consult before upweighting a source that is
+    lexically a subset of one already in the mix.
+
+    Scale shape: the corpus collapses to the distinct (source, token)
+    vocabulary table in one aggregate; the token-keyed self-join fans out
+    at most |sources|² rows PER TOKEN (sources are dozens, not millions),
+    and the per-source vocab sizes join back broadcast."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH vocab AS (
+          SELECT DISTINCT source, token
+          FROM documents
+          LATERAL VIEW explode({_SPARK_TOKENS.format(x='text')}) AS token
+        ), sizes AS (
+          SELECT source, cast(count(*) as bigint) AS vocab_size
+          FROM vocab GROUP BY source
+        ), inter AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 cast(count(*) as bigint) AS n_shared
+          FROM vocab a JOIN vocab b
+            ON a.token = b.token AND a.source < b.source
+          GROUP BY a.source, b.source
+        )
+        SELECT /*+ BROADCAST(sa), BROADCAST(sb) */
+               i.source_a, i.source_b, i.n_shared,
+               sa.vocab_size AS vocab_a, sb.vocab_size AS vocab_b,
+               round(i.n_shared / cast(sa.vocab_size + sb.vocab_size
+                                       - i.n_shared as double), 4)
+                 AS jaccard,
+               round(i.n_shared / cast(least(sa.vocab_size,
+                                             sb.vocab_size) as double), 4)
+                 AS containment
+        FROM inter i
+        JOIN sizes sa ON sa.source = i.source_a
+        JOIN sizes sb ON sb.source = i.source_b
+        """,
+    )
+
+
+ORACLE_SOURCE_VOCAB_OVERLAP = f"""
+WITH vocab AS (
+  SELECT DISTINCT source, unnest({_DUCK_TOKENS.format(x='text')}) AS token
+  FROM documents
+), sizes AS (
+  SELECT source, count(*)::bigint AS vocab_size FROM vocab GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*)::bigint AS n_shared
+  FROM vocab a JOIN vocab b
+    ON a.token = b.token AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b, i.n_shared,
+       sa.vocab_size AS vocab_a, sb.vocab_size AS vocab_b,
+       round(i.n_shared / cast(sa.vocab_size + sb.vocab_size
+                               - i.n_shared as double), 4) AS jaccard,
+       round(i.n_shared / cast(least(sa.vocab_size,
+                                     sb.vocab_size) as double), 4)
+         AS containment
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7690,6 +7958,11 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "quality_calibration": (q_quality_calibration, ORACLE_QUALITY_CALIBRATION),
     "robust_outliers": (q_robust_outliers, ORACLE_ROBUST_OUTLIERS),
     "activity_profile": (q_activity_profile, ORACLE_ACTIVITY_PROFILE),
+    # governance + graph ops (round-4 additions)
+    "k_anonymity": (q_k_anonymity, ORACLE_K_ANONYMITY),
+    "pagerank_events": (q_pagerank_events, ORACLE_PAGERANK_EVENTS),
+    "ngram_novelty": (q_ngram_novelty, ORACLE_NGRAM_NOVELTY),
+    "source_vocab_overlap": (q_source_vocab_overlap, ORACLE_SOURCE_VOCAB_OVERLAP),
     # vocabulary / readability / edit-distance ops (round-4 additions)
     "vocab_coverage": (q_vocab_coverage, ORACLE_VOCAB_COVERAGE),
     "readability": (q_readability, ORACLE_READABILITY),

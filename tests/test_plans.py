@@ -789,3 +789,39 @@ def test_edit_distance_pairs_bucket_local_no_cartesian(spark, registry):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in final
     assert "BroadcastNestedLoopJoin" not in final
+
+
+def test_k_anonymity_single_scan_no_join(spark, registry):
+    df = registry["k_anonymity"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "EvalPython" not in plan
+
+
+def test_pagerank_events_scans_once_no_cartesian(spark, registry):
+    """Three unrolled iterations: every rank/edge join must be an
+    equi-join (hash/broadcast), the events table is scanned exactly once
+    for the transition aggregate."""
+    df = registry["pagerank_events"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+
+
+def test_ngram_novelty_window_not_selfjoin(spark, registry):
+    """First-appearance must ride the gram-keyed window, never a
+    gram-table self-join."""
+    df = registry["ngram_novelty"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_source_vocab_overlap_size_joins_broadcast(spark, registry):
+    df = registry["source_vocab_overlap"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in final
