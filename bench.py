@@ -185,7 +185,11 @@ def main() -> None:
                      "boilerplate_prefix", "sliding_active_users",
                      "embedding_drift", "cluster_size_histogram",
                      "dedup_savings", "quality_calibration",
-                     "robust_outliers", "activity_profile"):
+                     "robust_outliers", "activity_profile",
+                     "session_concurrency", "level_shift", "ewma_hourly",
+                     "vocab_coverage", "readability", "edit_distance_pairs",
+                     "k_anonymity", "pagerank_events", "ngram_novelty",
+                     "source_vocab_overlap"):
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
