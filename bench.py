@@ -189,7 +189,11 @@ def main() -> None:
                      "session_concurrency", "level_shift", "ewma_hourly",
                      "vocab_coverage", "readability", "edit_distance_pairs",
                      "k_anonymity", "pagerank_events", "ngram_novelty",
-                     "source_vocab_overlap"):
+                     "source_vocab_overlap",
+                     "topic_signature", "hapax_rate", "transition_entropy",
+                     "winsorize_values", "decontaminate_semantic",
+                     "quality_percentile_norm", "vocab_coverage_curve",
+                     "source_length_ttest"):
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -7722,19 +7722,26 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds anything the corpus doesn't already have (the per-doc companion
     to `dedup_incremental`).
 
-    Scale shape: ONE shuffle keyed by the gram string: the min-doc window
-    and the distinct both ride it (no gram-table self-join); the per-doc
-    rollup then shuffles only doc keys.  First-appearance ties are
-    impossible — min(doc_id) is exact."""
+    Scale shape: grams hash to 8 bytes BEFORE anything shuffles (the
+    `hg` pattern — identical md5-prefix int in both engines, so a
+    collision lands identically and parity holds), then ONE 16-byte-row
+    shuffle carries both the distinct and the min-doc window (no
+    gram-table self-join); the per-doc rollup shuffles only doc keys.
+    The explode is OUTER + null-filtered — plain explode's inferred
+    size()>0 filter collapses into the scan and re-runs the tokenize
+    chain per row (the measured 11x round-3 pathology).  Shuffling the
+    gram STRINGS instead measured 15.6 s vs 1.9 s at sf0.1."""
+    h = _SPARK_MD5INT.format(x="shingle")
     return _sql(
         spark, sf_dir, ["documents"],
-        _SPARK_SHINGLES + """
+        _SPARK_SHINGLES + f"""
         , grams AS (
-          SELECT DISTINCT doc_id, shingle
-          FROM sh LATERAL VIEW explode(shingles) AS shingle
+          SELECT DISTINCT doc_id, {h} AS hg
+          FROM sh LATERAL VIEW OUTER explode(shingles) AS shingle
+          WHERE shingle IS NOT NULL
         ), firsts AS (
-          SELECT doc_id, shingle,
-                 min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+          SELECT doc_id, hg,
+                 min(doc_id) OVER (PARTITION BY hg) AS first_doc
           FROM grams
         )
         SELECT doc_id,
@@ -7748,12 +7755,14 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_NGRAM_NOVELTY = _DUCK_SHINGLES + """
+ORACLE_NGRAM_NOVELTY = _DUCK_SHINGLES + f"""
 , grams AS (
-  SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh
+  SELECT DISTINCT doc_id,
+         {_DUCK_MD5INT.format(x='shingle')} AS hg
+  FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh) u
 ), firsts AS (
-  SELECT doc_id, shingle,
-         min(doc_id) OVER (PARTITION BY shingle) AS first_doc
+  SELECT doc_id, hg,
+         min(doc_id) OVER (PARTITION BY hg) AS first_doc
   FROM grams
 )
 SELECT doc_id,
@@ -7832,6 +7841,585 @@ SELECT i.source_a, i.source_b, i.n_shared,
 FROM inter i
 JOIN sizes sa ON sa.source = i.source_a
 JOIN sizes sb ON sb.source = i.source_b
+"""
+
+
+def q_topic_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive vocabulary: top-5 tokens by smoothed
+    log-odds of appearing in this source vs the rest of the corpus
+    (Monroe et al.'s "fightin' words" shape with a flat add-one prior,
+    V=10000) — what a source is ABOUT, the qualitative companion to
+    `source_vocab_overlap`'s how-much-is-shared number.
+
+    Scale shape: the (source, token) wordcount is the only corpus-volume
+    shuffle; source totals are a |sources|-row aggregate joined back
+    BROADCAST (the corpus scalar rides it as a window over that tiny
+    table); per-token rest-of-corpus counts come from a token-keyed
+    window over the already-grouped vocab table, never a self-join.
+    ln() of a ratio of integer-plus-constant terms: one IEEE op per side,
+    stable under round(4)."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH tok AS (
+          SELECT source, token
+          FROM documents
+          LATERAL VIEW explode({_SPARK_TOKENS.format(x='text')}) AS token
+        ), st AS (
+          SELECT source, token, cast(count(*) as bigint) AS y_sw
+          FROM tok GROUP BY source, token
+        ), totals AS (
+          SELECT source, cast(sum(y_sw) as bigint) AS n_s,
+                 cast(sum(sum(y_sw)) OVER () as bigint) AS n
+          FROM st GROUP BY source
+        ), wtot AS (
+          SELECT source, token, y_sw,
+                 cast(sum(y_sw) OVER (PARTITION BY token) as bigint) AS y_w
+          FROM st
+        ), scored AS (
+          SELECT /*+ BROADCAST(t) */
+                 w.source, w.token, w.y_sw,
+                 w.y_w - w.y_sw AS y_rest,
+                 ln((w.y_sw + cast(1.0 as double))
+                    / (t.n_s + cast(10000.0 as double)))
+                 - ln((w.y_w - w.y_sw + cast(1.0 as double))
+                      / (t.n - t.n_s + cast(10000.0 as double))) AS log_odds
+          FROM wtot w JOIN totals t ON t.source = w.source
+        )
+        SELECT source, token, y_sw AS n_in_source,
+               cast(y_rest as bigint) AS n_in_rest,
+               round(log_odds, 4) AS log_odds,
+               cast(rk as bigint) AS rank_pos
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY source
+                        ORDER BY round(log_odds, 4) DESC, token) AS rk
+          FROM scored
+        ) WHERE rk <= 5
+        """,
+    )
+
+
+ORACLE_TOPIC_SIGNATURE = f"""
+WITH tok AS (
+  SELECT source, unnest({_DUCK_TOKENS.format(x='text')}) AS token
+  FROM documents
+), st AS (
+  SELECT source, token, count(*)::bigint AS y_sw
+  FROM tok GROUP BY source, token
+), totals AS (
+  SELECT source, sum(y_sw)::bigint AS n_s,
+         sum(sum(y_sw)) OVER ()::bigint AS n
+  FROM st GROUP BY source
+), wtot AS (
+  SELECT source, token, y_sw,
+         sum(y_sw) OVER (PARTITION BY token)::bigint AS y_w
+  FROM st
+), scored AS (
+  SELECT w.source, w.token, w.y_sw,
+         w.y_w - w.y_sw AS y_rest,
+         ln((w.y_sw + cast(1.0 as double))
+            / (t.n_s + cast(10000.0 as double)))
+         - ln((w.y_w - w.y_sw + cast(1.0 as double))
+              / (t.n - t.n_s + cast(10000.0 as double))) AS log_odds
+  FROM wtot w JOIN totals t ON t.source = w.source
+)
+SELECT source, token, y_sw AS n_in_source,
+       y_rest::bigint AS n_in_rest,
+       round(log_odds, 4) AS log_odds,
+       rk::bigint AS rank_pos
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                ORDER BY round(log_odds, 4) DESC, token) AS rk
+  FROM scored
+) s WHERE rk <= 5
+"""
+
+
+def q_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena share per source: the fraction of a source's
+    distinct token types that occur exactly once IN that source —
+    classic lexical-richness signal (natural prose sits near 40-60%
+    hapax; boilerplate/template sources collapse toward 0, OCR junk
+    explodes toward 1).  Complements `zipf_fit`'s head-of-distribution
+    slope with a tail-of-distribution number.
+
+    Scale shape: one (source, token) wordcount shuffle, then a
+    |sources|-key rollup — all integers until the final rates."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH tok AS (
+          SELECT source, token
+          FROM documents
+          LATERAL VIEW explode({_SPARK_TOKENS.format(x='text')}) AS token
+        ), st AS (
+          SELECT source, token, cast(count(*) as bigint) AS n
+          FROM tok GROUP BY source, token
+        )
+        SELECT source,
+               cast(sum(n) as bigint) AS n_occurrences,
+               cast(count(*) as bigint) AS n_types,
+               cast(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) as bigint)
+                 AS n_hapax,
+               round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                     / cast(count(*) as double), 4) AS hapax_type_rate,
+               round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                     / cast(sum(n) as double), 4) AS hapax_occurrence_rate
+        FROM st GROUP BY source
+        """,
+    )
+
+
+ORACLE_HAPAX_RATE = f"""
+WITH tok AS (
+  SELECT source, unnest({_DUCK_TOKENS.format(x='text')}) AS token
+  FROM documents
+), st AS (
+  SELECT source, token, count(*)::bigint AS n
+  FROM tok GROUP BY source, token
+)
+SELECT source,
+       sum(n)::bigint AS n_occurrences,
+       count(*)::bigint AS n_types,
+       sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::bigint AS n_hapax,
+       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+             / cast(count(*) as double), 4) AS hapax_type_rate,
+       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+             / cast(sum(n) as double), 4) AS hapax_occurrence_rate
+FROM st GROUP BY source
+"""
+
+
+def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy of the next event given the current one, per
+    predecessor type: H(next|prev) in bits plus the effective branching
+    factor 2^H — how PREDICTABLE agent behavior is from each state
+    (`event_transitions` gives the matrix; this collapses each row to
+    one decision-theoretic number).
+
+    Scale shape: identical event-volume work to `event_transitions` (lag
+    window + transition aggregate); the entropy fold runs over the
+    ≤|types|² grouped table.  The p·log p sum is deterministic under
+    round(4) at this cardinality."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events
+        ), counts AS (
+          SELECT prev_type, event_type AS next_type,
+                 cast(count(*) as bigint) AS n
+          FROM seq WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, event_type
+        ), probs AS (
+          SELECT prev_type, next_type, n,
+                 n / cast(sum(n) OVER (PARTITION BY prev_type) as double)
+                   AS p
+          FROM counts
+        )
+        SELECT prev_type,
+               cast(sum(n) as bigint) AS n_transitions,
+               cast(count(*) as bigint) AS n_successors,
+               round(-sum(p * ln(p)) / ln(cast(2.0 as double)), 4)
+                 AS entropy_bits,
+               round(pow(cast(2.0 as double),
+                         -sum(p * ln(p)) / ln(cast(2.0 as double))), 4)
+                 AS branching_factor
+        FROM probs GROUP BY prev_type
+        """,
+    )
+
+
+ORACLE_TRANSITION_ENTROPY = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), counts AS (
+  SELECT prev_type, event_type AS next_type, count(*)::bigint AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+), probs AS (
+  SELECT prev_type, next_type, n,
+         n / cast(sum(n) OVER (PARTITION BY prev_type) as double) AS p
+  FROM counts
+)
+SELECT prev_type,
+       sum(n)::bigint AS n_transitions,
+       count(*)::bigint AS n_successors,
+       round(-sum(p * ln(p)) / ln(cast(2.0 as double)), 4) AS entropy_bits,
+       round(pow(cast(2.0 as double),
+                 -sum(p * ln(p)) / ln(cast(2.0 as double))), 4)
+         AS branching_factor
+FROM probs GROUP BY prev_type
+"""
+
+
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type p1/p99 winsorization report: exact percentile bounds,
+    how many rows clip at each end, and the mean before vs after
+    clipping — the robust-preprocessing dial (`robust_outliers` flags
+    rows; this quantifies what clamping the tails would do to the
+    statistic downstream consumers actually read).
+
+    Scale shape: one exact grouped-percentile aggregate to |types| rows,
+    BROADCAST joined back (same hint-pinned shape as robust_outliers —
+    AQE misestimates grouped lineage), then a |types|-key rollup.  At
+    10^12 events swap percentile() for approx_percentile, same plan."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH bounds AS (
+          SELECT event_type,
+                 percentile(value, 0.01D) AS lo,
+                 percentile(value, 0.99D) AS hi
+          FROM events GROUP BY event_type
+        ), clipped AS (
+          SELECT /*+ BROADCAST(b) */
+                 e.event_type, e.value, b.lo, b.hi,
+                 least(greatest(e.value, b.lo), b.hi) AS wvalue
+          FROM events e JOIN bounds b ON b.event_type = e.event_type
+        )
+        SELECT event_type,
+               cast(count(*) as bigint) AS n_rows,
+               round(min(lo), 4) AS p01,
+               round(min(hi), 4) AS p99,
+               cast(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) as bigint)
+                 AS n_clipped_low,
+               cast(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) as bigint)
+                 AS n_clipped_high,
+               round(avg(value), 4) AS mean_raw,
+               round(avg(wvalue), 4) AS mean_winsorized
+        FROM clipped GROUP BY event_type
+        """,
+    )
+
+
+ORACLE_WINSORIZE_VALUES = """
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS lo,
+         quantile_cont(value, 0.99) AS hi
+  FROM events GROUP BY event_type
+), clipped AS (
+  SELECT e.event_type, e.value, b.lo, b.hi,
+         least(greatest(e.value, b.lo), b.hi) AS wvalue
+  FROM events e JOIN bounds b ON b.event_type = e.event_type
+)
+SELECT event_type,
+       count(*)::bigint AS n_rows,
+       round(min(lo), 4) AS p01,
+       round(min(hi), 4) AS p99,
+       sum(CASE WHEN value < lo THEN 1 ELSE 0 END)::bigint AS n_clipped_low,
+       sum(CASE WHEN value > hi THEN 1 ELSE 0 END)::bigint AS n_clipped_high,
+       round(avg(value), 4) AS mean_raw,
+       round(avg(wvalue), 4) AS mean_winsorized
+FROM clipped GROUP BY event_type
+"""
+
+
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination — the third axis of the decontamination
+    matrix: exact n-gram (`decontaminate*`) catches verbatim leaks, Bloom
+    scales the exact check, and THIS catches paraphrased benchmark
+    content by embedding similarity (per corpus vector, the max cosine to
+    any held-out bench vector, flagged at ≥ 0.95).
+
+    Scale shape: the bench side is tiny (eval sets are thousands of
+    vectors) so it BROADCASTS; the corpus scans once, each row scoring
+    |bench| cosines map-side, and the per-vector max + argmax come from a
+    window over the (corpus × |bench|) scored stream partitioned by
+    vec_id — which Spark evaluates within the map-side partition
+    lineage.  Self-contained bench = vec_id < 10 so the oracle replays;
+    production passes its eval embedding table."""
+    return _sql(
+        spark, sf_dir, ["embeddings"],
+        f"""
+        WITH q AS (
+          SELECT vec_id AS bench_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 10
+        ), scored AS (
+          SELECT /*+ BROADCAST(q) */
+                 e.vec_id, q.bench_id, {_SPARK_COS} AS cos_sim
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id >= 10
+        ), ranked AS (
+          SELECT vec_id, bench_id, cos_sim,
+                 row_number() OVER (PARTITION BY vec_id
+                     ORDER BY cos_sim DESC, bench_id) AS rk
+          FROM scored
+        )
+        SELECT vec_id, bench_id AS nearest_bench_id,
+               cos_sim AS max_cos,
+               cos_sim >= cast(0.95 as double) AS contaminated
+        FROM ranked WHERE rk = 1
+        """,
+    )
+
+
+ORACLE_DECONTAMINATE_SEMANTIC = f"""
+WITH q AS (
+  SELECT vec_id AS bench_id, embedding AS qv
+  FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT e.vec_id, q.bench_id, {_DUCK_COS} AS cos_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id >= 10
+), ranked AS (
+  SELECT vec_id, bench_id, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+             ORDER BY cos_sim DESC, bench_id) AS rk
+  FROM scored
+)
+SELECT vec_id, bench_id AS nearest_bench_id,
+       cos_sim AS max_cos,
+       cos_sim >= cast(0.95 as double) AS contaminated
+FROM ranked WHERE rk = 1
+"""
+
+
+def q_quality_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-normalized quality scores WITHOUT any per-document
+    window: the hashed-classifier score is an integer, so both the
+    within-source and the global percent_rank come from cumulative sums
+    over (source, score) / (score) BUCKET tables — exact percent_rank
+    semantics ((strictly-smaller count) / (n-1), min-rank ties), computed
+    from aggregates that broadcast back.  A global percent_rank window
+    would funnel 10^12 docs through one task; this plan's biggest
+    intermediate is |distinct scores| rows.  The pct gap shows where a
+    single global threshold over- or under-cuts a source."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH scored AS (
+          -- coalesce marks the fold non-null so the equi-join's inferred
+          -- isnotnull(score) filter folds to true instead of collapsing
+          -- into the scan and re-running the classifier per row (the
+          -- round-3 infer-filter pathology, spotted again in this plan)
+          SELECT doc_id, source,
+                 coalesce(aggregate({toks}, 0L,
+                          (acc, tok) -> acc + ({_CLF_W_SPARK})), 0L)
+                   AS score
+          FROM documents
+        ), sb AS (
+          SELECT source, score, cast(count(*) as bigint) AS n
+          FROM scored GROUP BY source, score
+        ), sbc AS (
+          SELECT source, score,
+                 coalesce(sum(n) OVER (PARTITION BY source ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS below_src,
+                 sum(n) OVER (PARTITION BY source) AS n_src
+          FROM sb
+        ), gb AS (
+          SELECT score, cast(count(*) as bigint) AS n
+          FROM scored GROUP BY score
+        ), gbc AS (
+          SELECT score,
+                 coalesce(sum(n) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS below_glob,
+                 sum(n) OVER () AS n_glob
+          FROM gb
+        )
+        SELECT /*+ BROADCAST(s), BROADCAST(g) */
+               d.doc_id, d.source, cast(d.score as bigint) AS score,
+               round(CASE WHEN s.n_src <= 1 THEN cast(0.0 as double)
+                     ELSE below_src / cast(s.n_src - 1 as double) END, 4)
+                 AS pct_in_source,
+               round(CASE WHEN g.n_glob <= 1 THEN cast(0.0 as double)
+                     ELSE below_glob / cast(g.n_glob - 1 as double) END, 4)
+                 AS pct_global,
+               round(CASE WHEN s.n_src <= 1 THEN cast(0.0 as double)
+                     ELSE below_src / cast(s.n_src - 1 as double) END
+                   - CASE WHEN g.n_glob <= 1 THEN cast(0.0 as double)
+                     ELSE below_glob / cast(g.n_glob - 1 as double) END, 4)
+                 AS pct_gap
+        FROM scored d
+        JOIN sbc s ON s.source = d.source AND s.score = d.score
+        JOIN gbc g ON g.score = d.score
+        """,
+    )
+
+
+ORACLE_QUALITY_PERCENTILE_NORM = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         coalesce(list_sum(list_transform({_DUCK_TOKENS.format(x='text')},
+                                          tok -> {_CLF_W_DUCK})), 0) AS score
+  FROM documents
+), sb AS (
+  SELECT source, score, count(*)::bigint AS n
+  FROM scored GROUP BY source, score
+), sbc AS (
+  SELECT source, score,
+         coalesce(sum(n) OVER (PARTITION BY source ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS below_src,
+         sum(n) OVER (PARTITION BY source) AS n_src
+  FROM sb
+), gb AS (
+  SELECT score, count(*)::bigint AS n FROM scored GROUP BY score
+), gbc AS (
+  SELECT score,
+         coalesce(sum(n) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS below_glob,
+         sum(n) OVER () AS n_glob
+  FROM gb
+)
+SELECT d.doc_id, d.source, d.score::bigint AS score,
+       round(CASE WHEN s.n_src <= 1 THEN cast(0.0 as double)
+             ELSE below_src / cast(s.n_src - 1 as double) END, 4)
+         AS pct_in_source,
+       round(CASE WHEN g.n_glob <= 1 THEN cast(0.0 as double)
+             ELSE below_glob / cast(g.n_glob - 1 as double) END, 4)
+         AS pct_global,
+       round(CASE WHEN s.n_src <= 1 THEN cast(0.0 as double)
+             ELSE below_src / cast(s.n_src - 1 as double) END
+           - CASE WHEN g.n_glob <= 1 THEN cast(0.0 as double)
+             ELSE below_glob / cast(g.n_glob - 1 as double) END, 4)
+         AS pct_gap
+FROM scored d
+JOIN sbc s ON s.source = d.source AND s.score = d.score
+JOIN gbc g ON g.score = d.score
+"""
+
+
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve summary: how many highest-frequency
+    token types cover 50/90/99% of all token occurrences — THE number
+    that sets a tokenizer's vocab-size budget (`vocab_coverage` audits a
+    FIXED 1000-token vocab; this inverts the question).  Single-row
+    output.
+
+    Scale shape: the wordcount is the only corpus shuffle; ranking and
+    the cumulative share run over the vocab-sized frequency table (the
+    global sort is vocab-sized, never corpus-sized), and the final
+    aggregate folds it to one row.  Rank ties break by token text."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH tok AS (
+          SELECT token
+          FROM documents
+          LATERAL VIEW explode({_SPARK_TOKENS.format(x='text')}) AS token
+        ), wc AS (
+          SELECT token, cast(count(*) as bigint) AS n
+          FROM tok GROUP BY token
+        ), ranked AS (
+          SELECT n,
+                 row_number() OVER (ORDER BY n DESC, token) AS rk,
+                 sum(n) OVER (ORDER BY n DESC, token
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(n) OVER () AS total
+          FROM wc
+        )
+        SELECT cast(count(*) as bigint) AS vocab_size,
+               cast(min(total) as bigint) AS total_occurrences,
+               cast(min(CASE WHEN cum >= cast(0.5 as double) * total
+                             THEN rk END) as bigint) AS types_for_50pct,
+               cast(min(CASE WHEN cum >= cast(0.9 as double) * total
+                             THEN rk END) as bigint) AS types_for_90pct,
+               cast(min(CASE WHEN cum >= cast(0.99 as double) * total
+                             THEN rk END) as bigint) AS types_for_99pct
+        FROM ranked
+        """,
+    )
+
+
+ORACLE_VOCAB_COVERAGE_CURVE = f"""
+WITH tok AS (
+  SELECT unnest({_DUCK_TOKENS.format(x='text')}) AS token FROM documents
+), wc AS (
+  SELECT token, count(*)::bigint AS n FROM tok GROUP BY token
+), ranked AS (
+  SELECT n,
+         row_number() OVER (ORDER BY n DESC, token) AS rk,
+         sum(n) OVER (ORDER BY n DESC, token
+             ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER () AS total
+  FROM wc
+)
+SELECT count(*)::bigint AS vocab_size,
+       min(total)::bigint AS total_occurrences,
+       min(CASE WHEN cum >= cast(0.5 as double) * total THEN rk END)::bigint
+         AS types_for_50pct,
+       min(CASE WHEN cum >= cast(0.9 as double) * total THEN rk END)::bigint
+         AS types_for_90pct,
+       min(CASE WHEN cum >= cast(0.99 as double) * total THEN rk END)::bigint
+         AS types_for_99pct
+FROM ranked
+"""
+
+
+def q_source_length_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Welch t-test on document length between sources — is
+    source A's length distribution ACTUALLY different from B's, or is
+    the gap in `length_percentiles` sampling noise?  The gate before
+    `mix_weights` treats two sources as distinct strata.
+
+    Scale shape: per-source n/Σx/Σx² fold to a |sources|-row table —
+    EXACT integer sums (n_chars ≤ 50k so Σx² fits bigint comfortably at
+    petabyte scale; beyond that, cast the squares to double with a
+    documented ulp budget) — then the t statistic is a handful of IEEE
+    ops over the tiny self-joined stats table.  No corpus-volume work
+    past the first aggregate."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH stats AS (
+          SELECT source,
+                 cast(count(*) as bigint) AS n,
+                 cast(sum(n_chars) as bigint) AS sx,
+                 cast(sum(n_chars * n_chars) as bigint) AS sxx
+          FROM documents GROUP BY source
+        ), v AS (
+          SELECT source, n, sx / cast(n as double) AS mean,
+                 (sxx - sx / cast(n as double) * sx)
+                   / cast(n - 1 as double) AS var
+          FROM stats WHERE n >= 2
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               a.n AS n_a, b.n AS n_b,
+               round(a.mean, 4) AS mean_a, round(b.mean, 4) AS mean_b,
+               round((a.mean - b.mean)
+                     / sqrt(a.var / a.n + b.var / b.n), 4) AS t_stat,
+               abs((a.mean - b.mean)
+                   / sqrt(a.var / a.n + b.var / b.n))
+                 > cast(1.96 as double) AS significant
+        FROM v a JOIN v b ON a.source < b.source
+        """,
+    )
+
+
+ORACLE_SOURCE_LENGTH_TTEST = """
+WITH stats AS (
+  SELECT source,
+         count(*)::bigint AS n,
+         sum(n_chars)::bigint AS sx,
+         sum(n_chars * n_chars)::bigint AS sxx
+  FROM documents GROUP BY source
+), v AS (
+  SELECT source, n, sx / cast(n as double) AS mean,
+         (sxx - sx / cast(n as double) * sx)
+           / cast(n - 1 as double) AS var
+  FROM stats WHERE n >= 2
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       a.n AS n_a, b.n AS n_b,
+       round(a.mean, 4) AS mean_a, round(b.mean, 4) AS mean_b,
+       round((a.mean - b.mean)
+             / sqrt(a.var / a.n + b.var / b.n), 4) AS t_stat,
+       abs((a.mean - b.mean)
+           / sqrt(a.var / a.n + b.var / b.n))
+         > cast(1.96 as double) AS significant
+FROM v a JOIN v b ON a.source < b.source
 """
 
 
@@ -7958,6 +8546,16 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "quality_calibration": (q_quality_calibration, ORACLE_QUALITY_CALIBRATION),
     "robust_outliers": (q_robust_outliers, ORACLE_ROBUST_OUTLIERS),
     "activity_profile": (q_activity_profile, ORACLE_ACTIVITY_PROFILE),
+    # semantic decontamination + percentile normalization (round-4 additions)
+    "decontaminate_semantic": (q_decontaminate_semantic, ORACLE_DECONTAMINATE_SEMANTIC),
+    "quality_percentile_norm": (q_quality_percentile_norm, ORACLE_QUALITY_PERCENTILE_NORM),
+    "vocab_coverage_curve": (q_vocab_coverage_curve, ORACLE_VOCAB_COVERAGE_CURVE),
+    "source_length_ttest": (q_source_length_ttest, ORACLE_SOURCE_LENGTH_TTEST),
+    # lexical signatures + robust stats (round-4 additions)
+    "topic_signature": (q_topic_signature, ORACLE_TOPIC_SIGNATURE),
+    "hapax_rate": (q_hapax_rate, ORACLE_HAPAX_RATE),
+    "transition_entropy": (q_transition_entropy, ORACLE_TRANSITION_ENTROPY),
+    "winsorize_values": (q_winsorize_values, ORACLE_WINSORIZE_VALUES),
     # governance + graph ops (round-4 additions)
     "k_anonymity": (q_k_anonymity, ORACLE_K_ANONYMITY),
     "pagerank_events": (q_pagerank_events, ORACLE_PAGERANK_EVENTS),

@@ -825,3 +825,77 @@ def test_source_vocab_overlap_size_joins_broadcast(spark, registry):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert final.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in final
+
+
+def test_topic_signature_totals_broadcast_no_selfjoin(spark, registry):
+    """Rest-of-corpus counts must come from the token window over the
+    grouped vocab table; source totals broadcast back."""
+    df = registry["topic_signature"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+
+
+def test_hapax_and_transition_entropy_single_scan_no_join(spark, registry):
+    for name in ("hapax_rate", "transition_entropy"):
+        df = registry[name][0](spark, SF_DIR)
+        plan = _plan(df).split("== Initial Plan ==")[0]
+        assert plan.count("Scan parquet") == 1, name
+        assert "Join" not in plan, name
+
+
+def test_winsorize_values_bounds_broadcast(spark, registry):
+    df = registry["winsorize_values"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+
+
+def test_decontaminate_semantic_bench_broadcast_no_sortmerge(spark, registry):
+    """The bench embedding side must broadcast into the corpus scan; the
+    cross join is a BroadcastNestedLoop over a tiny side BY DESIGN."""
+    df = registry["decontaminate_semantic"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "Broadcast" in final
+
+
+def test_quality_percentile_norm_bucket_joins_broadcast_no_doc_window(
+    spark, registry
+):
+    """percent_rank must come from bucket-table cumsums broadcast back —
+    a Window directly over the document scan would be the single-task
+    global-sort plan this op exists to avoid."""
+    df = registry["quality_percentile_norm"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in final
+    # exactly the four bucket-table windows (below/total × source/global);
+    # none keyed per-document
+    assert final.count("Window") == 4
+    assert "windowspecdefinition(doc_id" not in final
+    # the inferred isnotnull(score) must NOT collapse the classifier fold
+    # into the scan as a DataFilter (round-3 pathology)
+    scan = final.split("FileScan parquet")[1].splitlines()[0]
+    assert "aggregate(" not in scan
+
+
+def test_vocab_coverage_curve_single_corpus_shuffle(spark, registry):
+    df = registry["vocab_coverage_curve"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_source_length_ttest_stats_selfjoin_broadcast(spark, registry):
+    df = registry["source_length_ttest"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final or "BroadcastNestedLoopJoin" in final
+    assert "SortMergeJoin" not in final
