@@ -8423,6 +8423,121 @@ FROM v a JOIN v b ON a.source < b.source
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, top-5 per
+    source (Efraimidis–Spirakis A-ES): each doc draws a pseudorandom
+    uniform from its md5 hash and competes on u^(1/w) — equivalently
+    ln(u)/w, larger wins — so longer (heavier) docs win proportionally
+    more often, yet the draw is a pure function of doc_id: reproducible
+    across runs, engines, and cluster sizes, like `mix_apply` /
+    `stratified_sample` but WEIGHTED.
+
+    Scale shape: the sampling key is map-only per row; one window per
+    source picks the top-5 (at 10^12 docs swap the global window for the
+    per-shard top-k + merge used by cosine_topk_batch — same semantics).
+    ln() is one libm call on inputs that differ across docs by far more
+    than an ulp, so ranking never straddles engine rounding."""
+    h = _SPARK_MD5INT.format(x="cast(doc_id as string)")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH keyed AS (
+          SELECT doc_id, source, cast(n_chars as bigint) AS weight,
+                 ln(({h} + cast(1.0 as double))
+                    / cast(4294967297.0 as double))
+                 / greatest(n_chars, 1) AS skey
+          FROM documents
+        )
+        SELECT source, doc_id, weight,
+               round(skey * cast(1000000.0 as double), 4) AS key_ppm,
+               cast(rk as bigint) AS sample_rank
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY source
+                        ORDER BY skey DESC, doc_id) AS rk
+          FROM keyed
+        ) WHERE rk <= 5
+        """,
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars::bigint AS weight,
+         ln(({_DUCK_MD5INT.format(x='cast(doc_id as varchar)')}
+             + cast(1.0 as double))
+            / cast(4294967297.0 as double))
+         / greatest(n_chars, 1) AS skey
+  FROM documents
+)
+SELECT source, doc_id, weight,
+       round(skey * cast(1000000.0 as double), 4) AS key_ppm,
+       rk::bigint AS sample_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                ORDER BY skey DESC, doc_id) AS rk
+  FROM keyed
+) s WHERE rk <= 5
+"""
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-LM sampling
+    rule, alpha = 0.7): q_s ∝ p_s^alpha flattens the natural token share
+    so big sources stop drowning small ones without inverting the order
+    — the standard alternative to `mix_weights`' uniform target, with
+    the per-source upsampling factor and effective epochs at a 1x token
+    budget.
+
+    Scale shape: one map-side-combinable token-sum aggregate to
+    |sources| rows; the normalization windows run over that tiny table.
+    pow() is a single IEEE op on well-separated inputs; shares round(4)."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH t AS (
+          SELECT source, cast(sum(size({toks})) as bigint) AS n_tokens
+          FROM documents GROUP BY source
+        ), p AS (
+          SELECT source, n_tokens,
+                 n_tokens / cast(sum(n_tokens) OVER () as double) AS p_nat,
+                 pow(n_tokens / cast(sum(n_tokens) OVER () as double),
+                     cast(0.7 as double)) AS q_raw
+          FROM t
+        )
+        SELECT source, n_tokens,
+               round(p_nat, 4) AS p_natural,
+               round(q_raw / sum(q_raw) OVER (), 4) AS p_temperature,
+               round((q_raw / sum(q_raw) OVER ()) / p_nat, 4)
+                 AS upsample_factor,
+               round((q_raw / sum(q_raw) OVER ()) / p_nat, 4)
+                 AS effective_epochs
+        FROM p
+        """,
+    )
+
+
+ORACLE_TEMPERATURE_MIX = f"""
+WITH t AS (
+  SELECT source,
+         sum(len({_DUCK_TOKENS.format(x='text')}))::bigint AS n_tokens
+  FROM documents GROUP BY source
+), p AS (
+  SELECT source, n_tokens,
+         n_tokens / cast(sum(n_tokens) OVER () as double) AS p_nat,
+         pow(n_tokens / cast(sum(n_tokens) OVER () as double),
+             cast(0.7 as double)) AS q_raw
+  FROM t
+)
+SELECT source, n_tokens,
+       round(p_nat, 4) AS p_natural,
+       round(q_raw / sum(q_raw) OVER (), 4) AS p_temperature,
+       round((q_raw / sum(q_raw) OVER ()) / p_nat, 4) AS upsample_factor,
+       round((q_raw / sum(q_raw) OVER ()) / p_nat, 4) AS effective_epochs
+FROM p
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8546,6 +8661,9 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "quality_calibration": (q_quality_calibration, ORACLE_QUALITY_CALIBRATION),
     "robust_outliers": (q_robust_outliers, ORACLE_ROBUST_OUTLIERS),
     "activity_profile": (q_activity_profile, ORACLE_ACTIVITY_PROFILE),
+    # weighted sampling + temperature mixing (round-4 additions)
+    "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
+    "temperature_mix": (q_temperature_mix, ORACLE_TEMPERATURE_MIX),
     # semantic decontamination + percentile normalization (round-4 additions)
     "decontaminate_semantic": (q_decontaminate_semantic, ORACLE_DECONTAMINATE_SEMANTIC),
     "quality_percentile_norm": (q_quality_percentile_norm, ORACLE_QUALITY_PERCENTILE_NORM),

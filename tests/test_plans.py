@@ -899,3 +899,24 @@ def test_source_length_ttest_stats_selfjoin_broadcast(spark, registry):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final or "BroadcastNestedLoopJoin" in final
     assert "SortMergeJoin" not in final
+
+
+def test_weighted_sample_maponly_key_partial_topk(spark, registry):
+    """The sampling key is map-only; the rank<=5 filter must push a
+    PARTIAL WindowGroupLimit below the exchange, so each task forwards at
+    most 5 rows per source — the per-shard top-k + merge shape, planned
+    automatically."""
+    df = registry["weighted_sample"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Window [") == 1
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_temperature_mix_windows_over_source_table(spark, registry):
+    df = registry["temperature_mix"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
