@@ -193,7 +193,8 @@ def main() -> None:
                      "topic_signature", "hapax_rate", "transition_entropy",
                      "winsorize_values", "decontaminate_semantic",
                      "quality_percentile_norm", "vocab_coverage_curve",
-                     "source_length_ttest"):
+                     "source_length_ttest", "weighted_sample",
+                     "temperature_mix"):
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
