@@ -175,6 +175,30 @@ def quarantined_convs(
     return df.select("conv_id").distinct().count()
 
 
+def dedup_stream(
+    transcripts: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup — the in-flight analog of `dedup_exact` /
+    `dedup_incremental`: re-arrivals of the same turn (same conv_id,
+    turn_idx and text digest) within the watermark horizon are dropped
+    before they reach the extraction stage, so an at-least-once upstream
+    (replayed Kafka offsets, retried uploads) can't double-feed the
+    pipeline.
+
+    ``dropDuplicatesWithinWatermark`` keys state by the digest triple and
+    EVICTS it once the watermark passes — state is bounded by arrival
+    rate × watermark, not by stream lifetime (a plain dropDuplicates on a
+    stream would grow state forever; at 10^12 turns that is the
+    difference between a working job and an OOM).  Only the 16-byte md5
+    and the two key columns sit in the state store, never the text."""
+    return (
+        transcripts.withColumn("turn_digest", F.md5("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx", "turn_digest"])
+        .drop("turn_digest")
+    )
+
+
 def windowed_turn_rates(
     transcripts: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -327,3 +327,61 @@ def test_run_stream_rejects_remote_output_dir(spark, tmp_path):
         read_quarantine(spark, "s3a://bucket/out")
     with pytest.raises(ValueError, match="driver-local"):
         quarantined_convs(spark, "abfss://c@a.dfs.core.windows.net/out")
+
+
+def test_dedup_stream_drops_replayed_turns(spark, tmp_path):
+    """Two files carrying the SAME rows (an at-least-once replay): the
+    watermarked streaming dedup must emit each turn exactly once."""
+    from pdf_extractor_spark.streaming.ingest import dedup_stream
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = rows_to_pandas(generate_rows(3, seed=7))
+    df = spark.createDataFrame(pdf, TRANSCRIPT_DDL)
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+    df.coalesce(1).write.mode("append").parquet(in_dir)  # exact replay
+    assert spark.read.parquet(in_dir).count() == 2 * len(pdf)
+
+    stream = stream_transcripts(spark, in_dir)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == len(pdf)
+    # every (conv_id, turn_idx) exactly once, schema unchanged
+    assert out.groupBy("conv_id", "turn_idx").count().where("count > 1").count() == 0
+    assert set(out.columns) == set(df.columns)
+
+
+def test_dedup_stream_keeps_distinct_turn_content(spark, tmp_path):
+    """Same key but DIFFERENT text is not a duplicate — both survive."""
+    from pdf_extractor_spark.streaming.ingest import dedup_stream
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = rows_to_pandas(generate_rows(2, seed=7))
+    df = spark.createDataFrame(pdf, TRANSCRIPT_DDL)
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+    import pyspark.sql.functions as F
+    df.withColumn("text", F.concat(F.col("text"), F.lit(" v2"))).coalesce(
+        1
+    ).write.mode("append").parquet(in_dir)
+
+    q = (
+        dedup_stream(stream_transcripts(spark, in_dir))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert spark.read.parquet(out_dir).count() == 2 * len(pdf)
