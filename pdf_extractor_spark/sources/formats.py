@@ -140,11 +140,52 @@ def write_transcripts_jsonl(df: DataFrame, path: str) -> None:
     ).write.mode("overwrite").json(path)
 
 
+# canonical column -> type, parsed once from the DDL
+_CANON_TYPES = {
+    c.strip().split(" ", 1)[0]: c.strip().split(" ", 1)[1]
+    for c in TRANSCRIPT_DDL.split(",")
+}
+
+
+def read_transcripts_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC transcript handoff — the typed columnar exchange format
+    Hive/Trino warehouses emit.  Unlike the text dumps there is no
+    corrupt-record channel to split: ORC stripes are self-describing and
+    either decode or fail the task loudly, so this returns a plain
+    DataFrame, not an ArrivalBatch.
+
+    The canonical contract is still enforced: missing columns raise
+    immediately (never a null-filled silent pass), extra warehouse
+    columns are pruned, and every column casts to the canonical type —
+    a bigint turn_idx from a Hive export narrows to int here, at the
+    boundary, instead of poisoning downstream schema comparisons."""
+    df = spark.read.orc(path)
+    missing = [c for c in _CANON_COLS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"ORC transcript handoff at {path!r} is missing canonical "
+            f"columns {missing}; refusing to null-fill"
+        )
+    return df.select(
+        *[F.col(c).cast(_CANON_TYPES[c]).alias(c) for c in _CANON_COLS]
+    )
+
+
+def write_transcripts_orc(df: DataFrame, path: str) -> None:
+    """Canonical transcripts → ORC (native typed round trip; zstd to
+    match the parquet sink's codec choice)."""
+    df.select(*_CANON_COLS).write.mode("overwrite").option(
+        "compression", "zstd"
+    ).orc(path)
+
+
 __all__ = [
     "TRANSCRIPT_DDL",
     "ArrivalBatch",
     "read_transcripts_csv",
     "read_transcripts_jsonl",
+    "read_transcripts_orc",
     "write_transcripts_csv",
     "write_transcripts_jsonl",
+    "write_transcripts_orc",
 ]

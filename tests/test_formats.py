@@ -90,3 +90,40 @@ def test_arrival_batch_release_unpersists_parse_cache(spark, tmp_path, canonical
 
     with pytest.raises(pyspark.errors.exceptions.captured.AnalysisException):
         clean.count()
+
+
+def test_orc_round_trip_exact(spark, tmp_path, canonical):
+    from pdf_extractor_spark.sources.formats import (
+        read_transcripts_orc,
+        write_transcripts_orc,
+    )
+
+    p = str(tmp_path / "t.orc")
+    write_transcripts_orc(canonical, p)
+    back = read_transcripts_orc(spark, p)
+    assert back.schema == canonical.schema
+    pd.testing.assert_frame_equal(_chunks(canonical), _chunks(back))
+
+
+def test_orc_casts_and_prunes_warehouse_columns(spark, tmp_path, canonical):
+    """A Hive-ish export: bigint turn_idx + an extra partition column —
+    the reader narrows to the canonical types and drops the extras."""
+    import pyspark.sql.functions as F
+    from pdf_extractor_spark.sources.formats import read_transcripts_orc
+
+    p = str(tmp_path / "wide.orc")
+    canonical.withColumn(
+        "turn_idx", F.col("turn_idx").cast("bigint")
+    ).withColumn("dt", F.lit("2024-01-01")).write.orc(p)
+    back = read_transcripts_orc(spark, p)
+    assert back.schema == canonical.schema
+    assert "dt" not in back.columns
+
+
+def test_orc_missing_column_raises_not_nullfills(spark, tmp_path, canonical):
+    from pdf_extractor_spark.sources.formats import read_transcripts_orc
+
+    p = str(tmp_path / "broken.orc")
+    canonical.drop("role").write.orc(p)
+    with pytest.raises(ValueError, match="missing canonical columns.*role"):
+        read_transcripts_orc(spark, p)
