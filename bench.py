@@ -194,7 +194,8 @@ def main() -> None:
                      "winsorize_values", "decontaminate_semantic",
                      "quality_percentile_norm", "vocab_coverage_curve",
                      "source_length_ttest", "weighted_sample",
-                     "temperature_mix"):
+                     "temperature_mix", "ann_recall_multiprobe",
+                     "burstiness"):
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

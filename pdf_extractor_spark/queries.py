@@ -8538,6 +8538,174 @@ FROM p
 """
 
 
+def q_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-probes curve for the IVF index: recall@5 when probing
+    the best 1 cell and the best 2 cells per query — the measured gain
+    curve that tells you whether a second probe is worth 2x the scan
+    (`ann_recall` measures the production single-probe config; this maps
+    the knob).  Probe cells are ranked by their nearest MEMBER to the
+    query, which upper-bounds centroid-ranked probing — the optimistic
+    bound you compare `ivf_multiprobe`'s centroid ranking against.
+
+    Scale shape: same ONE corpus pass as ann_recall (broadcast query
+    batch); cell ranks come from a (qid, label) max window + dense_rank,
+    probe-local ranks from windows over the SAME scored rows — no
+    exact-vs-probed join, nothing evaluated twice."""
+    return _sql(
+        spark, sf_dir, ["embeddings"],
+        f"""
+        WITH qs AS (
+          SELECT vec_id AS qid, embedding AS qv
+          FROM embeddings WHERE vec_id < 5
+        ), scored AS (
+          SELECT /*+ BROADCAST(q) */ q.qid, e.vec_id, e.label,
+                 {_SPARK_COS} AS cos_sim
+          FROM embeddings e JOIN qs q ON e.vec_id != q.qid
+        ), cells AS (
+          SELECT qid, vec_id, label, cos_sim,
+                 max(cos_sim) OVER (PARTITION BY qid, label) AS cell_best
+          FROM scored
+        ), ranked AS (
+          SELECT qid, vec_id, cos_sim,
+                 dense_rank() OVER (PARTITION BY qid
+                     ORDER BY cell_best DESC, label) AS cell_rank
+          FROM cells
+        ), probed AS (
+          SELECT qid, vec_id, cell_rank,
+                 row_number() OVER (PARTITION BY qid
+                     ORDER BY cos_sim DESC, vec_id) AS rk_exact,
+                 row_number() OVER (PARTITION BY qid, cell_rank = 1
+                     ORDER BY cos_sim DESC, vec_id) AS rk_p1,
+                 row_number() OVER (PARTITION BY qid, cell_rank <= 2
+                     ORDER BY cos_sim DESC, vec_id) AS rk_p2
+          FROM ranked
+        )
+        SELECT qid, cast(count(*) as bigint) AS k,
+               round(cast(sum(CASE WHEN cell_rank = 1 AND rk_p1 <= 5
+                              THEN 1 ELSE 0 END) as double) / count(*), 4)
+                 AS recall_p1,
+               round(cast(sum(CASE WHEN cell_rank <= 2 AND rk_p2 <= 5
+                              THEN 1 ELSE 0 END) as double) / count(*), 4)
+                 AS recall_p2
+        FROM probed WHERE rk_exact <= 5
+        GROUP BY qid
+        """,
+    )
+
+
+# DuckDB shares the identical CTE chain; only the cosine helper differs.
+ORACLE_ANN_RECALL_MULTIPROBE = f"""
+WITH qs AS (
+  SELECT vec_id AS qid, embedding AS qv
+  FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.qid, e.vec_id, e.label, {_DUCK_COS} AS cos_sim
+  FROM embeddings e JOIN qs q ON e.vec_id != q.qid
+), cells AS (
+  SELECT qid, vec_id, label, cos_sim,
+         max(cos_sim) OVER (PARTITION BY qid, label) AS cell_best
+  FROM scored
+), ranked AS (
+  SELECT qid, vec_id, cos_sim,
+         dense_rank() OVER (PARTITION BY qid
+             ORDER BY cell_best DESC, label) AS cell_rank
+  FROM cells
+), probed AS (
+  SELECT qid, vec_id, cell_rank,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY cos_sim DESC, vec_id) AS rk_exact,
+         row_number() OVER (PARTITION BY qid, cell_rank = 1
+             ORDER BY cos_sim DESC, vec_id) AS rk_p1,
+         row_number() OVER (PARTITION BY qid, cell_rank <= 2
+             ORDER BY cos_sim DESC, vec_id) AS rk_p2
+  FROM ranked
+)
+SELECT qid, count(*)::bigint AS k,
+       round(cast(sum(CASE WHEN cell_rank = 1 AND rk_p1 <= 5
+                      THEN 1 ELSE 0 END) as double) / count(*), 4)
+         AS recall_p1,
+       round(cast(sum(CASE WHEN cell_rank <= 2 AND rk_p2 <= 5
+                      THEN 1 ELSE 0 END) as double) / count(*), 4)
+         AS recall_p2
+FROM probed WHERE rk_exact <= 5
+GROUP BY qid
+"""
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance/mean of hourly counts) per event type — the
+    overdispersion test: a Poisson-ish steady arrival sits at ~1.0,
+    crawler bursts and thundering herds push it far above; tells the
+    capacity planner whether `activity_profile`'s hourly means are
+    trustworthy or dominated by spikes.
+
+    Scale shape: event volume collapses to the (type, hour) count table;
+    n/Σx/Σx² fold to |types| rows as EXACT integer sums, variance from a
+    handful of IEEE ops (the source_length_ttest trick)."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr,
+                 cast(count(*) as bigint) AS n_events
+          FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ), s AS (
+          SELECT event_type,
+                 cast(count(*) as bigint) AS n_hours,
+                 cast(sum(n_events) as bigint) AS sx,
+                 cast(sum(n_events * n_events) as bigint) AS sxx
+          FROM hourly GROUP BY event_type
+        )
+        SELECT event_type, n_hours,
+               round(sx / cast(n_hours as double), 4) AS mean_per_hour,
+               round(CASE WHEN n_hours < 2 THEN cast(0.0 as double)
+                     ELSE (sxx - sx / cast(n_hours as double) * sx)
+                          / cast(n_hours - 1 as double) END, 4) AS var_per_hour,
+               round(CASE WHEN n_hours < 2 OR sx = 0 THEN cast(0.0 as double)
+                     ELSE ((sxx - sx / cast(n_hours as double) * sx)
+                           / cast(n_hours - 1 as double))
+                          / (sx / cast(n_hours as double)) END, 4)
+                 AS fano_factor,
+               (n_hours >= 2 AND sx > 0
+                AND ((sxx - sx / cast(n_hours as double) * sx)
+                     / cast(n_hours - 1 as double))
+                    / (sx / cast(n_hours as double))
+                    > cast(1.5 as double)) AS is_bursty
+        FROM s
+        """,
+    )
+
+
+ORACLE_BURSTINESS = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         count(*)::bigint AS n_events
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), s AS (
+  SELECT event_type,
+         count(*)::bigint AS n_hours,
+         sum(n_events)::bigint AS sx,
+         sum(n_events * n_events)::bigint AS sxx
+  FROM hourly GROUP BY event_type
+)
+SELECT event_type, n_hours,
+       round(sx / cast(n_hours as double), 4) AS mean_per_hour,
+       round(CASE WHEN n_hours < 2 THEN cast(0.0 as double)
+             ELSE (sxx - sx / cast(n_hours as double) * sx)
+                  / cast(n_hours - 1 as double) END, 4) AS var_per_hour,
+       round(CASE WHEN n_hours < 2 OR sx = 0 THEN cast(0.0 as double)
+             ELSE ((sxx - sx / cast(n_hours as double) * sx)
+                   / cast(n_hours - 1 as double))
+                  / (sx / cast(n_hours as double)) END, 4) AS fano_factor,
+       (n_hours >= 2 AND sx > 0
+        AND ((sxx - sx / cast(n_hours as double) * sx)
+             / cast(n_hours - 1 as double))
+            / (sx / cast(n_hours as double))
+            > cast(1.5 as double)) AS is_bursty
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8661,6 +8829,9 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "quality_calibration": (q_quality_calibration, ORACLE_QUALITY_CALIBRATION),
     "robust_outliers": (q_robust_outliers, ORACLE_ROBUST_OUTLIERS),
     "activity_profile": (q_activity_profile, ORACLE_ACTIVITY_PROFILE),
+    # probe-gain measurement + burstiness (round-4 additions)
+    "ann_recall_multiprobe": (q_ann_recall_multiprobe, ORACLE_ANN_RECALL_MULTIPROBE),
+    "burstiness": (q_burstiness, ORACLE_BURSTINESS),
     # weighted sampling + temperature mixing (round-4 additions)
     "weighted_sample": (q_weighted_sample, ORACLE_WEIGHTED_SAMPLE),
     "temperature_mix": (q_temperature_mix, ORACLE_TEMPERATURE_MIX),

@@ -920,3 +920,21 @@ def test_temperature_mix_windows_over_source_table(spark, registry):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "HashAggregate" in plan
+
+
+def test_ann_recall_multiprobe_one_scored_pass(spark, registry):
+    """Both probe depths and the exact rank must ride ONE broadcast-scored
+    corpus pass — no exact-vs-probed join, no second embeddings scan."""
+    df = registry["ann_recall_multiprobe"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 2  # corpus + broadcast queries
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+
+
+def test_burstiness_single_scan_integer_folds(spark, registry):
+    df = registry["burstiness"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan
