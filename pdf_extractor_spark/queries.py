@@ -8499,20 +8499,31 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT source, cast(sum(size({toks})) as bigint) AS n_tokens
           FROM documents GROUP BY source
         ), p AS (
+          -- greatest(total, 1): a tokenless corpus/source yields share 0,
+          -- never an ANSI divide-by-zero (pathological-sweep class)
           SELECT source, n_tokens,
-                 n_tokens / cast(sum(n_tokens) OVER () as double) AS p_nat,
-                 pow(n_tokens / cast(sum(n_tokens) OVER () as double),
+                 n_tokens / cast(greatest(sum(n_tokens) OVER (), 1)
+                                 as double) AS p_nat,
+                 pow(n_tokens / cast(greatest(sum(n_tokens) OVER (), 1)
+                                     as double),
                      cast(0.7 as double)) AS q_raw
           FROM t
+        ), z AS (
+          SELECT *, sum(q_raw) OVER () AS q_tot FROM p
         )
         SELECT source, n_tokens,
                round(p_nat, 4) AS p_natural,
-               round(q_raw / sum(q_raw) OVER (), 4) AS p_temperature,
-               round((q_raw / sum(q_raw) OVER ()) / p_nat, 4)
+               round(CASE WHEN q_tot = 0 THEN cast(0.0 as double)
+                     ELSE q_raw / q_tot END, 4) AS p_temperature,
+               round(CASE WHEN p_nat = 0 OR q_tot = 0
+                          THEN cast(0.0 as double)
+                     ELSE (q_raw / q_tot) / p_nat END, 4)
                  AS upsample_factor,
-               round((q_raw / sum(q_raw) OVER ()) / p_nat, 4)
+               round(CASE WHEN p_nat = 0 OR q_tot = 0
+                          THEN cast(0.0 as double)
+                     ELSE (q_raw / q_tot) / p_nat END, 4)
                  AS effective_epochs
-        FROM p
+        FROM z
         """,
     )
 
@@ -8524,17 +8535,23 @@ WITH t AS (
   FROM documents GROUP BY source
 ), p AS (
   SELECT source, n_tokens,
-         n_tokens / cast(sum(n_tokens) OVER () as double) AS p_nat,
-         pow(n_tokens / cast(sum(n_tokens) OVER () as double),
+         n_tokens / cast(greatest(sum(n_tokens) OVER (), 1) as double)
+           AS p_nat,
+         pow(n_tokens / cast(greatest(sum(n_tokens) OVER (), 1) as double),
              cast(0.7 as double)) AS q_raw
   FROM t
+), z AS (
+  SELECT *, sum(q_raw) OVER () AS q_tot FROM p
 )
 SELECT source, n_tokens,
        round(p_nat, 4) AS p_natural,
-       round(q_raw / sum(q_raw) OVER (), 4) AS p_temperature,
-       round((q_raw / sum(q_raw) OVER ()) / p_nat, 4) AS upsample_factor,
-       round((q_raw / sum(q_raw) OVER ()) / p_nat, 4) AS effective_epochs
-FROM p
+       round(CASE WHEN q_tot = 0 THEN cast(0.0 as double)
+             ELSE q_raw / q_tot END, 4) AS p_temperature,
+       round(CASE WHEN p_nat = 0 OR q_tot = 0 THEN cast(0.0 as double)
+             ELSE (q_raw / q_tot) / p_nat END, 4) AS upsample_factor,
+       round(CASE WHEN p_nat = 0 OR q_tot = 0 THEN cast(0.0 as double)
+             ELSE (q_raw / q_tot) / p_nat END, 4) AS effective_epochs
+FROM z
 """
 
 
