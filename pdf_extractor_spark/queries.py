@@ -8723,6 +8723,69 @@ FROM s
 """
 
 
+def q_dup_group_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group audit: for every exact-duplicate text group, how
+    many copies exist and whether they straddle SOURCES (one source
+    mirrors another — fix the crawl, not the dedup) or LANGS (mislabeled
+    language metadata on identical bytes — fix the labeler).
+    `dedup_exact` decides what to drop; this says WHY the duplicates
+    exist, which is a different owner in a production pipeline.  Rolled
+    up per source so the table is meaningful (all-zero counts, not
+    empty) even on a clean corpus.
+
+    Scale shape: one md5-keyed aggregate (only 16-byte digests + two
+    small strings shuffle) computes each group's copy/source/lang
+    spread; the digest-keyed join back carries the same 16-byte key;
+    the final rollup has |sources| keys."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH g AS (
+          SELECT md5(text) AS h,
+                 count(*) AS n_copies,
+                 count(DISTINCT source) AS n_sources,
+                 count(DISTINCT lang) AS n_langs
+          FROM documents GROUP BY md5(text)
+        )
+        SELECT d.source,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(CASE WHEN g.n_copies > 1 THEN 1 ELSE 0 END)
+                    as bigint) AS n_dup_docs,
+               cast(sum(CASE WHEN g.n_sources > 1 THEN 1 ELSE 0 END)
+                    as bigint) AS n_mirror_docs,
+               cast(sum(CASE WHEN g.n_langs > 1 THEN 1 ELSE 0 END)
+                    as bigint) AS n_mislabel_docs,
+               round(cast(sum(CASE WHEN g.n_copies > 1 THEN 1 ELSE 0 END)
+                          as double) / count(*), 4) AS dup_rate
+        FROM documents d JOIN g ON g.h = md5(d.text)
+        GROUP BY d.source
+        """,
+    )
+
+
+ORACLE_DUP_GROUP_REPORT = """
+WITH g AS (
+  SELECT md5(text) AS h,
+         count(*) AS n_copies,
+         count(DISTINCT source) AS n_sources,
+         count(DISTINCT lang) AS n_langs
+  FROM documents GROUP BY md5(text)
+)
+SELECT d.source,
+       count(*)::bigint AS n_docs,
+       sum(CASE WHEN g.n_copies > 1 THEN 1 ELSE 0 END)::bigint
+         AS n_dup_docs,
+       sum(CASE WHEN g.n_sources > 1 THEN 1 ELSE 0 END)::bigint
+         AS n_mirror_docs,
+       sum(CASE WHEN g.n_langs > 1 THEN 1 ELSE 0 END)::bigint
+         AS n_mislabel_docs,
+       round(cast(sum(CASE WHEN g.n_copies > 1 THEN 1 ELSE 0 END)
+                  as double) / count(*), 4) AS dup_rate
+FROM documents d JOIN g ON g.h = md5(d.text)
+GROUP BY d.source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8846,6 +8909,8 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "quality_calibration": (q_quality_calibration, ORACLE_QUALITY_CALIBRATION),
     "robust_outliers": (q_robust_outliers, ORACLE_ROBUST_OUTLIERS),
     "activity_profile": (q_activity_profile, ORACLE_ACTIVITY_PROFILE),
+    # duplicate-provenance audit (round-4 additions)
+    "dup_group_report": (q_dup_group_report, ORACLE_DUP_GROUP_REPORT),
     # probe-gain measurement + burstiness (round-4 additions)
     "ann_recall_multiprobe": (q_ann_recall_multiprobe, ORACLE_ANN_RECALL_MULTIPROBE),
     "burstiness": (q_burstiness, ORACLE_BURSTINESS),

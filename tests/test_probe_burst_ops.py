@@ -94,3 +94,37 @@ def test_burstiness_single_hour_degrades_to_zero(spark, tmp_path):
     out = q_burstiness(spark, str(tmp_path)).toPandas().iloc[0]
     assert out["n_hours"] == 1
     assert out["fano_factor"] == 0.0 and not bool(out["is_bursty"])
+
+
+def _write_documents_sl(spark, path, rows):
+    """rows: (doc_id, text, lang, source)."""
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    spark.createDataFrame(
+        pdf, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_dup_group_report_provenance_flags(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_dup_group_report
+
+    rows = [
+        (0, "mirrored page", "en", "siteA"),   # cross-source pair
+        (1, "mirrored page", "en", "siteB"),
+        (2, "mislabeled", "en", "siteA"),      # cross-lang pair, same source
+        (3, "mislabeled", "fr", "siteA"),
+        (4, "same-site dup", "en", "siteA"),   # neither flag
+        (5, "same-site dup", "en", "siteA"),
+        (6, "unique text", "en", "siteA"),     # singleton: no row
+    ]
+    _write_documents_sl(spark, tmp_path, rows)
+    out = q_dup_group_report(spark, str(tmp_path)).toPandas().set_index("source")
+    a, b = out.loc["siteA"], out.loc["siteB"]
+    # siteA: 6 docs; dup docs = mirrored(1) + mislabeled(2) + same-site(2)
+    assert a["n_docs"] == 6 and a["n_dup_docs"] == 5
+    assert a["n_mirror_docs"] == 1      # its half of the cross-source pair
+    assert a["n_mislabel_docs"] == 2    # both mislabeled copies live here
+    assert a["dup_rate"] == pytest.approx(round(5 / 6, 4))
+    # siteB: its only doc is the other half of the mirror
+    assert b["n_docs"] == 1 and b["n_dup_docs"] == 1
+    assert b["n_mirror_docs"] == 1 and b["n_mislabel_docs"] == 0
