@@ -195,7 +195,8 @@ def main() -> None:
                      "quality_percentile_norm", "vocab_coverage_curve",
                      "source_length_ttest", "weighted_sample",
                      "temperature_mix", "ann_recall_multiprobe",
-                     "burstiness", "dup_group_report"):
+                     "burstiness", "dup_group_report",
+                     "psi_drift", "jsd_sources"):
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -8786,6 +8786,188 @@ GROUP BY d.source
 """
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the existing corpus and the
+    arrival batch (same 80/20 doc_id cut as `ks_drift`) on document
+    length, binned by the REFERENCE half's deciles — the industry drift
+    score with the standard reading (<0.1 stable, 0.1-0.2 moderate,
+    >0.2 major shift).  KS gives the sup-norm answer; PSI localizes the
+    drift into bins and is what monitoring dashboards alert on.
+
+    Scale shape: one exact grouped-percentile aggregate produces the 9
+    decile cuts as ONE row, broadcast-cross-joined back; binning is a
+    map-side sum of 9 comparisons; the PSI fold runs over 10 bin rows.
+    Laplace smoothing ((n+1)/(N+10)) keeps empty bins finite in both
+    engines identically."""
+    bins = " + ".join(
+        f"(CASE WHEN n_chars > element_at(cuts, {k}) THEN 1 ELSE 0 END)"
+        for k in range(1, 10)
+    )
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH cut AS (
+          SELECT cast(floor(max(doc_id) * 0.8) as bigint) AS c FROM documents
+        ), ref AS (
+          SELECT percentile(n_chars,
+                   array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))
+                 AS cuts
+          FROM documents CROSS JOIN cut WHERE doc_id < c
+        ), binned AS (
+          SELECT cast({bins} as bigint) AS bin,
+                 cast(count(*) FILTER (WHERE doc_id < c) as bigint) AS n_a,
+                 cast(count(*) FILTER (WHERE doc_id >= c) as bigint) AS n_b
+          FROM documents CROSS JOIN cut CROSS JOIN ref
+          GROUP BY 1
+        ), p AS (
+          SELECT bin, n_a, n_b,
+                 (n_a + cast(1.0 as double))
+                   / (sum(n_a) OVER () + cast(10.0 as double)) AS pa,
+                 (n_b + cast(1.0 as double))
+                   / (sum(n_b) OVER () + cast(10.0 as double)) AS pb
+          FROM binned
+        )
+        SELECT cast(sum(n_a) as bigint) AS n_old,
+               cast(sum(n_b) as bigint) AS n_new,
+               round(sum((pa - pb) * ln(pa / pb)), 4) AS psi,
+               sum((pa - pb) * ln(pa / pb)) > cast(0.2 as double)
+                 AS major_shift,
+               sum((pa - pb) * ln(pa / pb)) > cast(0.1 as double)
+                 AS moderate_shift
+        FROM p
+        """,
+    )
+
+
+_PSI_BINS_DUCK = " + ".join(
+    f"(CASE WHEN n_chars > cuts[{k}] THEN 1 ELSE 0 END)" for k in range(1, 10)
+)
+
+ORACLE_PSI_DRIFT = f"""
+WITH cut AS (
+  SELECT floor(max(doc_id) * 0.8)::bigint AS c FROM documents
+), ref AS (
+  SELECT quantile_cont(n_chars,
+           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts
+  FROM documents CROSS JOIN cut WHERE doc_id < c
+), binned AS (
+  SELECT ({_PSI_BINS_DUCK})::bigint AS bin,
+         (count(*) FILTER (WHERE doc_id < c))::bigint AS n_a,
+         (count(*) FILTER (WHERE doc_id >= c))::bigint AS n_b
+  FROM documents CROSS JOIN cut CROSS JOIN ref
+  GROUP BY 1
+), p AS (
+  SELECT bin, n_a, n_b,
+         (n_a + cast(1.0 as double))
+           / (sum(n_a) OVER () + cast(10.0 as double)) AS pa,
+         (n_b + cast(1.0 as double))
+           / (sum(n_b) OVER () + cast(10.0 as double)) AS pb
+  FROM binned
+)
+SELECT sum(n_a)::bigint AS n_old,
+       sum(n_b)::bigint AS n_new,
+       round(sum((pa - pb) * ln(pa / pb)), 4) AS psi,
+       sum((pa - pb) * ln(pa / pb)) > cast(0.2 as double) AS major_shift,
+       sum((pa - pb) * ln(pa / pb)) > cast(0.1 as double) AS moderate_shift
+FROM p
+"""
+
+
+def q_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence (nats) between source unigram
+    distributions over the global top-500 vocabulary — symmetric and
+    bounded (≤ ln 2), so unlike `unigram_drift`'s cross-entropy it
+    yields a comparable source-pair distance matrix: the input
+    `mix_weights` wants when deciding whether two sources are near-
+    duplicate distributions.
+
+    Scale shape: the (source, token) wordcount is the only corpus
+    shuffle; the top-500 support broadcasts into a |sources|×500 grid
+    (dense via cross join + left join so zero-count cells smooth
+    identically in both engines), and the pair expansion is
+    grid × grid on the token key — ≤ |sources|²×500 rows."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH tok AS (
+          SELECT source, token
+          FROM documents
+          LATERAL VIEW explode({_SPARK_TOKENS.format(x='text')}) AS token
+        ), st AS (
+          SELECT source, token, cast(count(*) as bigint) AS n
+          FROM tok GROUP BY source, token
+        ), top AS (
+          SELECT token FROM (
+            SELECT token,
+                   row_number() OVER (ORDER BY sum(n) DESC, token) AS rk
+            FROM st GROUP BY token
+          ) WHERE rk <= 500
+        ), grid AS (
+          SELECT /*+ BROADCAST(top) */
+                 s.source, top.token,
+                 coalesce(st.n, 0) + cast(1.0 as double) AS nsm
+          FROM (SELECT source, sum(n) AS n_s FROM st GROUP BY source) s
+          CROSS JOIN top
+          LEFT JOIN st ON st.source = s.source AND st.token = top.token
+        ), dist AS (
+          SELECT source, token,
+                 nsm / sum(nsm) OVER (PARTITION BY source) AS p
+          FROM grid
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               round(sum(
+                 cast(0.5 as double) * a.p * ln(a.p / ((a.p + b.p) / 2))
+                 + cast(0.5 as double) * b.p * ln(b.p / ((a.p + b.p) / 2))
+               ), 4) AS jsd,
+               sum(
+                 cast(0.5 as double) * a.p * ln(a.p / ((a.p + b.p) / 2))
+                 + cast(0.5 as double) * b.p * ln(b.p / ((a.p + b.p) / 2))
+               ) < cast(0.05 as double) AS near_duplicate_dist
+        FROM dist a JOIN dist b
+          ON a.token = b.token AND a.source < b.source
+        GROUP BY a.source, b.source
+        """,
+    )
+
+
+ORACLE_JSD_SOURCES = f"""
+WITH tok AS (
+  SELECT source, unnest({_DUCK_TOKENS.format(x='text')}) AS token
+  FROM documents
+), st AS (
+  SELECT source, token, count(*)::bigint AS n
+  FROM tok GROUP BY source, token
+), top AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY sum(n) DESC, token) AS rk
+    FROM st GROUP BY token
+  ) t WHERE rk <= 500
+), grid AS (
+  SELECT s.source, top.token,
+         coalesce(st.n, 0) + cast(1.0 as double) AS nsm
+  FROM (SELECT source, sum(n) AS n_s FROM st GROUP BY source) s
+  CROSS JOIN top
+  LEFT JOIN st ON st.source = s.source AND st.token = top.token
+), dist AS (
+  SELECT source, token,
+         nsm / sum(nsm) OVER (PARTITION BY source) AS p
+  FROM grid
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       round(sum(
+         cast(0.5 as double) * a.p * ln(a.p / ((a.p + b.p) / 2))
+         + cast(0.5 as double) * b.p * ln(b.p / ((a.p + b.p) / 2))
+       ), 4) AS jsd,
+       sum(
+         cast(0.5 as double) * a.p * ln(a.p / ((a.p + b.p) / 2))
+         + cast(0.5 as double) * b.p * ln(b.p / ((a.p + b.p) / 2))
+       ) < cast(0.05 as double) AS near_duplicate_dist
+FROM dist a JOIN dist b
+  ON a.token = b.token AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8909,6 +9091,9 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "quality_calibration": (q_quality_calibration, ORACLE_QUALITY_CALIBRATION),
     "robust_outliers": (q_robust_outliers, ORACLE_ROBUST_OUTLIERS),
     "activity_profile": (q_activity_profile, ORACLE_ACTIVITY_PROFILE),
+    # distribution-drift scores (round-4 additions)
+    "psi_drift": (q_psi_drift, ORACLE_PSI_DRIFT),
+    "jsd_sources": (q_jsd_sources, ORACLE_JSD_SOURCES),
     # duplicate-provenance audit (round-4 additions)
     "dup_group_report": (q_dup_group_report, ORACLE_DUP_GROUP_REPORT),
     # probe-gain measurement + burstiness (round-4 additions)

@@ -938,3 +938,22 @@ def test_burstiness_single_scan_integer_folds(spark, registry):
     plan = _plan(df).split("== Initial Plan ==")[0]
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_psi_drift_single_scan_tiny_fold(spark, registry):
+    """Deciles come from ONE grouped aggregate; binning is map-side; the
+    PSI fold runs over 10 rows — no corpus self-join."""
+    df = registry["psi_drift"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    # the two cross joins are 1-row broadcast sides (cut + decile row)
+    assert final.count("FileScan parquet") <= 3
+
+
+def test_jsd_sources_grid_is_broadcast_never_sortmerge(spark, registry):
+    df = registry["jsd_sources"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
