@@ -196,7 +196,8 @@ def main() -> None:
                      "source_length_ttest", "weighted_sample",
                      "temperature_mix", "ann_recall_multiprobe",
                      "burstiness", "dup_group_report",
-                     "psi_drift", "jsd_sources"):
+                     "psi_drift", "jsd_sources",
+                     "type_correlation", "autocorrelation"):
             fn = QUERY_REGISTRY[name][0]
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -8968,6 +8968,182 @@ GROUP BY a.source, b.source
 """
 
 
+def q_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between event types' hourly count series —
+    do two signals spike TOGETHER (shared upstream cause: one incident,
+    not two) or independently?  The pairing layer under `rate_anomaly`:
+    correlated anomalies should page one owner, not five.
+
+    Scale shape: events collapse to the (type, hour) table once; the
+    hour-keyed self-join aligns series pairs (≤|types|² rows per hour);
+    the correlation folds are EXACT integer n/Σx/Σy/Σxy/Σx²/Σy² sums,
+    so both engines compute r from identical integers with a handful of
+    IEEE ops.  Hours where only one type has events are absent from the
+    join — r is over co-observed hours (documented semantics)."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr,
+                 cast(count(*) as bigint) AS n_events
+          FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ), pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 cast(count(*) as bigint) AS n,
+                 cast(sum(a.n_events) as bigint) AS sx,
+                 cast(sum(b.n_events) as bigint) AS sy,
+                 cast(sum(a.n_events * b.n_events) as bigint) AS sxy,
+                 cast(sum(a.n_events * a.n_events) as bigint) AS sxx,
+                 cast(sum(b.n_events * b.n_events) as bigint) AS syy
+          FROM hourly a JOIN hourly b
+            ON a.hr = b.hr AND a.event_type < b.event_type
+          GROUP BY a.event_type, b.event_type
+        )
+        SELECT type_a, type_b, n AS n_hours,
+               round(CASE WHEN n < 2
+                       OR (n * sxx - sx * sx) = 0
+                       OR (n * syy - sy * sy) = 0 THEN cast(0.0 as double)
+                     ELSE (n * sxy - sx * sy)
+                          / (sqrt(cast(n * sxx - sx * sx as double))
+                             * sqrt(cast(n * syy - sy * sy as double))) END,
+                     4) AS pearson_r,
+               (n >= 2 AND (n * sxx - sx * sx) != 0
+                AND (n * syy - sy * sy) != 0
+                AND abs((n * sxy - sx * sy)
+                        / (sqrt(cast(n * sxx - sx * sx as double))
+                           * sqrt(cast(n * syy - sy * sy as double))))
+                    > cast(0.7 as double)) AS strongly_coupled
+        FROM pairs
+        """,
+    )
+
+
+ORACLE_TYPE_CORRELATION = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         count(*)::bigint AS n_events
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*)::bigint AS n,
+         sum(a.n_events)::bigint AS sx,
+         sum(b.n_events)::bigint AS sy,
+         sum(a.n_events * b.n_events)::bigint AS sxy,
+         sum(a.n_events * a.n_events)::bigint AS sxx,
+         sum(b.n_events * b.n_events)::bigint AS syy
+  FROM hourly a JOIN hourly b
+    ON a.hr = b.hr AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT type_a, type_b, n AS n_hours,
+       round(CASE WHEN n < 2
+               OR (n * sxx - sx * sx) = 0
+               OR (n * syy - sy * sy) = 0 THEN cast(0.0 as double)
+             ELSE (n * sxy - sx * sy)
+                  / (sqrt(cast(n * sxx - sx * sx as double))
+                     * sqrt(cast(n * syy - sy * sy as double))) END, 4)
+         AS pearson_r,
+       (n >= 2 AND (n * sxx - sx * sx) != 0
+        AND (n * syy - sy * sy) != 0
+        AND abs((n * sxy - sx * sy)
+                / (sqrt(cast(n * sxx - sx * sx as double))
+                   * sqrt(cast(n * syy - sy * sy as double))))
+            > cast(0.7 as double)) AS strongly_coupled
+FROM pairs
+"""
+
+
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each type's hourly count series — does
+    this hour predict the next (state-ful load: ramps, decays) or is
+    each hour independent (memoryless arrivals)?  Pairs with
+    `burstiness` (marginal overdispersion) to classify a stream:
+    bursty+autocorrelated = ramping incident, bursty+memoryless =
+    lottery spikes; `ewma_hourly` smoothing only helps the former.
+
+    Scale shape: the (type, hour) collapse, one lag window over it, then
+    the same exact-integer Pearson fold as type_correlation on (x_t,
+    x_{t-1}) pairs."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', ts) AS hr,
+                 cast(count(*) as bigint) AS n_events
+          FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ), lagged AS (
+          SELECT event_type, n_events AS x,
+                 lag(n_events) OVER (PARTITION BY event_type ORDER BY hr)
+                   AS xp
+          FROM hourly
+        ), s AS (
+          SELECT event_type,
+                 cast(count(*) as bigint) AS n,
+                 cast(sum(x) as bigint) AS sx,
+                 cast(sum(xp) as bigint) AS sy,
+                 cast(sum(x * xp) as bigint) AS sxy,
+                 cast(sum(x * x) as bigint) AS sxx,
+                 cast(sum(xp * xp) as bigint) AS syy
+          FROM lagged WHERE xp IS NOT NULL
+          GROUP BY event_type
+        )
+        SELECT event_type, n AS n_pairs,
+               round(CASE WHEN n < 2
+                       OR (n * sxx - sx * sx) = 0
+                       OR (n * syy - sy * sy) = 0 THEN cast(0.0 as double)
+                     ELSE (n * sxy - sx * sy)
+                          / (sqrt(cast(n * sxx - sx * sx as double))
+                             * sqrt(cast(n * syy - sy * sy as double))) END,
+                     4) AS acf_lag1,
+               (n >= 2 AND (n * sxx - sx * sx) != 0
+                AND (n * syy - sy * sy) != 0
+                AND (n * sxy - sx * sy)
+                    / (sqrt(cast(n * sxx - sx * sx as double))
+                       * sqrt(cast(n * syy - sy * sy as double)))
+                    > cast(0.5 as double)) AS has_memory
+        FROM s
+        """,
+    )
+
+
+ORACLE_AUTOCORRELATION = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         count(*)::bigint AS n_events
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), lagged AS (
+  SELECT event_type, n_events AS x,
+         lag(n_events) OVER (PARTITION BY event_type ORDER BY hr) AS xp
+  FROM hourly
+), s AS (
+  SELECT event_type,
+         count(*)::bigint AS n,
+         sum(x)::bigint AS sx,
+         sum(xp)::bigint AS sy,
+         sum(x * xp)::bigint AS sxy,
+         sum(x * x)::bigint AS sxx,
+         sum(xp * xp)::bigint AS syy
+  FROM lagged WHERE xp IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n AS n_pairs,
+       round(CASE WHEN n < 2
+               OR (n * sxx - sx * sx) = 0
+               OR (n * syy - sy * sy) = 0 THEN cast(0.0 as double)
+             ELSE (n * sxy - sx * sy)
+                  / (sqrt(cast(n * sxx - sx * sx as double))
+                     * sqrt(cast(n * syy - sy * sy as double))) END, 4)
+         AS acf_lag1,
+       (n >= 2 AND (n * sxx - sx * sx) != 0
+        AND (n * syy - sy * sy) != 0
+        AND (n * sxy - sx * sy)
+            / (sqrt(cast(n * sxx - sx * sx as double))
+               * sqrt(cast(n * syy - sy * sy as double)))
+            > cast(0.5 as double)) AS has_memory
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9091,6 +9267,9 @@ QUERY_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Option
     "quality_calibration": (q_quality_calibration, ORACLE_QUALITY_CALIBRATION),
     "robust_outliers": (q_robust_outliers, ORACLE_ROBUST_OUTLIERS),
     "activity_profile": (q_activity_profile, ORACLE_ACTIVITY_PROFILE),
+    # series coupling + memory (round-4 additions)
+    "type_correlation": (q_type_correlation, ORACLE_TYPE_CORRELATION),
+    "autocorrelation": (q_autocorrelation, ORACLE_AUTOCORRELATION),
     # distribution-drift scores (round-4 additions)
     "psi_drift": (q_psi_drift, ORACLE_PSI_DRIFT),
     "jsd_sources": (q_jsd_sources, ORACLE_JSD_SOURCES),

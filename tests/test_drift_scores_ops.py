@@ -70,3 +70,74 @@ def test_jsd_sources_disjoint_vocab_matches_hand_computation(spark, tmp_path):
     assert out["jsd"] == pytest.approx(round(_jsd(pa, pb), 4))
     assert out["jsd"] <= math.log(2) + 1e-9
     assert not bool(out["near_duplicate_dist"])
+
+
+def _write_events(spark, path, rows):
+    """rows: (event_id, ts_str, user_id, event_type, value)."""
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"], format="ISO8601")
+    pdf["props"] = "{}"
+    spark.createDataFrame(
+        pdf[["event_id", "ts", "user_id", "event_type", "value", "props"]],
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def _hourly_events(rows, eid, type_name, counts):
+    for hour, n in enumerate(counts):
+        for i in range(n):
+            eid += 1
+            rows.append(
+                (eid, f"2024-01-01T{hour:02d}:{i:02d}:00", 1, type_name, 1.0)
+            )
+    return eid
+
+
+def test_type_correlation_coupled_and_anti(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_type_correlation
+
+    rows, eid = [], 0
+    up = [1, 2, 3, 4, 5, 6, 7, 8]
+    eid = _hourly_events(rows, eid, "a_up", up)
+    eid = _hourly_events(rows, eid, "b_up", [2 * x for x in up])     # r = +1
+    eid = _hourly_events(rows, eid, "c_down", [9 - x for x in up])   # r = -1
+    _write_events(spark, tmp_path, rows)
+    out = (
+        q_type_correlation(spark, str(tmp_path))
+        .toPandas()
+        .set_index(["type_a", "type_b"])
+    )
+    assert out.loc[("a_up", "b_up"), "pearson_r"] == pytest.approx(1.0)
+    assert bool(out.loc[("a_up", "b_up"), "strongly_coupled"])
+    assert out.loc[("a_up", "c_down"), "pearson_r"] == pytest.approx(-1.0)
+    assert out.loc[("b_up", "c_down"), "pearson_r"] == pytest.approx(-1.0)
+
+
+def test_type_correlation_constant_series_degrades_to_zero(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_type_correlation
+
+    rows, eid = [], 0
+    eid = _hourly_events(rows, eid, "flat", [3] * 6)
+    eid = _hourly_events(rows, eid, "vary", [1, 2, 3, 4, 5, 6])
+    _write_events(spark, tmp_path, rows)
+    out = q_type_correlation(spark, str(tmp_path)).toPandas().iloc[0]
+    assert out["pearson_r"] == 0.0 and not bool(out["strongly_coupled"])
+
+
+def test_autocorrelation_ramp_vs_alternation(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_autocorrelation
+
+    rows, eid = [], 0
+    eid = _hourly_events(rows, eid, "ramp", [1, 2, 3, 4, 5, 6, 7, 8])
+    eid = _hourly_events(rows, eid, "flip", [1, 9, 1, 9, 1, 9, 1, 9])
+    _write_events(spark, tmp_path, rows)
+    out = q_autocorrelation(spark, str(tmp_path)).toPandas().set_index("event_type")
+    # a linear ramp's lag-1 pairs are themselves linear: r = 1
+    assert out.loc["ramp", "acf_lag1"] == pytest.approx(1.0)
+    assert bool(out.loc["ramp", "has_memory"])
+    # perfect alternation anti-correlates
+    assert out.loc["flip", "acf_lag1"] == pytest.approx(-1.0)
+    assert not bool(out.loc["flip", "has_memory"])

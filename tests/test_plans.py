@@ -957,3 +957,21 @@ def test_jsd_sources_grid_is_broadcast_never_sortmerge(spark, registry):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert "SortMergeJoin" not in final
     assert "CartesianProduct" not in final
+
+
+def test_type_correlation_hour_keyed_selfjoin_tiny(spark, registry):
+    """The series alignment join runs over the (type, hour) AGGREGATE,
+    never raw events; folds are integer sums."""
+    df = registry["type_correlation"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert final.count("FileScan parquet") <= 2
+
+
+def test_autocorrelation_single_scan_window_on_grouped(spark, registry):
+    df = registry["autocorrelation"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" in plan and "HashAggregate" in plan
