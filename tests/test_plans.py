@@ -975,3 +975,13 @@ def test_autocorrelation_single_scan_window_on_grouped(spark, registry):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_dup_group_report_single_scan_digest_windows(spark, registry):
+    """Group spreads ride digest-keyed windows on ONE scan — the
+    join-back spelling recomputed md5 per probe row (measured 2.8x)."""
+    df = registry["dup_group_report"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Window" in plan
