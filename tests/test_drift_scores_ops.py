@@ -141,3 +141,158 @@ def test_autocorrelation_ramp_vs_alternation(spark, tmp_path):
     # perfect alternation anti-correlates
     assert out.loc["flip", "acf_lag1"] == pytest.approx(-1.0)
     assert not bool(out.loc["flip", "has_memory"])
+
+
+# ------------------------- round-5 boundary parity (ECDF-derived deciles)
+
+
+def _oracle_vs_spark(spark, tmp_path, spark_fn, oracle_sql, rows):
+    """Write a crafted documents table, run the Spark query AND the DuckDB
+    oracle over the same parquet, return both as sorted row tuples."""
+    import duckdb
+
+    _write_documents(spark, tmp_path, rows)
+    got = spark_fn(spark, str(tmp_path)).toPandas()
+    got = got.reindex(sorted(got.columns), axis=1)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = con.sql(oracle_sql).df()
+    want = want.reindex(sorted(want.columns), axis=1)
+    return got, want
+
+
+def _assert_frames_match(got, want):
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    gs = got.sort_values(list(got.columns)).reset_index(drop=True)
+    ws = want.sort_values(list(want.columns)).reset_index(drop=True)
+    for c in got.columns:
+        for a, b in zip(gs[c], ws[c]):
+            if isinstance(a, float):
+                assert a == pytest.approx(b, abs=1e-9), (c, a, b)
+            else:
+                assert bool(a) == bool(b) if isinstance(a, bool) else a == b, (c, a, b)
+
+
+def test_psi_drift_integer_landing_deciles_match_oracle(spark, tmp_path):
+    """11 reference docs make every decile position p*(N-1) = j integral
+    (frac = 0, cut = an exact data value) — the ulp-sensitive landing for
+    the ECDF-derived interpolation vs DuckDB's native quantile_cont."""
+    from pdf_extractor_spark.queries import ORACLE_PSI_DRIFT, q_psi_drift
+
+    # doc_id 0..13: cut c = floor(13*0.8) = 10 -> ref half = ids 0..9? no:
+    # ids 0..10 (11 docs, doc_id < 10 is 10 docs) — either way positions
+    # are small integers; lengths 10,20,...  so interpolated cuts can land
+    # exactly on integer boundaries shared with data values.
+    rows = [(i, "x" * (10 * (i + 1)), "en", "A") for i in range(14)]
+    got, want = _oracle_vs_spark(
+        spark, tmp_path, q_psi_drift, ORACLE_PSI_DRIFT, rows
+    )
+    _assert_frames_match(got, want)
+
+
+def test_psi_drift_midpoint_interpolation_matches_oracle(spark, tmp_path):
+    """6 reference docs -> pos = j*0.5: every odd decile interpolates
+    exactly halfway between two distinct integer lengths (cut = x.0 or
+    x.5), probing the lower*(hi-pos) + higher*(pos-lo) formula head-on."""
+    from pdf_extractor_spark.queries import ORACLE_PSI_DRIFT, q_psi_drift
+
+    # c = floor(7*0.8) = 5 -> ref ids 0..4 plus arrival 5..7
+    rows = [(i, "x" * (10 + 10 * i), "en", "A") for i in range(8)]
+    got, want = _oracle_vs_spark(
+        spark, tmp_path, q_psi_drift, ORACLE_PSI_DRIFT, rows
+    )
+    _assert_frames_match(got, want)
+
+
+def test_psi_drift_duplicate_heavy_ties_match_oracle(spark, tmp_path):
+    """Massive ties: most lengths identical, so x_lo == x_hi at several
+    deciles (cut must equal the tied value EXACTLY in both engines)."""
+    from pdf_extractor_spark.queries import ORACLE_PSI_DRIFT, q_psi_drift
+
+    rows = [(i, "x" * 50, "en", "A") for i in range(40)]
+    rows += [(40 + i, "x" * (60 + i), "en", "A") for i in range(10)]
+    got, want = _oracle_vs_spark(
+        spark, tmp_path, q_psi_drift, ORACLE_PSI_DRIFT, rows
+    )
+    _assert_frames_match(got, want)
+
+
+def test_psi_drift_empty_reference_half_defined(spark, tmp_path):
+    """max(doc_id) = 0 -> c = 0 -> the reference half is EMPTY: cuts are
+    NULL in both engines, every row bins to 0, and the score row is
+    defined (no NaN / no crash) and engine-identical."""
+    from pdf_extractor_spark.queries import ORACLE_PSI_DRIFT, q_psi_drift
+
+    rows = [(0, "x" * 50, "en", "A")]
+    got, want = _oracle_vs_spark(
+        spark, tmp_path, q_psi_drift, ORACLE_PSI_DRIFT, rows
+    )
+    assert len(got) == 1
+    assert got.iloc[0]["n_old"] == 0 and got.iloc[0]["n_new"] == 1
+    _assert_frames_match(got, want)
+
+
+def test_ks_drift_empty_reference_half_no_nan(spark, tmp_path):
+    """ADVICE r04: a single doc (max(doc_id)=0) used to yield 0.0/0.0 =
+    NaN; the greatest(n,1) guard must produce a defined, engine-identical
+    row (ks_d = the full arrival ECDF = 1.0, drifted false vs the
+    infinite threshold)."""
+    from pdf_extractor_spark.queries import ORACLE_KS_DRIFT, q_ks_drift
+
+    rows = [(0, "x" * 50, "en", "A")]
+    got, want = _oracle_vs_spark(
+        spark, tmp_path, q_ks_drift, ORACLE_KS_DRIFT, rows
+    )
+    row = got.iloc[0]
+    assert not math.isnan(row["ks_d"])
+    assert row["ks_d"] == 1.0 and row["n_old"] == 0 and row["n_new"] == 1
+    assert not bool(row["drifted"])
+    _assert_frames_match(got, want)
+
+
+def test_dup_group_report_null_text_both_spellings_agree(spark, tmp_path):
+    """ADVICE r04: NULL text must count as copies of the empty digest in
+    BOTH formulations (window groups NULLs together; the oracle join-back
+    dropped them before the coalesce)."""
+    import duckdb
+
+    from pdf_extractor_spark.queries import (
+        ORACLE_DUP_GROUP_REPORT,
+        q_dup_group_report,
+    )
+
+    pdf = pd.DataFrame(
+        [
+            (0, None, "en", "A"),
+            (1, None, "de", "B"),
+            (2, "hello", "en", "A"),
+            (3, "hello", "en", "A"),
+            (4, "solo", "en", "B"),
+        ],
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    pdf["n_chars"] = pdf["text"].str.len().fillna(0).astype("int64")
+    spark.createDataFrame(
+        pdf, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = q_dup_group_report(spark, str(tmp_path)).toPandas()
+    got = got.reindex(sorted(got.columns), axis=1)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = con.sql(ORACLE_DUP_GROUP_REPORT).df()
+    want = want.reindex(sorted(want.columns), axis=1)
+    _assert_frames_match(got, want)
+    # the two NULL-text docs are one duplicate group straddling sources
+    # AND langs — n_docs must include them (the join-back used to drop them)
+    a = got.set_index("source").loc["A"]
+    b = got.set_index("source").loc["B"]
+    assert a["n_docs"] == 3 and b["n_docs"] == 2
+    assert b["n_mirror_docs"] == 1 and b["n_mislabel_docs"] == 1

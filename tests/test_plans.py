@@ -940,15 +940,18 @@ def test_burstiness_single_scan_integer_folds(spark, registry):
     assert "Join" not in plan and "Window" not in plan
 
 
-def test_psi_drift_single_scan_tiny_fold(spark, registry):
-    """Deciles come from ONE grouped aggregate; binning is map-side; the
-    PSI fold runs over 10 rows — no corpus self-join."""
+def test_psi_drift_two_scan_ecdf(spark, registry):
+    """Round-5 shape: the corpus is read exactly twice (doc_id-only cut
+    scan + the grouped ECDF pass, both inside the eager localCheckpoint
+    build), and the returned plan — deciles, binning, PSI fold — runs
+    entirely over the checkpointed per-distinct-length table: zero
+    parquet scans, no sort-merge join."""
     df = registry["psi_drift"][0](spark, SF_DIR)
     df.collect()
     final = _plan(df).split("== Initial Plan ==")[0]
     assert "SortMergeJoin" not in final
-    # the two cross joins are 1-row broadcast sides (cut + decile row)
-    assert final.count("FileScan parquet") <= 3
+    assert final.count("Scan parquet") == 0
+    assert "ExistingRDD" in final or "Scan rdd" in final.lower()
 
 
 def test_jsd_sources_grid_is_broadcast_never_sortmerge(spark, registry):
