@@ -24,7 +24,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .transcripts import TRANSCRIPT_DDL
+from .transcripts import TRANSCRIPT_DDL, TRANSCRIPT_SCHEMA
 
 # arrival-format schema: ts as string (ISO-8601), plus the corrupt-capture
 _ARRIVAL_DDL = (
@@ -140,10 +140,12 @@ def write_transcripts_jsonl(df: DataFrame, path: str) -> None:
     ).write.mode("overwrite").json(path)
 
 
-# canonical column -> type, parsed once from the DDL
+# canonical column -> type, derived from the canonical StructType (the
+# source of truth TRANSCRIPT_DDL itself derives from) so future canonical
+# types containing commas or angle brackets (decimal(10,2),
+# map<string,string>) can never be mis-split into wrong cast targets
 _CANON_TYPES = {
-    c.strip().split(" ", 1)[0]: c.strip().split(" ", 1)[1]
-    for c in TRANSCRIPT_DDL.split(",")
+    f.name: f.dataType.simpleString() for f in TRANSCRIPT_SCHEMA.fields
 }
 
 

@@ -23,6 +23,8 @@ import random
 from datetime import datetime, timezone
 from typing import Iterator, Optional
 
+from pyspark.sql import types as T  # pure-Python module; no JVM started
+
 EPOCH_S = 1_704_067_200  # 2024-01-01T00:00:00Z — fixed fixture epoch
 ROLES = ("user", "assistant", "tool")
 TOOLS = (None, "search", None, "browser", None, None, "calculator", None)
@@ -296,9 +298,22 @@ def rows_to_pandas(rows: list[tuple]):
     return df
 
 
-TRANSCRIPT_DDL = (
-    "conv_id string, turn_idx int, role string, text string, "
-    "tool string, ts timestamp"
+# Canonical transcript schema.  The StructType is the source of truth —
+# the DDL string and the column->type cast map (sources/formats.py) both
+# derive from it, so a future type containing commas or angle brackets
+# (decimal(10,2), map<string,string>) can never be mis-split by ad-hoc
+# string parsing.
+TRANSCRIPT_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("role", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("tool", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+TRANSCRIPT_DDL = ", ".join(
+    f"{f.name} {f.dataType.simpleString()}" for f in TRANSCRIPT_SCHEMA.fields
 )
 
 

@@ -988,3 +988,52 @@ def test_dup_group_report_single_scan_digest_windows(spark, registry):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_reservoir_sample_partial_window_group_limit(spark, registry):
+    """md5 rank key is map-only; rank<=5 pushes a PARTIAL WindowGroupLimit
+    below the exchange (each task forwards <=5 rows per source)."""
+    df = registry["reservoir_sample"][0](spark, SF_DIR)
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_hamming_topk_broadcast_query_side_no_smj(spark, registry):
+    """Sign-bit signatures fold map-side; the query side is a tiny
+    broadcast; per-query top-k must rank through a window group limit —
+    never a sort-merge join or corpus-sized sort."""
+    df = registry["hamming_topk"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final
+    assert "WindowGroupLimit" in final
+
+
+def test_hamming_recall_no_corpus_cartesian(spark, registry):
+    df = registry["hamming_recall"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+
+
+def test_doc_perplexity_model_broadcast_scoring_zero_shuffle(spark, registry):
+    """The wordcount is the only corpus shuffle; the 1000-entry model
+    rides a 1-row broadcast and scoring is a per-row fold (no explode, no
+    token join on the scoring side)."""
+    df = registry["doc_perplexity"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert final.count("Scan parquet") == 2  # model pass + scoring pass
+
+
+def test_length_filter_sweep_single_scan_tiny_grid(spark, registry):
+    df = registry["length_filter_sweep"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in final

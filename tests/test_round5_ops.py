@@ -1,0 +1,290 @@
+"""Round-5 operator additions on crafted inputs, verified against
+independent Python computations (not just the DuckDB oracles the
+contract suite replays): hamming_topk / hamming_recall (binary
+sign-bit ANN tier), doc_perplexity (corpus unigram-LM scoring),
+reservoir_sample (deterministic per-source k-sample),
+length_filter_sweep (curation threshold retention curve)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pandas as pd
+import pytest
+
+from pdf_extractor_spark.queries import (
+    _HAM_K,
+    _HAM_Q,
+    q_doc_perplexity,
+    q_hamming_recall,
+    q_hamming_topk,
+    q_length_filter_sweep,
+    q_reservoir_sample,
+)
+
+
+def _write_embeddings(spark, path, vecs):
+    """vecs: list of (vec_id, [floats])."""
+    pdf = pd.DataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in vecs],
+        columns=["vec_id", "embedding", "label"],
+    )
+    spark.createDataFrame(
+        pdf, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+
+def _write_documents(spark, path, rows):
+    """rows: (doc_id, text, lang, source)."""
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    spark.createDataFrame(
+        pdf, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def _signs(v):
+    return tuple(1 if x > 0 else 0 for x in v)
+
+
+def _hamming(a, b):
+    return sum(x != y for x, y in zip(_signs(a), _signs(b)))
+
+
+def _expected_topk(vecs, q_ids, k):
+    out = set()
+    by_id = dict(vecs)
+    for q in q_ids:
+        ranked = sorted(
+            ((_hamming(by_id[q], v), i) for i, v in vecs if i != q)
+        )[:k]
+        out.update((q, i, h) for h, i in ranked)
+    return out
+
+
+# ------------------------------------------------------------ hamming_topk
+
+
+def test_hamming_topk_matches_hand_hamming(spark, tmp_path):
+    # 8 vectors over 8 dims with distinct sign patterns; zeros count as
+    # non-positive (bit unset) by the x > 0 rule
+    vecs = [
+        (0, [1, 1, 1, 1, -1, -1, -1, -1]),
+        (1, [1, 1, 1, 1, 1, -1, -1, -1]),     # ham(0,1) = 1
+        (2, [1, 1, 1, 1, 1, 1, -1, -1]),      # ham(0,2) = 2
+        (3, [-1, -1, -1, -1, 1, 1, 1, 1]),    # ham(0,3) = 8
+        (4, [1, 1, 1, 1, -1, -1, -1, 0.5]),   # ham(0,4) = 1
+        (5, [0.0, 1, 1, 1, -1, -1, -1, -1]),  # ham(0,5) = 1 (0 -> unset)
+        (6, [1, -1, 1, -1, 1, -1, 1, -1]),
+        (7, [1, 1, 1, 1, -1, -1, -1, -1]),    # ham(0,7) = 0 (exact twin)
+    ]
+    _write_embeddings(spark, tmp_path, vecs)
+    got = {
+        (r["query_id"], r["vec_id"], r["hamming"])
+        for r in q_hamming_topk(spark, str(tmp_path)).collect()
+    }
+    want = _expected_topk(vecs, range(_HAM_Q), _HAM_K)
+    assert got == want
+    # spot-check the rule encodings: 0's twin is vec 7 at distance 0,
+    # and vec 5's zero component does not match vec 0's positive bit...
+    assert (0, 7, 0) in got
+    assert (0, 1, 1) in got and (0, 4, 1) in got and (0, 5, 1) in got
+
+
+def test_hamming_topk_wide_vectors_multiword(spark, tmp_path):
+    # 70 dims forces 3 words of 32/32/6 bits — the packing boundary
+    base = [1.0] * 70
+    flip_hi = list(base)
+    flip_hi[69] = -1.0  # lives in word 3, bit 5
+    flip_lo = list(base)
+    flip_lo[0] = -1.0   # word 1, bit 0
+    far = [-1.0] * 70
+    vecs = [(0, base), (1, flip_hi), (2, flip_lo), (3, far),
+            (4, base), (5, [1.0] * 35 + [-1.0] * 35)]
+    _write_embeddings(spark, tmp_path, vecs)
+    got = {
+        (r["query_id"], r["vec_id"], r["hamming"])
+        for r in q_hamming_topk(spark, str(tmp_path)).collect()
+    }
+    want = _expected_topk(vecs, range(_HAM_Q), _HAM_K)
+    assert got == want
+    assert (0, 1, 1) in got and (0, 2, 1) in got  # cross-word flips both = 1
+
+
+# ---------------------------------------------------------- hamming_recall
+
+
+def test_hamming_recall_measures_binary_tier_miss(spark, tmp_path):
+    """All-positive vectors are hamming-indistinguishable (distance 0
+    everywhere -> ties pick lowest vec_ids), while cosine ranks by angle;
+    replicate both rankings in python and require the measured recall to
+    match exactly."""
+    import numpy as np
+
+    rng = [
+        (0, [1.0, 0.1, 0.1, 0.1]),
+        (1, [0.1, 1.0, 0.1, 0.1]),
+        (2, [0.1, 0.1, 1.0, 0.1]),
+        (3, [0.1, 0.1, 0.1, 1.0]),
+        (4, [1.0, 0.2, 0.1, 0.1]),
+        (5, [0.9, 0.1, 0.2, 0.1]),
+        (6, [0.1, 0.9, 0.1, 0.2]),
+        (7, [0.2, 0.1, 0.9, 0.1]),
+        (8, [0.1, 0.2, 0.1, 0.9]),
+        (9, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    _write_embeddings(spark, tmp_path, rng)
+    by_id = {i: np.array(v, dtype=np.float32) for i, v in rng}
+
+    def cos_rank(q):
+        qv = by_id[q]
+        scored = []
+        for i, v in by_id.items():
+            if i == q:
+                continue
+            c = float(np.dot(v.astype(np.float64), qv.astype(np.float64)))
+            c /= max(
+                math.sqrt(float(np.dot(v.astype(np.float64), v.astype(np.float64))))
+                * math.sqrt(float(np.dot(qv.astype(np.float64), qv.astype(np.float64)))),
+                1e-30,
+            )
+            scored.append((-round(c, 4), i))
+        return [i for _, i in sorted(scored)[:_HAM_K]]
+
+    def ham_rank(q):
+        qv = by_id[q]
+        return [
+            i for _, i in sorted(
+                (( _hamming(by_id[i], qv), i) for i in by_id if i != q)
+            )[:_HAM_K]
+        ]
+
+    want = {
+        q: round(len(set(cos_rank(q)) & set(ham_rank(q))) / _HAM_K, 4)
+        for q in range(_HAM_Q)
+    }
+    got = {
+        r["query_id"]: r["recall_at_k"]
+        for r in q_hamming_recall(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    # the crafted geometry guarantees the binary tier actually misses
+    assert any(v < 1.0 for v in got.values())
+
+
+# ---------------------------------------------------------- doc_perplexity
+
+
+def test_doc_perplexity_matches_hand_unigram_model(spark, tmp_path):
+    rows = [
+        (0, "a a b", "en", "A"),
+        (1, "b c", "en", "A"),
+    ]
+    _write_documents(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: r for r in q_doc_perplexity(spark, str(tmp_path)).collect()
+    }
+    # counts: a=2, b=2, c=1, N=5
+    x0 = round((3 * -math.log(2 / 5)) / 3, 4)
+    x1 = round((-math.log(2 / 5) - math.log(1 / 5)) / 2, 4)
+    assert out[0]["n_tokens"] == 3 and out[0]["xent_nats"] == pytest.approx(x0)
+    assert out[1]["n_tokens"] == 2 and out[1]["xent_nats"] == pytest.approx(x1)
+    assert not out[0]["high_surprise"] and not out[1]["high_surprise"]
+
+
+def test_doc_perplexity_flags_rare_token_doc(spark, tmp_path):
+    # N = 2001 -> the singleton doc scores ln(2001) ~ 7.60 > 7.0
+    rows = [
+        (0, " ".join(["x"] * 2000), "en", "A"),
+        (1, "zzz", "en", "A"),
+    ]
+    _write_documents(spark, tmp_path, rows)
+    out = {
+        r["doc_id"]: r for r in q_doc_perplexity(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["xent_nats"] == pytest.approx(round(math.log(2001), 4))
+    assert bool(out[1]["high_surprise"])
+    assert not bool(out[0]["high_surprise"])
+
+
+def test_doc_perplexity_skips_empty_token_docs(spark, tmp_path):
+    rows = [(0, "hello world", "en", "A"), (1, "!!! ...", "en", "A")]
+    _write_documents(spark, tmp_path, rows)
+    out = q_doc_perplexity(spark, str(tmp_path)).collect()
+    assert [r["doc_id"] for r in out] == [0]
+
+
+# -------------------------------------------------------- reservoir_sample
+
+
+def test_reservoir_sample_is_md5_order_and_stable(spark, tmp_path):
+    rows = [(i, "x" * 10, "en", "A" if i < 12 else "B") for i in range(20)]
+    _write_documents(spark, tmp_path, rows)
+
+    def expect(ids):
+        ranked = sorted(
+            ids, key=lambda i: (hashlib.md5(f"{i}:rsv".encode()).hexdigest(), i)
+        )
+        return [(i, k + 1) for k, i in enumerate(ranked[:5])]
+
+    got = sorted(
+        (r["source"], r["doc_id"], r["pick_order"])
+        for r in q_reservoir_sample(spark, str(tmp_path)).collect()
+    )
+    want = sorted(
+        [("A", i, o) for i, o in expect(range(12))]
+        + [("B", i, o) for i, o in expect(range(12, 20))]
+    )
+    assert got == want
+    # determinism: a second run returns the identical sample
+    again = sorted(
+        (r["source"], r["doc_id"], r["pick_order"])
+        for r in q_reservoir_sample(spark, str(tmp_path)).collect()
+    )
+    assert again == got
+
+
+def test_reservoir_sample_small_stratum_returns_all(spark, tmp_path):
+    rows = [(i, "x" * 10, "en", "tiny") for i in range(3)]
+    _write_documents(spark, tmp_path, rows)
+    out = q_reservoir_sample(spark, str(tmp_path)).collect()
+    assert len(out) == 3
+    assert sorted(r["pick_order"] for r in out) == [1, 2, 3]
+
+
+# ----------------------------------------------------- length_filter_sweep
+
+
+def test_length_filter_sweep_hand_counts(spark, tmp_path):
+    lengths = [10, 60, 120, 300, 800]
+    rows = [(i, "x" * n, "en", "A") for i, n in enumerate(lengths)]
+    _write_documents(spark, tmp_path, rows)
+    out = {
+        r["min_chars"]: r
+        for r in q_length_filter_sweep(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {0, 50, 100, 150, 200, 250, 300, 400, 500, 750}
+    total = sum(lengths)
+    assert out[0]["docs_kept"] == 5 and out[0]["doc_retention"] == 1.0
+    assert out[100]["docs_kept"] == 3
+    assert out[100]["chars_kept"] == 120 + 300 + 800
+    assert out[100]["char_retention"] == pytest.approx(
+        round((120 + 300 + 800) / total, 4)
+    )
+    assert out[750]["docs_kept"] == 1 and out[750]["chars_kept"] == 800
+    assert all(out[t]["docs_total"] == 5 for t in out)
+
+
+def test_length_filter_sweep_monotone_retention(spark, tmp_path):
+    rows = [(i, "x" * (20 * (i + 1)), "en", "A") for i in range(30)]
+    _write_documents(spark, tmp_path, rows)
+    out = sorted(
+        q_length_filter_sweep(spark, str(tmp_path)).collect(),
+        key=lambda r: r["min_chars"],
+    )
+    kept = [r["docs_kept"] for r in out]
+    assert kept == sorted(kept, reverse=True)
+    assert all(
+        r["char_retention"] >= r["doc_retention"] - 1e-9 for r in out
+    )  # long docs survive cuts disproportionately
