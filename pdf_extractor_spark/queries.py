@@ -9576,6 +9576,167 @@ GROUP BY min_chars
 """
 
 
+def q_source_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    exact-duplicate text groups span both and how many document copies
+    those groups carry — `dup_group_report` says each source's share of
+    mirrored docs; this names WHICH sources mirror WHICH, the table a
+    crawl owner needs to kill a mirror at the feed level.
+
+    Scale shape: one digest scan + one 16-byte digest shuffle does all
+    the duplicate work; the pair expansion is group-local over each
+    digest's sorted source SET (≤ |sources| entries, so ≤ C(|sources|,2)
+    rows per group — bounded by metadata cardinality, never by copies);
+    the matrix is LEFT-JOIN-completed against the full source-pair grid
+    (two single-column DISTINCT scans — in production, the sources
+    dimension table) so a clean corpus yields an all-zero matrix, not an
+    empty one (the dup_group_report convention).  The oracle
+    intentionally uses the independent self-join-on-digest spelling."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH g AS (
+          SELECT md5(coalesce(text, '')) AS h,
+                 sort_array(collect_set(source)) AS ss,
+                 cast(count(*) as bigint) AS n_copies
+          FROM documents
+          GROUP BY md5(coalesce(text, ''))
+        ), pairs AS (
+          SELECT source_a, bj AS source_b, n_copies
+          FROM (
+            SELECT n_copies, ss, i, ai AS source_a
+            FROM g LATERAL VIEW posexplode(ss) pe AS i, ai
+            WHERE size(ss) >= 2
+          ) LATERAL VIEW explode(slice(ss, i + 2, size(ss))) ee AS bj
+        ), agg AS (
+          SELECT source_a, source_b,
+                 cast(count(*) as bigint) AS n_shared_groups,
+                 cast(sum(n_copies) as bigint) AS dup_mass
+          FROM pairs
+          GROUP BY source_a, source_b
+        ), grid AS (
+          SELECT a.source AS source_a, b.source AS source_b
+          FROM (SELECT DISTINCT source FROM documents) a
+          JOIN (SELECT DISTINCT source FROM documents) b
+            ON a.source < b.source
+        )
+        SELECT grid.source_a, grid.source_b,
+               coalesce(agg.n_shared_groups, cast(0 as bigint))
+                 AS n_shared_groups,
+               coalesce(agg.dup_mass, cast(0 as bigint)) AS dup_mass
+        FROM grid
+        LEFT JOIN agg ON agg.source_a = grid.source_a
+                     AND agg.source_b = grid.source_b
+        """,
+    )
+
+
+ORACLE_SOURCE_DEDUP_MATRIX = """
+WITH ds AS (
+  SELECT DISTINCT md5(coalesce(text, '')) AS h, source FROM documents
+), cnt AS (
+  SELECT md5(coalesce(text, '')) AS h, count(*)::BIGINT AS n_copies
+  FROM documents GROUP BY 1
+), agg AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*)::BIGINT AS n_shared_groups,
+         sum(cnt.n_copies)::BIGINT AS dup_mass
+  FROM ds a
+  JOIN ds b ON a.h = b.h AND a.source < b.source
+  JOIN cnt ON cnt.h = a.h
+  GROUP BY a.source, b.source
+), grid AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM (SELECT DISTINCT source FROM documents) a
+  JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
+)
+SELECT grid.source_a, grid.source_b,
+       coalesce(agg.n_shared_groups, 0)::BIGINT AS n_shared_groups,
+       coalesce(agg.dup_mass, 0)::BIGINT AS dup_mass
+FROM grid
+LEFT JOIN agg ON agg.source_a = grid.source_a
+             AND agg.source_b = grid.source_b
+"""
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED empirical S-curve of the MinHash-LSH banding (4 bands x
+    2 rows, the `minhash_lsh_pairs` config): catch rate per exact-Jaccard
+    decile over the deterministic adjacent-doc_id pair set.  The high
+    buckets read as candidate RECALL (does the banding catch the
+    near-dups a j>=0.5 dedup needs?), the low buckets as the
+    false-positive collision rate — together the measured version of the
+    theoretical 1-(1-j^r)^b curve, produced BEFORE the config gates a
+    corpus-wide dedup.  Complements `minhash_est_error` (estimator
+    accuracy) and `near_dup_verified` (candidate precision).  All
+    deciles present in the corpus appear, so a clean corpus still yields
+    its (low-j, near-zero catch rate) rows rather than an empty table.
+
+    Scale shape: the tokenize->shingle subtree materializes ONCE
+    (eager localCheckpoint) and feeds both the signature/banding lineage
+    and the exact-Jaccard truth (CTE reuse under Spark = recompute);
+    ground truth is the O(n) adjacent pair set, candidates are
+    bucket-capped, and the probe join broadcasts the candidate side."""
+    sh = _sql(
+        spark, sf_dir, ["documents"],
+        _SPARK_SHINGLES + "SELECT doc_id, shingles FROM sh",
+    ).localCheckpoint(eager=True)
+    sig = q_minhash_signatures(spark, sf_dir, sh=sh)
+    cand = q_minhash_lsh_pairs(spark, sf_dir, sig=sig)
+    sh.createOrReplaceTempView("sh_truth")
+    truth = spark.sql(
+        f"""
+        WITH s AS (SELECT doc_id, array_distinct(shingles) AS g
+                   FROM sh_truth)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(size(array_intersect(a.g, b.g))
+                     / cast(size(array_union(a.g, b.g)) as double), 4)
+                 AS jaccard
+        FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+        """
+    )
+    joined = truth.join(
+        F.broadcast(cand.withColumn("caught", F.lit(1))),
+        ["doc_a", "doc_b"],
+        "left",
+    )
+    return (
+        joined.groupBy(
+            F.floor(F.col("jaccard") * 10 + F.lit(1e-9))
+            .cast("int")
+            .alias("j_bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.coalesce(F.sum("caught"), F.lit(0))
+            .cast("bigint")
+            .alias("n_caught"),
+            F.round(
+                F.coalesce(F.sum("caught"), F.lit(0)).cast("double")
+                / F.count("*").cast("double"),
+                4,
+            ).alias("catch_rate"),
+        )
+    )
+
+
+ORACLE_LSH_RECALL = f"""
+WITH truth AS (
+  SELECT doc_a, doc_b, jaccard FROM ({ORACLE_NGRAM_JACCARD}) tj
+), cand AS (
+  SELECT doc_a, doc_b, 1 AS caught FROM ({ORACLE_LSH_PAIRS}) cp
+)
+SELECT CAST(floor(t.jaccard * 10 + 1e-9) AS INT) AS j_bucket,
+       count(*)::BIGINT AS n_pairs,
+       coalesce(sum(c.caught), 0)::BIGINT AS n_caught,
+       round(coalesce(sum(c.caught), 0)::DOUBLE / count(*)::DOUBLE, 4)
+         AS catch_rate
+FROM truth t
+LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9768,6 +9929,8 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "doc_perplexity": (q_doc_perplexity, ORACLE_DOC_PERPLEXITY),
     "reservoir_sample": (q_reservoir_sample, ORACLE_RESERVOIR_SAMPLE),
     "length_filter_sweep": (q_length_filter_sweep, ORACLE_LENGTH_FILTER_SWEEP),
+    "source_dedup_matrix": (q_source_dedup_matrix, ORACLE_SOURCE_DEDUP_MATRIX),
+    "lsh_recall": (q_lsh_recall, ORACLE_LSH_RECALL),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

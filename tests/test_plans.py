@@ -1037,3 +1037,30 @@ def test_length_filter_sweep_single_scan_tiny_grid(spark, registry):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1
     assert "SortMergeJoin" not in final
+
+
+def test_source_dedup_matrix_grouplocal_pairs_no_smj(spark, registry):
+    """Duplicate work rides ONE digest shuffle; pair expansion is
+    group-local (posexplode over each digest's source SET, never a
+    corpus self-join); the zero-fill grid joins broadcast-small
+    distinct-source sides."""
+    df = registry["source_dedup_matrix"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    # digest pass + the two single-column DISTINCT-source passes, minus
+    # whatever AQE deduplicates into ReusedExchange on this host
+    assert 1 <= final.count("Scan parquet") <= 3
+
+
+def test_lsh_recall_shared_shingle_checkpoint(spark, registry):
+    """The tokenize->shingle subtree materializes once: signatures,
+    banding, AND the exact-Jaccard truth all read the checkpointed
+    table, so the returned plan touches no parquet at all."""
+    df = registry["lsh_recall"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 0
+    assert "SortMergeJoin" not in final
+    assert "BroadcastHashJoin" in final  # candidate probe is broadcast

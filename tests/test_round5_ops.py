@@ -288,3 +288,73 @@ def test_length_filter_sweep_monotone_retention(spark, tmp_path):
     assert all(
         r["char_retention"] >= r["doc_retention"] - 1e-9 for r in out
     )  # long docs survive cuts disproportionately
+
+
+# ------------------------------------------------------ source_dedup_matrix
+
+
+def test_source_dedup_matrix_hand_counts_and_zero_grid(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_source_dedup_matrix
+
+    rows = [
+        (0, "hello dup one", "en", "A"),
+        (1, "hello dup one", "en", "B"),
+        (2, "world dup two", "en", "A"),
+        (3, "world dup two", "en", "B"),
+        (4, "world dup two", "en", "C"),
+        (5, "solo text", "en", "A"),
+        (6, "only in d", "en", "D"),
+    ]
+    _write_documents(spark, tmp_path, rows)
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_shared_groups"], r["dup_mass"])
+        for r in q_source_dedup_matrix(spark, str(tmp_path)).collect()
+    }
+    # full 4-source grid: C(4,2) = 6 rows, zero-filled where no overlap
+    assert len(got) == 6
+    assert got[("A", "B")] == (2, 2 + 3)   # hello(2 copies) + world(3)
+    assert got[("A", "C")] == (1, 3)
+    assert got[("B", "C")] == (1, 3)
+    assert got[("A", "D")] == (0, 0)
+    assert got[("B", "D")] == (0, 0)
+    assert got[("C", "D")] == (0, 0)
+
+
+# ----------------------------------------------------------------- lsh_recall
+
+
+def test_lsh_recall_exact_dups_caught_unrelated_not(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_lsh_recall
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen")
+    fillers = [
+        "red green blue yellow purple orange cyan magenta lime teal",
+        "cat dog bird fish horse cow sheep goat pig duck",
+        "north south east west up down left right front back",
+        "jan feb mar apr may jun jul aug sep oct nov dec",
+    ]
+    rows = [
+        (0, base, "en", "A"),
+        (1, base, "en", "A"),      # adjacent exact dup: j = 1.0
+        (2, other, "en", "A"),
+        (3, other, "en", "A"),     # second exact-dup adjacent pair
+        (4, fillers[0], "en", "A"),
+        (5, fillers[1], "en", "A"),
+        (6, fillers[2], "en", "A"),
+        (7, fillers[3], "en", "A"),
+    ]
+    _write_documents(spark, tmp_path, rows)
+    out = {
+        r["j_bucket"]: r for r in q_lsh_recall(spark, str(tmp_path)).collect()
+    }
+    # identical adjacent docs land in bucket 10 and MUST be caught: same
+    # shingles -> same signatures -> same band buckets (perfect recall at
+    # j=1 by construction)
+    assert out[10]["n_pairs"] == 2
+    assert out[10]["n_caught"] == 2 and out[10]["catch_rate"] == 1.0
+    # disjoint-vocab adjacent pairs sit in bucket 0 with ~zero catch rate
+    assert out[0]["n_pairs"] == 5
+    assert out[0]["catch_rate"] <= 0.2
