@@ -214,3 +214,35 @@ def windowed_turn_rates(
         )
         .select("w.start", "w.end", "role", "n_turns", "chars_in")
     )
+
+
+def dedup_stream_vs_corpus(
+    transcripts: DataFrame,
+    corpus_digests: DataFrame,
+    broadcast: bool = False,
+) -> DataFrame:
+    """Stream-STATIC anti-join dedup — the production 'drop re-crawls of
+    what the corpus already holds' gate: each micro-batch of arriving
+    turns is filtered against the persisted corpus digest table (the
+    batch analog is `dedup_incremental`).  The stream side carries no
+    join state at all (unlike a stream-stream join): Spark re-plans the
+    static side per micro-batch, so a corpus table that grows between
+    batches is picked up without restarting the stream.
+
+    ``corpus_digests`` is a STATIC DataFrame with a ``turn_digest``
+    column of md5 hex — 16-byte keys only, never text (the ledger/digest
+    table the batch pipeline already maintains).  Pass ``broadcast=True``
+    when the digest table is small (a per-tenant corpus, a bench set);
+    leave it False at corpus scale so the join shuffles on the digest —
+    or pre-bucket the digest table by the join key and let AQE pick the
+    strategy.  For 10^10+ keys, put `decontaminate_bloom`'s Bloom filter
+    in FRONT of this join as a map-side prefilter and keep this anti-join
+    as the exact verifier of the Bloom's positives."""
+    digests = corpus_digests.select("turn_digest")
+    if broadcast:
+        digests = F.broadcast(digests)
+    return (
+        transcripts.withColumn("turn_digest", F.md5("text"))
+        .join(digests, "turn_digest", "left_anti")
+        .drop("turn_digest")
+    )

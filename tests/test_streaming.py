@@ -385,3 +385,96 @@ def test_dedup_stream_keeps_distinct_turn_content(spark, tmp_path):
     )
     q.awaitTermination(300)
     assert spark.read.parquet(out_dir).count() == 2 * len(pdf)
+
+
+def test_dedup_stream_vs_corpus_drops_known_digests(spark, tmp_path):
+    """Stream-static anti-join: turns whose text digest already exists in
+    the static corpus digest table never reach the sink; fresh turns all
+    survive with schema intact."""
+    import pyspark.sql.functions as F
+
+    from pdf_extractor_spark.streaming.ingest import dedup_stream_vs_corpus
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = rows_to_pandas(generate_rows(3, seed=11))
+    df = spark.createDataFrame(pdf, TRANSCRIPT_DDL)
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+
+    # corpus already holds conv index 0's turns (by digest)
+    known = df.where("conv_id like '%-000000'").select(
+        F.md5("text").alias("turn_digest")
+    )
+    corpus_path = str(tmp_path / "corpus_digests")
+    known.write.parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    n_known = spark.read.parquet(in_dir).join(
+        corpus, F.md5("text") == F.col("turn_digest"), "left_semi"
+    ).count()
+    assert n_known > 0
+
+    q = (
+        dedup_stream_vs_corpus(
+            stream_transcripts(spark, in_dir), corpus, broadcast=True
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == len(pdf) - n_known
+    assert out.where("conv_id like '%-000000'").count() == 0
+    assert set(out.columns) == set(df.columns)
+
+
+def test_dedup_stream_vs_corpus_growing_static_side(spark, tmp_path):
+    """The static side is re-planned per micro-batch: digests appended to
+    the corpus BETWEEN batches filter the later batch without a stream
+    restart (two availableNow runs on one checkpoint simulate the two
+    trigger windows)."""
+    import pyspark.sql.functions as F
+
+    from pdf_extractor_spark.streaming.ingest import dedup_stream_vs_corpus
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    corpus_path = str(tmp_path / "corpus_digests")
+    pdf = rows_to_pandas(generate_rows(2, seed=13))
+    df = spark.createDataFrame(pdf, TRANSCRIPT_DDL)
+
+    # batch 1: empty corpus — everything passes
+    spark.createDataFrame([], "turn_digest string").write.mode(
+        "overwrite"
+    ).parquet(corpus_path)
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run_once():
+        q = (
+            dedup_stream_vs_corpus(
+                stream_transcripts(spark, in_dir),
+                spark.read.parquet(corpus_path),
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    assert spark.read.parquet(out_dir).count() == len(pdf)
+
+    # corpus learns every digest; the SAME rows arrive again as new files
+    spark.read.parquet(in_dir).select(
+        F.md5("text").alias("turn_digest")
+    ).write.mode("overwrite").parquet(corpus_path)
+    df.coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+    # nothing new lands: the replayed rows are all corpus-known now
+    assert spark.read.parquet(out_dir).count() == len(pdf)
