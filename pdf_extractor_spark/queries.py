@@ -787,19 +787,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
-def q_dedup_clusters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_clusters_verified(
+    spark: SparkSession, sf_dir: str, edges: Optional[DataFrame] = None
+) -> DataFrame:
     """Connected components over VERIFIED near-dup edges only: the honest
     production composition — LSH proposes, exact 3-gram Jaccard confirms,
     clustering consumes confirmed edges, so one hash-collision super-edge
     cannot glue two unrelated clusters together (the classic failure of
     clustering raw candidates).  Same pointer-doubling propagation and
-    output contract as ``dedup_clusters``."""
+    output contract as ``dedup_clusters``.
+
+    A production run materializes the verified pair table ONCE and fans
+    it out to every consumer (clusters, canonical pick, histogram,
+    savings report) — pass it as ``edges`` (doc_a, doc_b) to skip the
+    LSH→verify recompute, the same side-table pattern as
+    ``q_minhash_lsh_pairs(sig=...)`` / ``q_ivf_multiprobe(centroids=...)``."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    edges = (
-        q_near_dup_verified(spark, sf_dir)
-        .where("verified")
-        .select("doc_a", "doc_b")
-    )
+    if edges is None:
+        edges = (
+            q_near_dup_verified(spark, sf_dir)
+            .where("verified")
+            .select("doc_a", "doc_b")
+        )
     labels, _iters = propagate_min_labels(docs, edges)
     return labels
 
@@ -2879,7 +2888,9 @@ def q_documents_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_canonical(
+    spark: SparkSession, sf_dir: str, labels: Optional[DataFrame] = None
+) -> DataFrame:
     """Quality-aware canonical selection per verified near-dup cluster —
     the production dedup ENDGAME: clustering tells you which docs are the
     same; this picks which copy to KEEP (the longest, tie-break lowest
@@ -2894,8 +2905,14 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     (first_value for the canonical pick, count for the size) share the
     same window spec, so Catalyst computes them in a single Window
     operator over a single sort+exchange.  n_chars rides along from a
-    column already in the scan; no second pass over text."""
-    labels = q_dedup_clusters_verified(spark, sf_dir).drop("is_keeper")
+    column already in the scan; no second pass over text.
+
+    Pass a materialized cluster ``labels`` table (doc_id, cluster_id) to
+    skip the LSH→verify→CC recompute — the materialize-once fan-out
+    shape a production run uses across this whole family."""
+    if labels is None:
+        labels = q_dedup_clusters_verified(spark, sf_dir)
+    labels = labels.select("doc_id", "cluster_id")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return select_canonical(labels, docs)
 
@@ -6815,7 +6832,9 @@ FROM m a JOIN m b ON a.parity = 0 AND b.parity = 1
 ORACLE_EMBEDDING_DRIFT = _drift_oracle()
 
 
-def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str, labels: Optional[DataFrame] = None
+) -> DataFrame:
     """Cluster-size histogram over the verified near-dup graph: how many
     clusters of each size, the documents they hold, and each size's share
     of the corpus — the one-glance dedup observability table (a fat tail
@@ -6824,8 +6843,10 @@ def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: after the components job, two grouped aggregates
     (cluster_id → size, size → count) and a window over the tiny
-    histogram table."""
-    labels = q_dedup_clusters_verified(spark, sf_dir)
+    histogram table.  Pass materialized ``labels`` to skip the
+    LSH→verify→CC recompute (materialize-once fan-out)."""
+    if labels is None:
+        labels = q_dedup_clusters_verified(spark, sf_dir)
     sizes = labels.groupBy("cluster_id").agg(
         F.expr("cast(count(*) as bigint)").alias("cluster_size")
     )
@@ -6863,7 +6884,9 @@ FROM hist
 )
 
 
-def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_savings(
+    spark: SparkSession, sf_dir: str, canon: Optional[DataFrame] = None
+) -> DataFrame:
     """Per-source dedup savings report: documents and characters the
     canonical-selection pass removes, as counts and rates — the number
     that justifies (or kills) a dedup run, per source, BEFORE the delete
@@ -6872,8 +6895,12 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one doc_id-keyed join of the canonical table back to
     (source, n_chars), then a |sources|-row aggregate; integer sums
-    throughout."""
-    canon = q_dedup_canonical(spark, sf_dir).select("doc_id", "keep")
+    throughout.  Pass a materialized ``canon`` table (doc_id, keep) to
+    skip the LSH→verify→CC→canonical recompute (materialize-once
+    fan-out)."""
+    if canon is None:
+        canon = q_dedup_canonical(spark, sf_dir)
+    canon = canon.select("doc_id", "keep")
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     return (
         canon.join(docs, "doc_id")

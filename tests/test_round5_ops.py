@@ -358,3 +358,46 @@ def test_lsh_recall_exact_dups_caught_unrelated_not(spark, tmp_path):
     # disjoint-vocab adjacent pairs sit in bucket 0 with ~zero catch rate
     assert out[0]["n_pairs"] == 5
     assert out[0]["catch_rate"] <= 0.2
+
+
+# ------------------------------------- materialize-once fan-out side tables
+
+
+def test_cluster_family_side_tables_equal_self_contained(spark):
+    """Production materializes the verified-pair table / cluster labels /
+    canonical table ONCE and fans them out; every side-table path must
+    return exactly what the self-contained path returns."""
+    from pdf_extractor_spark.queries import (
+        q_cluster_size_histogram,
+        q_dedup_canonical,
+        q_dedup_clusters_verified,
+        q_dedup_savings,
+        q_near_dup_verified,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    edges = (
+        q_near_dup_verified(spark, sf)
+        .where("verified")
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    labels = q_dedup_clusters_verified(spark, sf, edges=edges).localCheckpoint(
+        eager=True
+    )
+    canon = q_dedup_canonical(spark, sf, labels=labels).localCheckpoint(
+        eager=True
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(labels) == rows(q_dedup_clusters_verified(spark, sf))
+    assert rows(canon) == rows(q_dedup_canonical(spark, sf))
+    assert rows(q_cluster_size_histogram(spark, sf, labels=labels)) == rows(
+        q_cluster_size_histogram(spark, sf)
+    )
+    assert rows(q_dedup_savings(spark, sf, canon=canon)) == rows(
+        q_dedup_savings(spark, sf)
+    )
