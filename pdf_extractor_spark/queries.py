@@ -9764,6 +9764,107 @@ GROUP BY 1
 """
 
 
+def q_semantic_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup rate vs cosine threshold: for each candidate semantic-dedup
+    cutoff, how many same-cell pairs qualify and how many distinct vectors
+    they touch — the measurement that picks `semantic_dedup`'s threshold
+    from the corpus's own similarity distribution instead of a guessed
+    0.9.  Completes the measure-before-gating trio with
+    `length_filter_sweep` (length axis) and `lsh_recall` (lexical axis).
+
+    Scale shape: the within-cell pair cosines compute ONCE (the
+    `embedding_neardup` relational spelling, floored at the sweep minimum
+    0.3 so the pair table stays near-dup-sized) and localCheckpoint —
+    the 8-threshold grid and the two aggregates (pairs, distinct touched
+    vectors) then fan out over the tiny checkpointed table; CTE reuse
+    under Spark = recompute, and the dot-product join is the expensive
+    subtree."""
+    cosv = _sql(
+        spark, sf_dir, ["embeddings"],
+        """
+        WITH ex AS (
+          SELECT vec_id, label, pos AS i, cast(v as double) AS v
+          FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v
+        ), nrm AS (
+          SELECT vec_id, greatest(sqrt(sum(v * v)),
+                           cast(1e-30 as double)) AS nrm
+          FROM ex GROUP BY vec_id
+        ), dots AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+          FROM ex a JOIN ex b
+            ON a.label = b.label AND a.i = b.i AND a.vec_id < b.vec_id
+          GROUP BY a.vec_id, b.vec_id
+        )
+        SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 4) AS c
+        FROM dots
+        JOIN nrm na ON na.vec_id = vec_a
+        JOIN nrm nb ON nb.vec_id = vec_b
+        WHERE dot / (na.nrm * nb.nrm) >= 0.30
+        """,
+    ).localCheckpoint(eager=True)
+    cosv.createOrReplaceTempView("sem_sweep_pairs")
+    return spark.sql(
+        """
+        WITH th AS (
+          SELECT explode(array(0.3D, 0.4D, 0.5D, 0.6D, 0.7D,
+                               0.8D, 0.9D, 0.95D)) AS t
+        ), hits AS (
+          SELECT t, vec_a, vec_b FROM sem_sweep_pairs CROSS JOIN th
+          WHERE c >= t
+        ), pair_agg AS (
+          SELECT t, cast(count(*) as bigint) AS n_pairs FROM hits GROUP BY t
+        ), doc_agg AS (
+          SELECT t, cast(count(DISTINCT v) as bigint) AS n_docs
+          FROM (SELECT t, vec_a AS v FROM hits
+                UNION ALL SELECT t, vec_b AS v FROM hits)
+          GROUP BY t
+        )
+        SELECT th.t AS threshold,
+               coalesce(pair_agg.n_pairs, cast(0 as bigint)) AS n_pairs,
+               coalesce(doc_agg.n_docs, cast(0 as bigint)) AS n_docs
+        FROM th
+        LEFT JOIN pair_agg ON pair_agg.t = th.t
+        LEFT JOIN doc_agg ON doc_agg.t = th.t
+        """
+    )
+
+
+ORACLE_SEMANTIC_THRESHOLD_SWEEP = """
+WITH n AS (
+  SELECT vec_id, label, embedding,
+         greatest(sqrt(list_sum([x::double*x::double FOR x IN embedding])),
+                  1e-30::double) AS nrm
+  FROM embeddings
+), cosv AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_sum([a.embedding[i]::double * b.embedding[i]::double
+                         FOR i IN range(1, len(a.embedding)+1)])
+               / (a.nrm * b.nrm), 4) AS c
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_sum([a.embedding[i]::double * b.embedding[i]::double
+                  FOR i IN range(1, len(a.embedding)+1)])
+        / (a.nrm * b.nrm) >= 0.30
+), th AS (
+  SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95])::DOUBLE AS t
+), hits AS (
+  SELECT t, vec_a, vec_b FROM cosv CROSS JOIN th WHERE c >= t
+), pair_agg AS (
+  SELECT t, count(*)::BIGINT AS n_pairs FROM hits GROUP BY t
+), doc_agg AS (
+  SELECT t, count(DISTINCT v)::BIGINT AS n_docs
+  FROM (SELECT t, vec_a AS v FROM hits
+        UNION ALL SELECT t, vec_b AS v FROM hits) u
+  GROUP BY t
+)
+SELECT th.t AS threshold,
+       coalesce(pair_agg.n_pairs, 0)::BIGINT AS n_pairs,
+       coalesce(doc_agg.n_docs, 0)::BIGINT AS n_docs
+FROM th
+LEFT JOIN pair_agg ON pair_agg.t = th.t
+LEFT JOIN doc_agg ON doc_agg.t = th.t
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9958,6 +10059,9 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "length_filter_sweep": (q_length_filter_sweep, ORACLE_LENGTH_FILTER_SWEEP),
     "source_dedup_matrix": (q_source_dedup_matrix, ORACLE_SOURCE_DEDUP_MATRIX),
     "lsh_recall": (q_lsh_recall, ORACLE_LSH_RECALL),
+    "semantic_threshold_sweep": (
+        q_semantic_threshold_sweep, ORACLE_SEMANTIC_THRESHOLD_SWEEP,
+    ),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

@@ -1064,3 +1064,14 @@ def test_lsh_recall_shared_shingle_checkpoint(spark, registry):
     assert final.count("Scan parquet") == 0
     assert "SortMergeJoin" not in final
     assert "BroadcastHashJoin" in final  # candidate probe is broadcast
+
+
+def test_semantic_threshold_sweep_checkpointed_pairs(spark, registry):
+    """The expensive within-cell dot-product join computes once into the
+    checkpoint; the grid fan-out and both aggregates read it — returned
+    plan touches no parquet."""
+    df = registry["semantic_threshold_sweep"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 0
+    assert "CartesianProduct" not in final

@@ -401,3 +401,54 @@ def test_cluster_family_side_tables_equal_self_contained(spark):
     assert rows(q_dedup_savings(spark, sf, canon=canon)) == rows(
         q_dedup_savings(spark, sf)
     )
+
+
+# ---------------------------------------------------- semantic_threshold_sweep
+
+
+def test_semantic_threshold_sweep_hand_geometry(spark, tmp_path):
+    """Vectors at controlled angles inside one cell: cos(0,1)=1.0,
+    cos with the orthogonal vector = 0.0, and a ~0.707 pair — the sweep
+    counts must step exactly at the thresholds the geometry dictates."""
+    from pdf_extractor_spark.queries import q_semantic_threshold_sweep
+
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),          # cos(0,1) = 1.0
+        (2, [0.0, 1.0]),          # orthogonal to 0/1: cos = 0.0 (< 0.3 floor)
+        (3, [1.0, 1.0]),          # cos vs 0/1 = 0.7071, vs 2 = 0.7071
+    ]
+    pdf = pd.DataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in vecs],
+        columns=["vec_id", "embedding", "label"],
+    )
+    spark.createDataFrame(
+        pdf, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    out = {
+        r["threshold"]: (r["n_pairs"], r["n_docs"])
+        for r in q_semantic_threshold_sweep(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 8
+    # pairs >= 0.3: (0,1)=1.0, (0,3)=(1,3)=(2,3)=0.7071 -> 4 pairs, all docs
+    assert out[0.3] == (4, 4) and out[0.7] == (4, 4)
+    # above 0.7071: only the identical pair remains
+    assert out[0.8] == (1, 2) and out[0.9] == (1, 2) and out[0.95] == (1, 2)
+
+
+def test_semantic_threshold_sweep_empty_grid_zero_filled(spark, tmp_path):
+    """No qualifying pairs (different labels) -> all 8 thresholds present
+    with zero counts, not an empty table."""
+    from pdf_extractor_spark.queries import q_semantic_threshold_sweep
+
+    pdf = pd.DataFrame(
+        [(0, [1.0, 0.0], 0), (1, [1.0, 0.0], 1)],
+        columns=["vec_id", "embedding", "label"],
+    )
+    spark.createDataFrame(
+        pdf, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = q_semantic_threshold_sweep(spark, str(tmp_path)).collect()
+    assert len(out) == 8
+    assert all(r["n_pairs"] == 0 and r["n_docs"] == 0 for r in out)
