@@ -9865,6 +9865,62 @@ LEFT JOIN doc_agg ON doc_agg.t = th.t
 """
 
 
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-waste sweep: for each candidate sequence budget, the
+    sequences emitted and the tail-padding waste per source under
+    `sequence_pack`'s concat-and-chop policy (waste = only each source's
+    final partial sequence: budget·ceil(T/budget) − T).  The measurement
+    that picks max_seq_len — a small budget wastes little but caps
+    context; a large budget pads more per source shard; this table shows
+    the actual trade-off on the corpus instead of folklore.
+
+    Scale shape: one scan folds to |sources| token totals (map-side
+    combine on the same token counts `sequence_pack` uses); the 4-budget
+    grid fans out over that tiny aggregate — everything after the
+    groupBy is |sources|×4 rows."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH t AS (
+          SELECT source, cast(sum(size({toks})) as bigint) AS total_tokens
+          FROM documents GROUP BY source
+        ), b AS (
+          SELECT explode(array(512, 1024, 2048, 4096)) AS budget
+        )
+        SELECT source, budget, total_tokens,
+               cast(ceil(total_tokens / cast(budget as double)) as bigint)
+                 AS n_sequences,
+               cast(ceil(total_tokens / cast(budget as double)) as bigint)
+                 * budget - total_tokens AS pad_tokens,
+               round((cast(ceil(total_tokens / cast(budget as double))
+                           as bigint) * budget - total_tokens)
+                     / cast(greatest(total_tokens, 1) as double), 4)
+                 AS waste_rate
+        FROM t CROSS JOIN b
+        """,
+    )
+
+
+ORACLE_PACK_EFFICIENCY = f"""
+WITH t AS (
+  SELECT source,
+         sum(len({_DUCK_TOKENS.format(x='text')}))::BIGINT AS total_tokens
+  FROM documents GROUP BY source
+), b AS (
+  SELECT unnest([512, 1024, 2048, 4096]) AS budget
+)
+SELECT source, budget, total_tokens,
+       ceil(total_tokens / budget::DOUBLE)::BIGINT AS n_sequences,
+       ceil(total_tokens / budget::DOUBLE)::BIGINT * budget - total_tokens
+         AS pad_tokens,
+       round((ceil(total_tokens / budget::DOUBLE)::BIGINT * budget
+              - total_tokens)
+             / greatest(total_tokens, 1)::DOUBLE, 4) AS waste_rate
+FROM t CROSS JOIN b
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10062,6 +10118,7 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "semantic_threshold_sweep": (
         q_semantic_threshold_sweep, ORACLE_SEMANTIC_THRESHOLD_SWEEP,
     ),
+    "pack_efficiency": (q_pack_efficiency, ORACLE_PACK_EFFICIENCY),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

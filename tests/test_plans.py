@@ -1075,3 +1075,11 @@ def test_semantic_threshold_sweep_checkpointed_pairs(spark, registry):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 0
     assert "CartesianProduct" not in final
+
+
+def test_pack_efficiency_single_scan_tiny_grid(spark, registry):
+    df = registry["pack_efficiency"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in final and "CartesianProduct" not in final

@@ -452,3 +452,31 @@ def test_semantic_threshold_sweep_empty_grid_zero_filled(spark, tmp_path):
     out = q_semantic_threshold_sweep(spark, str(tmp_path)).collect()
     assert len(out) == 8
     assert all(r["n_pairs"] == 0 and r["n_docs"] == 0 for r in out)
+
+
+# ------------------------------------------------------------ pack_efficiency
+
+
+def test_pack_efficiency_hand_math(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_pack_efficiency
+
+    # source A: 3 docs x 400 tokens = 1200 total; source B: 1 doc x 100
+    rows = [(i, " ".join(["tok"] * 400), "en", "A") for i in range(3)]
+    rows.append((3, " ".join(["tok"] * 100), "en", "B"))
+    _write_documents(spark, tmp_path, rows)
+    out = {
+        (r["source"], r["budget"]): r
+        for r in q_pack_efficiency(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 8  # 2 sources x 4 budgets
+    a512 = out[("A", 512)]
+    # ceil(1200/512) = 3 sequences -> 3*512 - 1200 = 336 pad tokens
+    assert a512["total_tokens"] == 1200
+    assert a512["n_sequences"] == 3 and a512["pad_tokens"] == 336
+    assert a512["waste_rate"] == pytest.approx(round(336 / 1200, 4))
+    a4096 = out[("A", 4096)]
+    assert a4096["n_sequences"] == 1 and a4096["pad_tokens"] == 4096 - 1200
+    b512 = out[("B", 512)]
+    assert b512["n_sequences"] == 1 and b512["pad_tokens"] == 412
+    # small budgets always waste less under concat-and-chop
+    assert a512["waste_rate"] < a4096["waste_rate"]
