@@ -9921,6 +9921,75 @@ FROM t CROSS JOIN b
 """
 
 
+def q_mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic interleave schedule for the data-mixing loader: which
+    source emits at each of the first 200 global steps so that every
+    prefix of the stream tracks each source's token share (source k fires
+    at step n iff floor(n·w_k) > floor((n−1)·w_k) — the Bresenham /
+    low-discrepancy rule samplers use to avoid long single-source runs
+    that RNG draws produce).  `mix_weights`/`temperature_mix` decide HOW
+    MUCH of each source; this decides WHEN, reproducibly across runs,
+    engines, and cluster sizes.
+
+    Cross-engine exactness: weights are bigint-token-count / double-total
+    (one IEEE division), each schedule test is one multiply + floor —
+    no order-dependent float sums anywhere, so the schedule is bitwise
+    identical in both engines with no rounding.
+
+    Scale shape: one scan folds to |sources| token totals; the schedule
+    expansion is steps × |sources| rows of config-sized work (200·|src|),
+    independent of corpus size."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH t AS (
+          SELECT source, cast(sum(size({toks})) as bigint) AS tk
+          FROM documents GROUP BY source
+        ), tot AS (
+          SELECT greatest(cast(sum(tk) as bigint), cast(1 as bigint))
+            AS total
+          FROM t
+        ), w AS (
+          SELECT source, tk / cast(total as double) AS wgt
+          FROM t CROSS JOIN tot
+        ), steps AS (
+          SELECT explode(sequence(1, 200)) AS step
+        ), sched AS (
+          SELECT step, source
+          FROM steps CROSS JOIN w
+          WHERE floor(step * wgt) > floor((step - 1) * wgt)
+        )
+        SELECT cast(step as int) AS step, source,
+               cast(row_number() OVER (PARTITION BY source ORDER BY step)
+                    as bigint) AS pick_idx
+        FROM sched
+        """,
+    )
+
+
+ORACLE_MIX_SCHEDULE = f"""
+WITH t AS (
+  SELECT source, sum(len({_DUCK_TOKENS.format(x='text')}))::BIGINT AS tk
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT greatest(sum(tk), 1)::BIGINT AS total FROM t
+), w AS (
+  SELECT source, tk / total::DOUBLE AS wgt FROM t CROSS JOIN tot
+), steps AS (
+  SELECT unnest(range(1, 201)) AS step
+), sched AS (
+  SELECT step, source
+  FROM steps CROSS JOIN w
+  WHERE floor(step * wgt) > floor((step - 1) * wgt)
+)
+SELECT step::INT AS step, source,
+       row_number() OVER (PARTITION BY source ORDER BY step)::BIGINT
+         AS pick_idx
+FROM sched
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10119,6 +10188,7 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
         q_semantic_threshold_sweep, ORACLE_SEMANTIC_THRESHOLD_SWEEP,
     ),
     "pack_efficiency": (q_pack_efficiency, ORACLE_PACK_EFFICIENCY),
+    "mix_schedule": (q_mix_schedule, ORACLE_MIX_SCHEDULE),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

@@ -1083,3 +1083,11 @@ def test_pack_efficiency_single_scan_tiny_grid(spark, registry):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1
     assert "SortMergeJoin" not in final and "CartesianProduct" not in final
+
+
+def test_mix_schedule_single_scan_config_grid(spark, registry):
+    df = registry["mix_schedule"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in final and "CartesianProduct" not in final

@@ -480,3 +480,40 @@ def test_pack_efficiency_hand_math(spark, tmp_path):
     assert b512["n_sequences"] == 1 and b512["pad_tokens"] == 412
     # small budgets always waste less under concat-and-chop
     assert a512["waste_rate"] < a4096["waste_rate"]
+
+
+# ---------------------------------------------------------------- mix_schedule
+
+
+def test_mix_schedule_bresenham_hand_math(spark, tmp_path):
+    """Exact-double weights (300/400 = 0.75, 100/400 = 0.25): the
+    low-discrepancy rule fires A at every step except n % 4 == 1 and B at
+    multiples of 4; every prefix tracks the share within one pick."""
+    from pdf_extractor_spark.queries import q_mix_schedule
+
+    rows = [(0, " ".join(["t"] * 300), "en", "A"),
+            (1, " ".join(["t"] * 100), "en", "B")]
+    _write_documents(spark, tmp_path, rows)
+    out = q_mix_schedule(spark, str(tmp_path)).collect()
+    a_steps = sorted(r["step"] for r in out if r["source"] == "A")
+    b_steps = sorted(r["step"] for r in out if r["source"] == "B")
+    assert len(a_steps) == 150 and len(b_steps) == 50  # floor(200 * w)
+    assert a_steps[:4] == [2, 3, 4, 6] and b_steps[:3] == [4, 8, 12]
+    assert all(n % 4 == 0 for n in b_steps)
+    # prefix discrepancy bound: |picks_k(n) - n*w_k| < 1 at every step
+    for n in range(1, 201):
+        assert abs(sum(1 for s in a_steps if s <= n) - n * 0.75) < 1
+        assert abs(sum(1 for s in b_steps if s <= n) - n * 0.25) < 1
+    # pick_idx is the per-source running count
+    idx = {(r["source"], r["step"]): r["pick_idx"] for r in out}
+    assert idx[("B", 4)] == 1 and idx[("B", 8)] == 2
+
+
+def test_mix_schedule_zero_token_source_never_fires(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_mix_schedule
+
+    rows = [(0, " ".join(["t"] * 50), "en", "A"), (1, "!!!", "en", "empty")]
+    _write_documents(spark, tmp_path, rows)
+    out = q_mix_schedule(spark, str(tmp_path)).collect()
+    assert all(r["source"] == "A" for r in out)
+    assert len(out) == 200  # w_A = 1.0 -> fires every step
