@@ -9990,6 +9990,101 @@ FROM sched
 """
 
 
+def q_minhash_perm_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many MinHash permutations buy how much accuracy: Jaccard
+    estimation error at 2, 4, and 8 permutations over the deterministic
+    adjacent-doc_id pair set — `minhash_est_error` audits the shipped
+    8-perm config on LSH candidates; this measures the error-vs-cost
+    CURVE so the permutation count is an informed budget, not a default
+    (each extra permutation is another md5 per shingle at 10^12 docs).
+
+    Per-pair estimate (first-k component agreement / k), exact Jaccard,
+    and their difference are each single IEEE operations on integer
+    inputs — bitwise identical cross-engine; max |err| is therefore
+    exact and only the MAE (an order-dependent float mean) rounds to
+    4dp.
+
+    Scale shape: the shingle subtree checkpoints once and feeds both the
+    signature derivation and the exact-Jaccard truth (the lsh_recall
+    discipline); adjacent pairs are O(n); the sweep unpivot is 3 rows
+    per pair folding to a 3-row report."""
+    sh = _sql(
+        spark, sf_dir, ["documents"],
+        _SPARK_SHINGLES + "SELECT doc_id, shingles FROM sh",
+    ).localCheckpoint(eager=True)
+    sig = q_minhash_signatures(spark, sf_dir, sh=sh).localCheckpoint(
+        eager=True
+    )
+    sig.createOrReplaceTempView("mps_sig")
+    sh.createOrReplaceTempView("mps_sh")
+    agree = {
+        k: " + ".join(f"IF(a.mh{i} = b.mh{i}, 1, 0)" for i in range(k))
+        for k in (2, 4, 8)
+    }
+    stack = ", ".join(
+        f"{k}, ({agree[k]}) / cast({k} as double)" for k in (2, 4, 8)
+    )
+    return spark.sql(
+        f"""
+        WITH ex AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 size(array_intersect(array_distinct(sa.shingles),
+                                      array_distinct(sb.shingles)))
+                 / cast(size(array_union(array_distinct(sa.shingles),
+                                         array_distinct(sb.shingles)))
+                        as double) AS exact_j,
+                 stack(3, {stack}) AS (n_perms, est_j)
+          FROM mps_sig a JOIN mps_sig b ON b.doc_id = a.doc_id + 1
+          JOIN mps_sh sa ON sa.doc_id = a.doc_id
+          JOIN mps_sh sb ON sb.doc_id = b.doc_id
+        )
+        SELECT n_perms, cast(count(*) as bigint) AS n_pairs,
+               round(avg(abs(est_j - exact_j)), 4) AS mae,
+               round(max(abs(est_j - exact_j)), 4) AS max_abs_err
+        FROM ex
+        GROUP BY n_perms
+        """
+    )
+
+
+_DUCK_PERM_AGREE = {
+    k: " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    for k in (2, 4, 8)
+}
+
+ORACLE_MINHASH_PERM_SWEEP = (
+    _DUCK_SHINGLES.replace("WITH toks", "WITH sig AS (WITH toks")
+    .rstrip()
+    + _DUCK_HASHED
+    + f"SELECT doc_id,\n{_duck_mh_cols()}\nFROM hashed),\n"
+    + _DUCK_SHINGLES.replace("WITH toks", "sets AS (WITH toks").rstrip()
+    + " SELECT doc_id, list_distinct(shingles) AS g FROM sh),\n"
+    + "pairs AS (\n"
+    + "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+    + "         len(list_intersect(sa.g, sb.g))\n"
+    + "         / cast(len(list_distinct(list_concat(sa.g, sb.g)))\n"
+    + "                as double) AS exact_j,\n"
+    + ",\n".join(
+        f"         ({_DUCK_PERM_AGREE[k]}) / cast({k} as double) AS est{k}"
+        for k in (2, 4, 8)
+    )
+    + "\n  FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1\n"
+    + "  JOIN sets sa ON sa.doc_id = a.doc_id\n"
+    + "  JOIN sets sb ON sb.doc_id = b.doc_id\n"
+    + "), ex AS (\n"
+    + "  SELECT 2 AS n_perms, est2 AS est_j, exact_j FROM pairs\n"
+    + "  UNION ALL SELECT 4, est4, exact_j FROM pairs\n"
+    + "  UNION ALL SELECT 8, est8, exact_j FROM pairs\n"
+    + ")\n"
+    + "SELECT n_perms, count(*)::BIGINT AS n_pairs,\n"
+    + "       round(avg(abs(est_j - exact_j)), 4) AS mae,\n"
+    + "       round(max(abs(est_j - exact_j)), 4) AS max_abs_err\n"
+    + "FROM ex GROUP BY n_perms\n"
+)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10189,6 +10284,7 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     ),
     "pack_efficiency": (q_pack_efficiency, ORACLE_PACK_EFFICIENCY),
     "mix_schedule": (q_mix_schedule, ORACLE_MIX_SCHEDULE),
+    "minhash_perm_sweep": (q_minhash_perm_sweep, ORACLE_MINHASH_PERM_SWEEP),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

@@ -517,3 +517,34 @@ def test_mix_schedule_zero_token_source_never_fires(spark, tmp_path):
     out = q_mix_schedule(spark, str(tmp_path)).collect()
     assert all(r["source"] == "A" for r in out)
     assert len(out) == 200  # w_A = 1.0 -> fires every step
+
+
+# ---------------------------------------------------------- minhash_perm_sweep
+
+
+def test_minhash_perm_sweep_error_shrinks_with_permutations(spark, tmp_path):
+    """Identical adjacent docs estimate j=1 exactly at every k (error 0);
+    unrelated docs' max error can only shrink or hold as k grows; the
+    3-row report carries one row per permutation budget."""
+    from pdf_extractor_spark.queries import q_minhash_perm_sweep
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        (0, base, "en", "A"),
+        (1, base, "en", "A"),                 # j = 1.0 -> est 1.0 at any k
+        (2, "one two three four five six seven eight nine ten", "en", "A"),
+        (3, "red green blue yellow purple orange cyan magenta", "en", "A"),
+    ]
+    _write_documents(spark, tmp_path, rows)
+    out = {r["n_perms"]: r for r in q_minhash_perm_sweep(spark, str(tmp_path)).collect()}
+    assert set(out) == {2, 4, 8}
+    assert all(out[k]["n_pairs"] == 3 for k in out)
+    # the identical pair contributes zero error at every budget, so the
+    # MAE is bounded by the two disjoint pairs' est (their exact_j ~ 0,
+    # est can only be 0 or a false 1/k agreement)
+    for k in (2, 4, 8):
+        assert 0.0 <= out[k]["mae"] <= 1.0
+        assert out[k]["max_abs_err"] <= 1.0
+    # more permutations never raise the worst-case estimation error here
+    assert out[8]["max_abs_err"] <= out[2]["max_abs_err"] + 1e-9
