@@ -10085,6 +10085,100 @@ ORACLE_MINHASH_PERM_SWEEP = (
 )
 
 
+def q_source_ks_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source anomaly screen: two-sample KS distance between each
+    source's document-length distribution and the REST of the corpus,
+    flagged at the alpha=0.05 critical value — `ks_drift` answers "did
+    today's arrivals change shape"; this answers "which source was never
+    shaped like the others to begin with" (a feed that silently switched
+    to excerpts, a mirror of navigation stubs) — per-source observability
+    before `domain_caps`/`mix_weights` act on the counts.
+
+    Scale shape: ONE scan folds to a (source, length) count table; both
+    ECDFs come from windows over the |lengths|x|sources| zero-filled
+    grid (length-domain x metadata cardinality, never corpus-sized);
+    every division is a single IEEE op on integer counts, so only the
+    final round matters."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH pv AS (
+          SELECT source, n_chars AS v, cast(count(*) as bigint) AS c
+          FROM documents GROUP BY source, n_chars
+        ), grid AS (
+          SELECT s.source, g.v, coalesce(pv.c, cast(0 as bigint)) AS c
+          FROM (SELECT DISTINCT v FROM pv) g
+          CROSS JOIN (SELECT DISTINCT source FROM pv) s
+          LEFT JOIN pv ON pv.source = s.source AND pv.v = g.v
+        ), walk AS (
+          SELECT source, v,
+                 sum(c) OVER (PARTITION BY source ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS cs,
+                 sum(c) OVER (ORDER BY v RANGE BETWEEN
+                                UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - sum(c) OVER (PARTITION BY source ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cr,
+                 sum(c) OVER (PARTITION BY source) AS ns,
+                 sum(c) OVER () - sum(c) OVER (PARTITION BY source) AS nr
+          FROM grid
+        )
+        SELECT source,
+               cast(max(ns) as bigint) AS n_docs,
+               round(max(abs(cs / greatest(cast(ns as double),
+                                           cast(1.0 as double))
+                             - cr / greatest(cast(nr as double),
+                                             cast(1.0 as double)))), 4)
+                 AS ks_d,
+               max(abs(cs / greatest(cast(ns as double),
+                                     cast(1.0 as double))
+                       - cr / greatest(cast(nr as double),
+                                       cast(1.0 as double))))
+                 >= 1.358 * sqrt((max(ns) + max(nr))
+                                 / greatest(cast(max(ns) as double)
+                                            * cast(max(nr) as double),
+                                            cast(1.0 as double)))
+                 AS anomalous
+        FROM walk
+        GROUP BY source
+        """,
+    )
+
+
+ORACLE_SOURCE_KS_ANOMALY = """
+WITH pv AS (
+  SELECT source, n_chars AS v, count(*)::BIGINT AS c
+  FROM documents GROUP BY source, n_chars
+), grid AS (
+  SELECT s.source, g.v, coalesce(pv.c, 0)::BIGINT AS c
+  FROM (SELECT DISTINCT v FROM pv) g
+  CROSS JOIN (SELECT DISTINCT source FROM pv) s
+  LEFT JOIN pv ON pv.source = s.source AND pv.v = g.v
+), walk AS (
+  SELECT source, v,
+         sum(c) OVER (PARTITION BY source ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cs,
+         sum(c) OVER (ORDER BY v RANGE BETWEEN
+                        UNBOUNDED PRECEDING AND CURRENT ROW)
+           - sum(c) OVER (PARTITION BY source ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cr,
+         sum(c) OVER (PARTITION BY source) AS ns,
+         sum(c) OVER () - sum(c) OVER (PARTITION BY source) AS nr
+  FROM grid
+)
+SELECT source,
+       max(ns)::BIGINT AS n_docs,
+       round(max(abs(cs / greatest(ns::DOUBLE, 1.0::DOUBLE)
+                     - cr / greatest(nr::DOUBLE, 1.0::DOUBLE))), 4) AS ks_d,
+       max(abs(cs / greatest(ns::DOUBLE, 1.0::DOUBLE)
+               - cr / greatest(nr::DOUBLE, 1.0::DOUBLE)))
+         >= 1.358 * sqrt((max(ns) + max(nr))
+                         / greatest(max(ns)::DOUBLE * max(nr)::DOUBLE,
+                                    1.0::DOUBLE)) AS anomalous
+FROM walk
+GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10285,6 +10379,7 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "pack_efficiency": (q_pack_efficiency, ORACLE_PACK_EFFICIENCY),
     "mix_schedule": (q_mix_schedule, ORACLE_MIX_SCHEDULE),
     "minhash_perm_sweep": (q_minhash_perm_sweep, ORACLE_MINHASH_PERM_SWEEP),
+    "source_ks_anomaly": (q_source_ks_anomaly, ORACLE_SOURCE_KS_ANOMALY),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

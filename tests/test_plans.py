@@ -1091,3 +1091,15 @@ def test_mix_schedule_single_scan_config_grid(spark, registry):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1
     assert "SortMergeJoin" not in final and "CartesianProduct" not in final
+
+
+def test_source_ks_anomaly_single_scan_grid_windows(spark, registry):
+    """One corpus scan folds to the (source, length) count table; both
+    ECDFs are windows over the zero-filled grid (the DISTINCT side scans
+    may be AQE-reused)."""
+    df = registry["source_ks_anomaly"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "Window" in final

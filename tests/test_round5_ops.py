@@ -548,3 +548,48 @@ def test_minhash_perm_sweep_error_shrinks_with_permutations(spark, tmp_path):
         assert out[k]["max_abs_err"] <= 1.0
     # more permutations never raise the worst-case estimation error here
     assert out[8]["max_abs_err"] <= out[2]["max_abs_err"] + 1e-9
+
+
+# ----------------------------------------------------------- source_ks_anomaly
+
+
+def test_source_ks_anomaly_flags_shifted_source(spark, tmp_path):
+    """Two sources share one length distribution; a third is uniformly
+    5x longer — its KS distance vs the rest must approach 1 and flag,
+    while the matched sources stay low and unflagged.  Hand-check the
+    exact KS value via a python ECDF replication."""
+    from pdf_extractor_spark.queries import q_source_ks_anomaly
+
+    rows = []
+    i = 0
+    for src in ("A", "B"):
+        for k in range(40):
+            rows.append((i, "x" * (100 + (k % 10)), "en", src)); i += 1
+    # C is a small feed (4 docs) of 5x-longer pages: its KS vs the rest is
+    # 1.0 and flags; A/B each differ from "the rest" only by C's 4 docs
+    # (gap 4/44 ~ 0.09, far under the 0.297 critical value)
+    for k in range(4):
+        rows.append((i, "x" * (500 + k), "en", "C")); i += 1
+    _write_documents(spark, tmp_path, rows)
+    out = {r["source"]: r for r in q_source_ks_anomaly(spark, str(tmp_path)).collect()}
+
+    lengths = {"A": [], "B": [], "C": []}
+    for _i, t, _l, s in rows:
+        lengths[s].append(len(t))
+
+    def ks(src):
+        mine = sorted(lengths[src])
+        rest = sorted(v for s2, vs in lengths.items() if s2 != src for v in vs)
+        pts = sorted(set(mine + rest))
+        return round(max(
+            abs(sum(v <= p for v in mine) / len(mine)
+                - sum(v <= p for v in rest) / len(rest))
+            for p in pts
+        ), 4)
+
+    assert out["A"]["n_docs"] == 40 and out["C"]["n_docs"] == 4
+    for src in ("A", "B", "C"):
+        assert out[src]["ks_d"] == pytest.approx(ks(src))
+    assert bool(out["C"]["anomalous"])
+    assert not bool(out["A"]["anomalous"]) and not bool(out["B"]["anomalous"])
+    assert out["C"]["ks_d"] == 1.0
