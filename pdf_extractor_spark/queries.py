@@ -10179,6 +10179,92 @@ GROUP BY source
 """
 
 
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve (Heaps' law): distinct-token count at 10
+    doc_id-prefix cuts of the corpus plus the fitted growth exponent
+    beta from ln V = ln K + beta·ln N — the measurement behind tokenizer
+    vocab budgeting and `vocab_coverage`'s target size (beta ~ 0.5 means
+    doubling the corpus grows the vocabulary ~41%; a beta near 1 means
+    the corpus is full of unique junk tokens and needs cleaning first).
+    Companion to `zipf_fit` (frequency axis) — this is the growth axis.
+
+    Scale shape: each token's FIRST-occurrence doc_id comes from the one
+    wordcount-style shuffle; V(prefix) is then an ECDF count over that
+    vocab-sized table, and token totals per prefix are a map-side
+    conditional fold — three scans total (explode pass, per-doc size
+    fold, doc_id-only max), nothing corpus-sized past the groupBys; the
+    regression runs over 10 points."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH tok AS (
+          SELECT doc_id, token
+          FROM documents
+          LATERAL VIEW explode({toks}) AS token
+        ), fo AS (
+          SELECT token, cast(min(doc_id) as bigint) AS fd
+          FROM tok GROUP BY token
+        ), dt AS (
+          SELECT doc_id, cast(size({toks}) as bigint) AS nt
+          FROM documents
+        ), md AS (
+          SELECT cast(max(doc_id) as bigint) AS m FROM documents
+        ), grid AS (
+          SELECT k, cast(ceil(cast(m as double) * k
+                              / cast(10 as double)) as bigint) AS cut
+          FROM md CROSS JOIN (SELECT explode(sequence(1, 10)) AS k)
+        ), v AS (
+          SELECT k, cut,
+                 cast(count(*) FILTER (WHERE fd <= cut) as bigint) AS vocab
+          FROM fo CROSS JOIN grid GROUP BY k, cut
+        ), n AS (
+          SELECT k,
+                 cast(sum(CASE WHEN doc_id <= cut THEN nt ELSE 0 END)
+                      as bigint) AS n_tokens
+          FROM dt CROSS JOIN grid GROUP BY k
+        )
+        SELECT v.k AS prefix_decile, v.cut AS cut_doc_id,
+               n.n_tokens, v.vocab,
+               round(regr_slope(ln(v.vocab), ln(n.n_tokens)) OVER (), 4)
+                 AS heaps_beta
+        FROM v JOIN n ON n.k = v.k
+        WHERE n.n_tokens > 0 AND v.vocab > 0
+        """,
+    )
+
+
+ORACLE_HEAPS_LAW = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS.format(x='text')}) AS token
+  FROM documents
+), fo AS (
+  SELECT token, min(doc_id)::BIGINT AS fd FROM tok GROUP BY token
+), dt AS (
+  SELECT doc_id, len({_DUCK_TOKENS.format(x='text')})::BIGINT AS nt
+  FROM documents
+), md AS (
+  SELECT max(doc_id)::BIGINT AS m FROM documents
+), grid AS (
+  SELECT k, ceil(m::DOUBLE * k / 10::DOUBLE)::BIGINT AS cut
+  FROM md CROSS JOIN (SELECT unnest(range(1, 11)) AS k) ks
+), v AS (
+  SELECT k, cut, (count(*) FILTER (WHERE fd <= cut))::BIGINT AS vocab
+  FROM fo CROSS JOIN grid GROUP BY k, cut
+), n AS (
+  SELECT k, sum(CASE WHEN doc_id <= cut THEN nt ELSE 0 END)::BIGINT
+    AS n_tokens
+  FROM dt CROSS JOIN grid GROUP BY k
+)
+SELECT v.k::INT AS prefix_decile, v.cut AS cut_doc_id,
+       n.n_tokens, v.vocab,
+       round(regr_slope(ln(v.vocab), ln(n.n_tokens)) OVER (), 4)
+         AS heaps_beta
+FROM v JOIN n ON n.k = v.k
+WHERE n.n_tokens > 0 AND v.vocab > 0
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10380,6 +10466,7 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "mix_schedule": (q_mix_schedule, ORACLE_MIX_SCHEDULE),
     "minhash_perm_sweep": (q_minhash_perm_sweep, ORACLE_MINHASH_PERM_SWEEP),
     "source_ks_anomaly": (q_source_ks_anomaly, ORACLE_SOURCE_KS_ANOMALY),
+    "heaps_law": (q_heaps_law, ORACLE_HEAPS_LAW),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

@@ -1103,3 +1103,14 @@ def test_source_ks_anomaly_single_scan_grid_windows(spark, registry):
     assert "SortMergeJoin" not in final
     assert "CartesianProduct" not in final
     assert "Window" in final
+
+
+def test_heaps_law_bounded_scans_no_smj(spark, registry):
+    """Explode pass + per-doc size fold + doc_id-only max — nothing
+    corpus-sized past the groupBys; the regression runs over 10 rows."""
+    df = registry["heaps_law"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    assert 1 <= final.count("Scan parquet") <= 3

@@ -593,3 +593,43 @@ def test_source_ks_anomaly_flags_shifted_source(spark, tmp_path):
     assert bool(out["C"]["anomalous"])
     assert not bool(out["A"]["anomalous"]) and not bool(out["B"]["anomalous"])
     assert out["C"]["ks_d"] == 1.0
+
+
+# -------------------------------------------------------------------- heaps_law
+
+
+def test_heaps_law_linear_vocab_growth_beta_one(spark, tmp_path):
+    """Every doc introduces exactly 5 NEW tokens and nothing else:
+    V(N) = N exactly, so the fitted Heaps exponent must be 1.0 and each
+    decile row must carry the hand-computable vocab/token counts."""
+    from pdf_extractor_spark.queries import q_heaps_law
+
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(5)), "en", "A")
+        for i in range(20)
+    ]
+    _write_documents(spark, tmp_path, rows)
+    out = sorted(
+        q_heaps_law(spark, str(tmp_path)).collect(),
+        key=lambda r: r["prefix_decile"],
+    )
+    assert len(out) == 10
+    for r in out:
+        # cut = ceil(19 * k / 10); docs included = cut + 1 (doc_ids 0..cut)
+        docs = r["cut_doc_id"] + 1
+        assert r["n_tokens"] == 5 * docs
+        assert r["vocab"] == 5 * docs
+        assert r["heaps_beta"] == pytest.approx(1.0)
+
+
+def test_heaps_law_saturated_vocab_beta_zero(spark, tmp_path):
+    """All docs reuse one fixed 5-token vocabulary: V is constant across
+    prefixes, so beta must be 0.0."""
+    from pdf_extractor_spark.queries import q_heaps_law
+
+    rows = [(i, "a b c d e", "en", "A") for i in range(20)]
+    _write_documents(spark, tmp_path, rows)
+    out = q_heaps_law(spark, str(tmp_path)).collect()
+    assert len(out) == 10
+    assert all(r["vocab"] == 5 for r in out)
+    assert all(r["heaps_beta"] == pytest.approx(0.0) for r in out)
