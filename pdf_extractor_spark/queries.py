@@ -10266,6 +10266,520 @@ WHERE n.n_tokens > 0 AND v.vocab > 0
 
 
 # --------------------------------------------------------------------------
+# Round-5 batch 2 — retrieval baseline, filter-interaction cube, transcript
+# context/protocol audits, quality-signal redundancy
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = "'spark','scan','dup'"
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (Robertson/Sparck-Jones, the Lucene
+    ln(1+(N-df+.5)/(df+.5)) idf variant, k1=1.2 b=0.75): top-20
+    documents for a fixed 3-term query — the retrieval baseline every
+    embedding index (`cosine_topk*`, `ivf_*`, `hamming_topk`) is judged
+    against, and the `tf_idf_topk` companion with tf saturation and
+    doc-length normalisation.
+
+    Cross-engine determinism: tf/df/dl/N are exact integers; each term's
+    score is ONE fixed-order float expression over those integers, and the
+    per-doc total is a fixed textual sum of the three per-term columns
+    (never a float SUM aggregate, whose fold order Spark doesn't pin);
+    ranking is on the ROUNDED score with doc_id tiebreak so the LIMIT
+    boundary matches across engines.
+
+    Scale shape: term rows are filtered to the query's 3 terms BEFORE the
+    tf groupBy, so the only corpus shuffle carries matched (doc, term)
+    pairs (query-selectivity-sized, not corpus-sized); doc lengths fold
+    map-side; stats/idf are one-row / 3-row broadcasts; the final top-20 is
+    a TakeOrdered global merge, never a full sort."""
+    toks = _SPARK_TOKENS.format(x="coalesce(text, '')")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH tl AS (
+          SELECT doc_id, {toks} AS ts FROM documents
+        ), dl AS (
+          SELECT doc_id, cast(size(ts) as bigint) AS dl FROM tl
+        ), stats AS (
+          SELECT cast(count(*) as bigint) AS n_docs,
+                 cast(sum(dl) as bigint) AS total_len
+          FROM dl
+        ), tf AS (
+          SELECT doc_id, t AS term, cast(count(*) as bigint) AS tf
+          FROM (SELECT doc_id, explode(ts) AS t FROM tl)
+          WHERE t IN ({_BM25_TERMS})
+          GROUP BY doc_id, t
+        ), idf AS (
+          SELECT term, cast(count(*) as bigint) AS df FROM tf GROUP BY term
+        ), scored AS (
+          SELECT tf.doc_id, tf.term,
+                 ln((s.n_docs - i.df + cast(0.5 as double))
+                    / (i.df + cast(0.5 as double)) + cast(1.0 as double))
+                 * (tf.tf * cast({_BM25_K1 + 1.0!r} as double))
+                 / (tf.tf + cast({_BM25_K1!r} as double)
+                            * (cast({1.0 - _BM25_B!r} as double)
+                               + cast({_BM25_B!r} as double) * d.dl * s.n_docs
+                                 / cast(s.total_len as double)))
+                   AS contrib
+          FROM tf JOIN idf i ON i.term = tf.term
+          JOIN dl d ON d.doc_id = tf.doc_id
+          CROSS JOIN stats s
+        )
+        SELECT doc_id,
+               cast(count(*) as bigint) AS n_terms_matched,
+               round(coalesce(max(CASE WHEN term = 'spark' THEN contrib END),
+                              cast(0.0 as double))
+                   + coalesce(max(CASE WHEN term = 'scan' THEN contrib END),
+                              cast(0.0 as double))
+                   + coalesce(max(CASE WHEN term = 'dup' THEN contrib END),
+                              cast(0.0 as double)), 4) AS bm25
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {_BM25_TOPK}
+        """,
+    )
+
+
+ORACLE_BM25_TOPK = f"""
+WITH tl AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(x="coalesce(text, '')")} AS ts
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(ts)::BIGINT AS dl FROM tl
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_len FROM dl
+), tf AS (
+  SELECT doc_id, t AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(ts) AS t FROM tl)
+  WHERE t IN ({_BM25_TERMS})
+  GROUP BY doc_id, t
+), idf AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln((s.n_docs - i.df + 0.5::DOUBLE) / (i.df + 0.5::DOUBLE)
+            + 1.0::DOUBLE)
+         * (tf.tf * {_BM25_K1 + 1.0!r}::DOUBLE)
+         / (tf.tf + {_BM25_K1!r}::DOUBLE
+                    * ({1.0 - _BM25_B!r}::DOUBLE
+                       + {_BM25_B!r}::DOUBLE * d.dl * s.n_docs
+                         / s.total_len::DOUBLE)) AS contrib
+  FROM tf JOIN idf i ON i.term = tf.term
+  JOIN dl d ON d.doc_id = tf.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_terms_matched,
+       round(coalesce(max(CASE WHEN term = 'spark' THEN contrib END),
+                      0.0::DOUBLE)
+           + coalesce(max(CASE WHEN term = 'scan' THEN contrib END),
+                      0.0::DOUBLE)
+           + coalesce(max(CASE WHEN term = 'dup' THEN contrib END),
+                      0.0::DOUBLE), 4) AS bm25
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+def q_filter_ablation_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-interaction ablation via GROUP BY CUBE over three curation
+    gates (length band, exact-uniqueness, English-stopword hit): doc and
+    char retention for every subset of applied filters in ONE aggregate —
+    the measurement that shows whether filters are redundant (cells where
+    adding a gate removes ~nothing) or interacting (a cell far below the
+    product of its marginals).  `length_filter_sweep` varies ONE
+    threshold; this crosses the gates themselves.
+
+    Scale shape: one scan computes the three per-doc flags (the
+    uniqueness flag is the digest-window trick from dup_group_report —
+    count OVER md5, no join-back); CUBE expands each row to its 8
+    grouping sets map-side into a 27-row aggregate; corpus totals ride
+    along as a one-row cross join.  gid = grouping(len)*4 +
+    grouping(uniq)*2 + grouping(stop) disambiguates rolled-up NULLs from
+    (impossible here) data NULLs."""
+    toks = _SPARK_TOKENS.format(x="coalesce(text, '')")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH flagged AS (
+          SELECT doc_id, n_chars,
+                 n_chars >= 100 AND n_chars <= 20000 AS len_ok,
+                 cast(count(*) OVER (PARTITION BY md5(coalesce(text, '')))
+                      as bigint) = 1 AS uniq_ok,
+                 coalesce(arrays_overlap({toks}, array({_STOPWORDS})),
+                          false) AS stop_ok
+          FROM documents
+        ), tot AS (
+          SELECT cast(count(*) as bigint) AS n_all,
+                 cast(sum(n_chars) as bigint) AS chars_all
+          FROM flagged
+        )
+        SELECT len_ok, uniq_ok, stop_ok,
+               cast(grouping(len_ok) * 4 + grouping(uniq_ok) * 2
+                    + grouping(stop_ok) as bigint) AS gid,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(n_chars) as bigint) AS n_chars_total,
+               round(count(*) / cast(max(t.n_all) as double), 4)
+                 AS doc_share,
+               round(sum(n_chars) / cast(max(t.chars_all) as double), 4)
+                 AS char_share
+        FROM flagged CROSS JOIN tot t
+        GROUP BY CUBE(len_ok, uniq_ok, stop_ok)
+        """,
+    )
+
+
+ORACLE_FILTER_ABLATION_CUBE = f"""
+WITH flagged AS (
+  SELECT doc_id, n_chars,
+         n_chars >= 100 AND n_chars <= 20000 AS len_ok,
+         (count(*) OVER (PARTITION BY md5(coalesce(text, ''))))::BIGINT = 1
+           AS uniq_ok,
+         coalesce(len(list_intersect(
+             {_DUCK_TOKENS.format(x="coalesce(text, '')")},
+             [{_STOPWORDS}])) > 0, false) AS stop_ok
+  FROM documents
+), tot AS (
+  SELECT count(*)::BIGINT AS n_all, sum(n_chars)::BIGINT AS chars_all
+  FROM flagged
+)
+SELECT len_ok, uniq_ok, stop_ok,
+       (grouping(len_ok) * 4 + grouping(uniq_ok) * 2
+        + grouping(stop_ok))::BIGINT AS gid,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS n_chars_total,
+       round(count(*) / max(t.n_all)::DOUBLE, 4) AS doc_share,
+       round(sum(n_chars) / max(t.chars_all)::DOUBLE, 4) AS char_share
+FROM flagged CROSS JOIN tot t
+GROUP BY CUBE(len_ok, uniq_ok, stop_ok)
+"""
+
+# Synthetic conversation view shared by the two transcript-audit queries:
+# documents fold into 53 multi-turn "conversations" (conv = doc_id % 53,
+# turn order = doc_id) with an md5-derived role — deterministic in both
+# engines, so the oracle can replay the same conversations without a
+# transcripts table in the driver's pre-registered set.
+_CTX_BUDGETS = (64, 256, 1024, 4096)
+_CONV_MOD = 53
+
+
+def q_context_truncation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-budget truncation sweep over multi-turn conversations: for
+    each candidate context length, how many conversations overflow and
+    what share of turns/tokens survives PREFIX truncation (keep turns in
+    order while the running token total fits — the keep-head policy; a
+    turn that would cross the budget is dropped along with everything
+    after it).  The transcript-side companion to `pack_efficiency`: that
+    op picks the sequence budget by padding waste, this one prices the
+    budget in CONTENT LOST on real conversation shapes.
+
+    Scale shape: one scan tokenises turns; the running sum is one window
+    over (conv, turn order) — the same partitioning the extraction
+    pipeline already shuffles by, so at 10^12 turns this rides the
+    existing conv-hash exchange; the 4-budget grid fans out AFTER the
+    per-(conv,budget) fold collapses rows, and the output is 4 rows."""
+    toks = _SPARK_TOKENS.format(x="coalesce(text, '')")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH turns AS (
+          SELECT doc_id % {_CONV_MOD} AS conv, doc_id,
+                 cast(size({toks}) as bigint) AS n_tok
+          FROM documents
+        ), walk AS (
+          SELECT conv, doc_id, n_tok,
+                 sum(n_tok) OVER (PARTITION BY conv ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+          FROM turns
+        ), grid AS (
+          SELECT budget FROM VALUES {', '.join(f'({b})' for b in _CTX_BUDGETS)}
+            AS b(budget)
+        ), per AS (
+          SELECT g.budget, w.conv,
+                 cast(count(*) as bigint) AS turns_total,
+                 cast(sum(CASE WHEN w.cum <= g.budget THEN 1 ELSE 0 END)
+                      as bigint) AS turns_kept,
+                 cast(sum(w.n_tok) as bigint) AS tokens_total,
+                 cast(sum(CASE WHEN w.cum <= g.budget THEN w.n_tok ELSE 0 END)
+                      as bigint) AS tokens_kept
+          FROM walk w CROSS JOIN grid g
+          GROUP BY g.budget, w.conv
+        )
+        SELECT cast(budget as bigint) AS budget,
+               cast(count(*) as bigint) AS n_convs,
+               cast(sum(CASE WHEN tokens_total > budget THEN 1 ELSE 0 END)
+                    as bigint) AS n_overflow,
+               cast(sum(turns_total) as bigint) AS turns_total,
+               cast(sum(turns_kept) as bigint) AS turns_kept,
+               cast(sum(tokens_total) as bigint) AS tokens_total,
+               cast(sum(tokens_kept) as bigint) AS tokens_kept,
+               round(sum(tokens_kept)
+                     / cast(greatest(sum(tokens_total), 1) as double), 4)
+                 AS token_keep_share
+        FROM per
+        GROUP BY budget
+        """,
+    )
+
+
+ORACLE_CONTEXT_TRUNCATION_SWEEP = f"""
+WITH turns AS (
+  SELECT doc_id % {_CONV_MOD} AS conv, doc_id,
+         len({_DUCK_TOKENS.format(x="coalesce(text, '')")})::BIGINT AS n_tok
+  FROM documents
+), walk AS (
+  SELECT conv, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY conv ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM turns
+), grid AS (
+  SELECT budget
+  FROM (VALUES {', '.join(f'({b})' for b in _CTX_BUDGETS)}) b(budget)
+), per AS (
+  SELECT g.budget, w.conv,
+         count(*)::BIGINT AS turns_total,
+         sum(CASE WHEN w.cum <= g.budget THEN 1 ELSE 0 END)::BIGINT
+           AS turns_kept,
+         sum(w.n_tok)::BIGINT AS tokens_total,
+         sum(CASE WHEN w.cum <= g.budget THEN w.n_tok ELSE 0 END)::BIGINT
+           AS tokens_kept
+  FROM walk w CROSS JOIN grid g
+  GROUP BY g.budget, w.conv
+)
+SELECT budget::BIGINT AS budget,
+       count(*)::BIGINT AS n_convs,
+       sum(CASE WHEN tokens_total > budget THEN 1 ELSE 0 END)::BIGINT
+         AS n_overflow,
+       sum(turns_total)::BIGINT AS turns_total,
+       sum(turns_kept)::BIGINT AS turns_kept,
+       sum(tokens_total)::BIGINT AS tokens_total,
+       sum(tokens_kept)::BIGINT AS tokens_kept,
+       round(sum(tokens_kept) / greatest(sum(tokens_total), 1)::DOUBLE, 4)
+         AS token_keep_share
+FROM per
+GROUP BY budget
+"""
+
+
+def q_turn_alternation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript protocol QA over the synthetic conversation view: per
+    conversation, how many ADJACENT turn pairs repeat the same role
+    (double-user / double-assistant — the malformed-transcript signal a
+    chat-format trainer must drop or merge), plus first/last role and a
+    clean-protocol flag (strict alternation starting with 'user').  The
+    transcript-grammar companion to `event_transitions`' event-level
+    Markov matrix.
+
+    Scale shape: one scan derives (conv, turn, role); the lag comparison
+    is one window over (conv, turn order) — again the extraction
+    pipeline's existing conv-hash partitioning — and the output is one
+    row per conversation (metadata-sized, never turn-sized)."""
+    role = _SPARK_MD5INT.format(x="cast(doc_id as string)")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH turns AS (
+          SELECT doc_id % {_CONV_MOD} AS conv, doc_id,
+                 CASE WHEN {role} % 2 = 0 THEN 'user' ELSE 'assistant' END
+                   AS role
+          FROM documents
+        ), lagd AS (
+          SELECT conv, doc_id, role,
+                 lag(role) OVER (PARTITION BY conv ORDER BY doc_id)
+                   AS prev_role,
+                 row_number() OVER (PARTITION BY conv ORDER BY doc_id) AS rn,
+                 cast(count(*) OVER (PARTITION BY conv) as bigint) AS nt
+          FROM turns
+        )
+        SELECT cast(conv as bigint) AS conv,
+               cast(max(nt) as bigint) AS n_turns,
+               cast(max(nt) - 1 as bigint) AS n_pairs,
+               cast(sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END)
+                    as bigint) AS n_same_role_pairs,
+               max(CASE WHEN rn = 1 THEN role END) AS first_role,
+               max(CASE WHEN rn = nt THEN role END) AS last_role,
+               round(sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END)
+                     / cast(greatest(max(nt) - 1, 1) as double), 4)
+                 AS same_role_rate,
+               (sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END) = 0
+                AND max(CASE WHEN rn = 1 THEN role END) = 'user')
+                 AS protocol_clean
+        FROM lagd
+        GROUP BY conv
+        """,
+    )
+
+
+ORACLE_TURN_ALTERNATION_AUDIT = f"""
+WITH turns AS (
+  SELECT doc_id % {_CONV_MOD} AS conv, doc_id,
+         CASE WHEN {_DUCK_MD5INT.format(x="cast(doc_id as varchar)")} % 2 = 0
+              THEN 'user' ELSE 'assistant' END AS role
+  FROM documents
+), lagd AS (
+  SELECT conv, doc_id, role,
+         lag(role) OVER (PARTITION BY conv ORDER BY doc_id) AS prev_role,
+         row_number() OVER (PARTITION BY conv ORDER BY doc_id) AS rn,
+         (count(*) OVER (PARTITION BY conv))::BIGINT AS nt
+  FROM turns
+)
+SELECT conv::BIGINT AS conv,
+       max(nt)::BIGINT AS n_turns,
+       (max(nt) - 1)::BIGINT AS n_pairs,
+       sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END)::BIGINT
+         AS n_same_role_pairs,
+       max(CASE WHEN rn = 1 THEN role END) AS first_role,
+       max(CASE WHEN rn = nt THEN role END) AS last_role,
+       round(sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END)
+             / greatest(max(nt) - 1, 1)::DOUBLE, 4) AS same_role_rate,
+       (sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END) = 0
+        AND max(CASE WHEN rn = 1 THEN role END) = 'user') AS protocol_clean
+FROM lagd
+GROUP BY conv
+"""
+
+
+def q_signal_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal redundancy audit: Spearman rank correlation between
+    every pair of four per-doc curation signals (n_chars, token count,
+    distinct-token count, stopword count) — two signals with |rho| > 0.8
+    gate nearly the same documents, so a filter stack should keep ONE of
+    them (each extra signal is another full-corpus pass at 10^12 docs).
+    Spearman (rank-based) rather than Pearson because curation thresholds
+    are order statistics — what matters is whether signals RANK docs the
+    same way, not whether they're linearly related.
+
+    Cross-engine determinism: tie-averaged ranks are kept INTEGER by the
+    2·avg-rank trick (2·rank() + tiecount − 1); Spearman = Pearson over
+    those doubled ranks (scale-invariant), so the folds are the exact
+    integer n/Σx/Σy/Σxy/Σx²/Σy² sums of `type_correlation` and both
+    engines compute rho from identical integers.
+
+    Scale shape: one scan emits the 4 signal rows per doc; ranking is one
+    window per signal (4 partitions); the pair join keys on doc_id
+    (co-partitioned by construction) and collapses immediately into a
+    6-row integer fold — nothing wider than 2 columns crosses the rank
+    shuffle."""
+    toks = _SPARK_TOKENS.format(x="coalesce(text, '')")
+    stop_arr = f"array({_STOPWORDS})"
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH tl AS (
+          SELECT doc_id, cast(coalesce(n_chars, 0) as bigint) AS nc,
+                 {toks} AS ts
+          FROM documents
+        ), sig AS (
+          SELECT doc_id, 'n_chars' AS signal, nc AS v FROM tl
+          UNION ALL
+          SELECT doc_id, 'n_tokens' AS signal, cast(size(ts) as bigint) AS v
+          FROM tl
+          UNION ALL
+          SELECT doc_id, 'n_distinct' AS signal,
+                 cast(size(array_distinct(ts)) as bigint) AS v
+          FROM tl
+          UNION ALL
+          SELECT doc_id, 'n_stop' AS signal,
+                 cast(size(filter(ts, t -> array_contains({stop_arr}, t)))
+                      as bigint) AS v
+          FROM tl
+        ), ranked AS (
+          SELECT doc_id, signal,
+                 cast(2 * rank() OVER (PARTITION BY signal ORDER BY v)
+                      + count(*) OVER (PARTITION BY signal, v) - 1
+                      as bigint) AS r2
+          FROM sig
+        ), pairs AS (
+          SELECT a.signal AS signal_a, b.signal AS signal_b,
+                 cast(count(*) as bigint) AS n,
+                 cast(sum(a.r2) as bigint) AS sx,
+                 cast(sum(b.r2) as bigint) AS sy,
+                 cast(sum(a.r2 * b.r2) as bigint) AS sxy,
+                 cast(sum(a.r2 * a.r2) as bigint) AS sxx,
+                 cast(sum(b.r2 * b.r2) as bigint) AS syy
+          FROM ranked a JOIN ranked b
+            ON a.doc_id = b.doc_id AND a.signal < b.signal
+          GROUP BY a.signal, b.signal
+        )
+        SELECT signal_a, signal_b, n AS n_docs,
+               round(CASE WHEN n < 2
+                       OR (n * sxx - sx * sx) = 0
+                       OR (n * syy - sy * sy) = 0 THEN cast(0.0 as double)
+                     ELSE (n * sxy - sx * sy)
+                          / (sqrt(cast(n * sxx - sx * sx as double))
+                             * sqrt(cast(n * syy - sy * sy as double))) END,
+                     4) AS spearman_rho,
+               (n >= 2 AND (n * sxx - sx * sx) != 0
+                AND (n * syy - sy * sy) != 0
+                AND abs((n * sxy - sx * sy)
+                        / (sqrt(cast(n * sxx - sx * sx as double))
+                           * sqrt(cast(n * syy - sy * sy as double))))
+                    > cast(0.8 as double)) AS redundant
+        FROM pairs
+        """,
+    )
+
+
+ORACLE_SIGNAL_RANK_CORRELATION = f"""
+WITH tl AS (
+  SELECT doc_id, coalesce(n_chars, 0)::BIGINT AS nc,
+         {_DUCK_TOKENS.format(x="coalesce(text, '')")} AS ts
+  FROM documents
+), sig AS (
+  SELECT doc_id, 'n_chars' AS signal, nc AS v FROM tl
+  UNION ALL
+  SELECT doc_id, 'n_tokens' AS signal, len(ts)::BIGINT AS v FROM tl
+  UNION ALL
+  SELECT doc_id, 'n_distinct' AS signal, len(list_distinct(ts))::BIGINT AS v
+  FROM tl
+  UNION ALL
+  SELECT doc_id, 'n_stop' AS signal,
+         len(list_filter(ts, t -> list_contains([{_STOPWORDS}], t)))::BIGINT
+           AS v
+  FROM tl
+), ranked AS (
+  SELECT doc_id, signal,
+         (2 * rank() OVER (PARTITION BY signal ORDER BY v)
+          + count(*) OVER (PARTITION BY signal, v) - 1)::BIGINT AS r2
+  FROM sig
+), pairs AS (
+  SELECT a.signal AS signal_a, b.signal AS signal_b,
+         count(*)::BIGINT AS n,
+         sum(a.r2)::BIGINT AS sx,
+         sum(b.r2)::BIGINT AS sy,
+         sum(a.r2 * b.r2)::BIGINT AS sxy,
+         sum(a.r2 * a.r2)::BIGINT AS sxx,
+         sum(b.r2 * b.r2)::BIGINT AS syy
+  FROM ranked a JOIN ranked b
+    ON a.doc_id = b.doc_id AND a.signal < b.signal
+  GROUP BY a.signal, b.signal
+)
+SELECT signal_a, signal_b, n AS n_docs,
+       round(CASE WHEN n < 2
+               OR (n * sxx - sx * sx) = 0
+               OR (n * syy - sy * sy) = 0 THEN 0.0::DOUBLE
+             ELSE (n * sxy - sx * sy)
+                  / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                     * sqrt((n * syy - sy * sy)::DOUBLE)) END, 4)
+         AS spearman_rho,
+       (n >= 2 AND (n * sxx - sx * sx) != 0
+        AND (n * syy - sy * sy) != 0
+        AND abs((n * sxy - sx * sy)
+                / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                   * sqrt((n * syy - sy * sy)::DOUBLE))) > 0.8::DOUBLE)
+         AS redundant
+FROM pairs
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -10467,6 +10981,17 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "minhash_perm_sweep": (q_minhash_perm_sweep, ORACLE_MINHASH_PERM_SWEEP),
     "source_ks_anomaly": (q_source_ks_anomaly, ORACLE_SOURCE_KS_ANOMALY),
     "heaps_law": (q_heaps_law, ORACLE_HEAPS_LAW),
+    "bm25_topk": (q_bm25_topk, ORACLE_BM25_TOPK),
+    "filter_ablation_cube": (q_filter_ablation_cube, ORACLE_FILTER_ABLATION_CUBE),
+    "context_truncation_sweep": (
+        q_context_truncation_sweep, ORACLE_CONTEXT_TRUNCATION_SWEEP,
+    ),
+    "turn_alternation_audit": (
+        q_turn_alternation_audit, ORACLE_TURN_ALTERNATION_AUDIT,
+    ),
+    "signal_rank_correlation": (
+        q_signal_rank_correlation, ORACLE_SIGNAL_RANK_CORRELATION,
+    ),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

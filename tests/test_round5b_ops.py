@@ -1,0 +1,373 @@
+"""Round-5 batch-2 operators on crafted inputs, verified against
+independent Python computations (not just the DuckDB oracles the contract
+suite replays): bm25_topk (lexical retrieval baseline),
+filter_ablation_cube (curation-gate interaction grid),
+context_truncation_sweep / turn_alternation_audit (transcript-side
+context-budget and protocol audits over the synthetic conversation view),
+signal_rank_correlation (Spearman redundancy between quality signals)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pandas as pd
+
+from pdf_extractor_spark.queries import (
+    _BM25_B,
+    _BM25_K1,
+    _CONV_MOD,
+    _CTX_BUDGETS,
+    q_bm25_topk,
+    q_context_truncation_sweep,
+    q_filter_ablation_cube,
+    q_signal_rank_correlation,
+    q_turn_alternation_audit,
+)
+
+_STOPS = {
+    "the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
+    "on", "as", "with", "was", "are",
+}
+
+
+def _toks(text):
+    return [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+
+
+def _write_documents(spark, path, rows):
+    """rows: (doc_id, text, lang, source)."""
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    spark.createDataFrame(
+        pdf, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def _md5int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+# --------------------------------------------------------------- bm25_topk
+
+
+def _bm25_scores(rows, terms=("spark", "scan", "dup")):
+    docs = {i: _toks(t) for i, t, *_ in rows}
+    n = len(docs)
+    total = sum(len(v) for v in docs.values())
+    df = {
+        q: sum(1 for ts in docs.values() if q in ts) for q in terms
+    }
+    out = {}
+    for i, ts in docs.items():
+        s = 0.0
+        matched = 0
+        for q in terms:
+            tf = ts.count(q)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.log((n - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+            s += idf * (tf * (_BM25_K1 + 1.0)) / (
+                tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * len(ts) * n / total)
+            )
+        if matched:
+            out[i] = (round(s, 4), matched)
+    return out
+
+
+def test_bm25_hand_scores_and_ranking(spark, tmp_path):
+    rows = [
+        (0, "spark spark spark scan", "en", "s0"),      # high tf on both
+        (1, "spark filter join merge window", "en", "s0"),
+        (2, "dup dup detection notes", "en", "s0"),     # rare term -> big idf
+        (3, "scan scan scan scan scan scan", "en", "s0"),
+        (4, "nothing relevant here at all", "en", "s0"),
+        (5, "spark scan dup", "en", "s0"),              # all three terms
+        (6, "a much longer document about spark " * 5, "en", "s0"),
+    ]
+    _write_documents(spark, tmp_path, rows)
+    got = {
+        r["doc_id"]: (r["bm25"], r["n_terms_matched"])
+        for r in q_bm25_topk(spark, str(tmp_path)).collect()
+    }
+    exp = _bm25_scores(rows)
+    assert set(got) == set(exp)  # doc 4 matches nothing -> absent
+    for i, (score, matched) in exp.items():
+        assert got[i][1] == matched
+        assert got[i][0] == _approx(score)
+    # rare-term doc outranks the common-term-only doc: idf('dup') >> idf
+    # of near-ubiquitous 'spark'/'scan' in this corpus
+    assert exp[5][0] > exp[1][0]
+
+
+def _approx(x):
+    import pytest
+
+    return pytest.approx(x, abs=1e-9)
+
+
+def test_bm25_length_normalisation_downranks_padding(spark, tmp_path):
+    # identical tf of 'spark', one doc padded 10x longer -> lower score
+    rows = [
+        (0, "spark query", "en", "s0"),
+        (1, "spark query " + "pad word list " * 10, "en", "s0"),
+        (2, "unrelated text body", "en", "s0"),
+    ]
+    _write_documents(spark, tmp_path, rows)
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in q_bm25_topk(spark, str(tmp_path)).collect()
+    }
+    assert got[0] > got[1] > 0.0
+
+
+def test_bm25_plan_is_takeordered_merge(spark, tmp_path):
+    rows = [(i, f"spark doc {i}", "en", "s0") for i in range(30)]
+    _write_documents(spark, tmp_path, rows)
+    df = q_bm25_topk(spark, str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-20 never a full global sort
+
+
+# ---------------------------------------------------- filter_ablation_cube
+
+
+def test_filter_ablation_cube_hand_grid(spark, tmp_path):
+    long_txt = "the quick brown fox jumps over the lazy dog " * 4  # stopword+long
+    rows = [
+        (0, long_txt, "en", "s0"),                       # len yes uniq yes stop yes
+        (1, "short", "en", "s0"),                        # len no  uniq yes stop no
+        (2, "x " * 80, "en", "s0"),                      # len yes(160) uniq no stop no
+        (3, "x " * 80, "en", "s0"),                      # dup of 2
+        (4, "the " + "z " * 60, "en", "s0"),             # len yes uniq yes stop yes
+    ]
+    _write_documents(spark, tmp_path, rows)
+    out = q_filter_ablation_cube(spark, str(tmp_path)).collect()
+    by_key = {
+        (r["len_ok"], r["uniq_ok"], r["stop_ok"]): r for r in out
+    }
+    flags = {
+        0: (True, True, True),
+        1: (False, True, False),
+        2: (True, False, False),
+        3: (True, False, False),
+        4: (True, True, True),
+    }
+    chars = {i: len(t) for i, t, *_ in rows}
+    total_chars = sum(chars.values())
+    # fully-specified cells (gid 0)
+    import collections
+
+    cell = collections.Counter(flags.values())
+    for key, n in cell.items():
+        r = by_key[key]
+        assert r["gid"] == 0
+        assert r["n_docs"] == n
+        exp_chars = sum(chars[i] for i, f in flags.items() if f == key)
+        assert r["n_chars_total"] == exp_chars
+        assert r["doc_share"] == round(n / 5, 4)
+        assert r["char_share"] == round(exp_chars / total_chars, 4)
+    # grand total row: all three dims rolled up -> gid 7
+    grand = by_key[(None, None, None)]
+    assert grand["gid"] == 7
+    assert grand["n_docs"] == 5 and grand["doc_share"] == 1.0
+    # one-dim marginal: len_ok=True rolled over the other two -> gid 3
+    marg = next(
+        r for r in out
+        if r["len_ok"] is True and r["uniq_ok"] is None and r["stop_ok"] is None
+    )
+    assert marg["gid"] == 3
+    assert marg["n_docs"] == 4
+    # cube row count: one row per DISTINCT projected tuple per grouping set
+    exp_rows = 0
+    for gid in range(8):
+        keep = [gid & 4 == 0, gid & 2 == 0, gid & 1 == 0]
+        exp_rows += len({
+            tuple(v if k else None for v, k in zip(f, keep))
+            for f in flags.values()
+        })
+    assert len(out) == exp_rows
+
+
+def test_filter_ablation_cube_single_scan(spark, tmp_path):
+    rows = [(i, f"text body {i} " * 10, "en", "s0") for i in range(20)]
+    _write_documents(spark, tmp_path, rows)
+    df = q_filter_ablation_cube(spark, str(tmp_path))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # flags + totals come from one pass over documents (AQE may reuse the
+    # exchange; there must be no third scan)
+    assert plan.count("Scan parquet") <= 2
+    assert "Expand" in plan  # the CUBE grouping-set expansion
+
+
+# ------------------------------------------------ context_truncation_sweep
+
+
+def _ctx_expected(rows):
+    convs = {}
+    for i, t, *_ in rows:
+        convs.setdefault(i % _CONV_MOD, []).append((i, len(_toks(t))))
+    exp = {}
+    for b in _CTX_BUDGETS:
+        tk = tt = kk = kt = ov = 0
+        for turns in convs.values():
+            turns = sorted(turns)
+            cum = 0
+            tot = sum(n for _, n in turns)
+            tt += len(turns)
+            kt += tot
+            if tot > b:
+                ov += 1
+            for _, n in turns:
+                cum += n
+                if cum <= b:
+                    tk += 1
+                    kk += n
+        exp[b] = dict(
+            n_convs=len(convs), n_overflow=ov, turns_total=tt, turns_kept=tk,
+            tokens_total=kt, tokens_kept=kk,
+            token_keep_share=round(kk / max(kt, 1), 4),
+        )
+    return exp
+
+
+def test_context_truncation_hand_walk(spark, tmp_path):
+    # two conversations (doc_id % 53 in {0, 1}), wildly different sizes
+    rows = []
+    for k in range(4):  # conv 0: doc_ids 0,53,106,159 — 40 tokens/turn
+        rows.append((k * _CONV_MOD, "tok " * 40, "en", "s0"))
+    for k in range(3):  # conv 1: doc_ids 1,54,107 — 10 tokens/turn
+        rows.append((k * _CONV_MOD + 1, "tok " * 10, "en", "s0"))
+    _write_documents(spark, tmp_path, rows)
+    got = {
+        r["budget"]: r.asDict()
+        for r in q_context_truncation_sweep(spark, str(tmp_path)).collect()
+    }
+    exp = _ctx_expected(rows)
+    assert set(got) == set(exp)
+    for b, e in exp.items():
+        for k, v in e.items():
+            assert got[b][k] == v, (b, k, got[b][k], v)
+    # hand-check one cell: budget 64 keeps 1 of conv-0's 40-token turns
+    # (cum 40, 80>64) and all 3 of conv-1's (cum 10,20,30)
+    assert got[64]["turns_kept"] == 1 + 3
+    assert got[64]["tokens_kept"] == 40 + 30
+    assert got[64]["n_overflow"] == 1
+
+
+def test_context_truncation_prefix_policy_drops_tail_only(spark, tmp_path):
+    # a turn that crosses the budget is dropped and so is everything after,
+    # even if a LATER small turn would still fit (strict prefix semantics)
+    rows = [
+        (0, "tok " * 30, "en", "s0"),                  # cum 30 <= 64 kept
+        (_CONV_MOD, "tok " * 50, "en", "s0"),          # cum 80 > 64 dropped
+        (2 * _CONV_MOD, "tok", "en", "s0"),            # cum 81 > 64 dropped
+    ]
+    _write_documents(spark, tmp_path, rows)
+    got = {
+        r["budget"]: r.asDict()
+        for r in q_context_truncation_sweep(spark, str(tmp_path)).collect()
+    }
+    assert got[64]["turns_kept"] == 1
+    assert got[64]["tokens_kept"] == 30
+    assert got[256]["turns_kept"] == 3  # whole conversation fits
+
+
+# ------------------------------------------------- turn_alternation_audit
+
+
+def test_turn_alternation_audit_hand_roles(spark, tmp_path):
+    # conv 0 <- doc_ids 0,53,106,159; roles follow md5int(doc_id) parity
+    ids = [0, 53, 106, 159]
+    roles = [
+        "user" if _md5int(str(i)) % 2 == 0 else "assistant" for i in ids
+    ]
+    rows = [(i, f"turn body {i}", "en", "s0") for i in ids]
+    _write_documents(spark, tmp_path, rows)
+    out = q_turn_alternation_audit(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    same = sum(1 for a, b in zip(roles, roles[1:]) if a == b)
+    assert r["conv"] == 0
+    assert r["n_turns"] == 4 and r["n_pairs"] == 3
+    assert r["n_same_role_pairs"] == same
+    assert r["first_role"] == roles[0] and r["last_role"] == roles[-1]
+    assert r["same_role_rate"] == round(same / 3, 4)
+    assert r["protocol_clean"] == (same == 0 and roles[0] == "user")
+
+
+def test_turn_alternation_single_turn_conv_rate_zero(spark, tmp_path):
+    _write_documents(spark, tmp_path, [(7, "only turn", "en", "s0")])
+    r = q_turn_alternation_audit(spark, str(tmp_path)).collect()[0]
+    assert r["n_turns"] == 1 and r["n_pairs"] == 0
+    assert r["n_same_role_pairs"] == 0 and r["same_role_rate"] == 0.0
+
+
+# ---------------------------------------------- signal_rank_correlation
+
+
+def _avg_ranks(vals):
+    order = sorted(vals)
+    first = {}
+    for idx, v in enumerate(order, start=1):
+        first.setdefault(v, idx)
+    cnt = {v: order.count(v) for v in set(order)}
+    return [first[v] + (cnt[v] - 1) / 2.0 for v in vals]
+
+
+def _spearman(xs, ys):
+    rx, ry = _avg_ranks(xs), _avg_ranks(ys)
+    n = len(rx)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    return (n * sxy - sx * sy) / den if den else 0.0
+
+
+def test_signal_rank_correlation_hand_spearman(spark, tmp_path):
+    rows = [
+        (0, "the the the a of and to in", "en", "s0"),
+        (1, "alpha beta gamma delta", "en", "s0"),
+        (2, "one two two three three three", "en", "s0"),
+        (3, "the data is in the table", "en", "s0"),
+        (4, "zz", "en", "s0"),
+    ]
+    _write_documents(spark, tmp_path, rows)
+    sig = {
+        "n_chars": [len(t) for _, t, *_ in rows],
+        "n_tokens": [len(_toks(t)) for _, t, *_ in rows],
+        "n_distinct": [len(set(_toks(t))) for _, t, *_ in rows],
+        "n_stop": [
+            sum(1 for w in _toks(t) if w in _STOPS) for _, t, *_ in rows
+        ],
+    }
+    got = {
+        (r["signal_a"], r["signal_b"]): r
+        for r in q_signal_rank_correlation(spark, str(tmp_path)).collect()
+    }
+    names = sorted(sig)
+    assert len(got) == 6
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            r = got[(a, b)]
+            rho = _spearman(sig[a], sig[b])
+            assert r["n_docs"] == 5
+            assert r["spearman_rho"] == _approx(round(rho, 4))
+            assert r["redundant"] == (abs(rho) > 0.8)
+
+
+def test_signal_rank_correlation_monotone_pair_is_one(spark, tmp_path):
+    # token count and char count perfectly co-ranked -> rho exactly 1.0
+    rows = [
+        (i, "word " * (i + 1), "en", "s0") for i in range(6)
+    ]
+    _write_documents(spark, tmp_path, rows)
+    got = {
+        (r["signal_a"], r["signal_b"]): r["spearman_rho"]
+        for r in q_signal_rank_correlation(spark, str(tmp_path)).collect()
+    }
+    assert got[("n_chars", "n_tokens")] == 1.0
