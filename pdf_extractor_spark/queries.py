@@ -10779,6 +10779,397 @@ FROM pairs
 """
 
 
+_PMI_MIN_C = 5
+_PMI_TOPK = 20
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information with a
+    min-count floor (Church & Hanks 1990) — the phrase-discovery pass
+    behind multi-word tokenizer entries and stop-phrase lists; the
+    corpus-level companion to `bigram_surprise` (which scores DOCS under
+    the bigram LM, while this ranks the BIGRAMS themselves).  The
+    min-count floor is what keeps PMI from crowning one-off typo pairs
+    (PMI is maximal for c_ab = c_a = c_b = 1).
+
+    Cross-engine determinism: all counts are exact integers; PMI is one
+    fixed-order float expression ln((c_ab/Nb) / ((c_a/Nu)·(c_b/Nu)));
+    ranking is on the ROUNDED value with (tok, nxt) tiebreak.
+
+    Scale shape: the unigram wordcount localCheckpoints ONCE and feeds
+    both PMI joins broadcast (the pure-CTE spelling re-tokenized the
+    corpus per consumer — 5 explode passes, measured 6.6 s vs 1.8 s at
+    sf0.1); bigram totals Nb = Σ max(L−1, 0) and Nu = Σ L come from a
+    map-side per-doc length fold, NOT a second bigram pass; the count
+    floor cuts the bigram table before the vocab joins and the top-20 is
+    a TakeOrdered merge."""
+    toks = _SPARK_TOKENS.format(x="coalesce(text, '')")
+    docs = _t(spark, sf_dir, "documents")
+    uni = (
+        docs.selectExpr(f"explode({toks}) AS tok")
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)  # ONE wordcount, two broadcast consumers
+    )
+    totals = docs.selectExpr(f"cast(size({toks}) as bigint) AS l").agg(
+        F.sum("l").cast("bigint").alias("nu_t"),
+        F.sum(F.expr("CASE WHEN l >= 2 THEN l - 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("nb_t"),
+    )
+    bc = (
+        docs.selectExpr(f"{toks} AS ts")
+        .where("size(ts) >= 2")
+        .selectExpr(
+            "explode(transform(sequence(0, size(ts) - 2),"
+            " i -> struct(ts[i] AS tok, ts[i+1] AS nxt))) AS b"
+        )
+        .selectExpr("b.tok AS tok", "b.nxt AS nxt")
+        .groupBy("tok", "nxt")
+        .agg(F.count("*").cast("bigint").alias("c_bigram"))
+        .where(F.col("c_bigram") >= _PMI_MIN_C)
+    )
+    return (
+        bc.join(F.broadcast(uni.selectExpr("tok", "c AS c_tok")), "tok")
+        .join(F.broadcast(uni.selectExpr("tok AS nxt", "c AS c_nxt")), "nxt")
+        .crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "tok", "nxt", "c_bigram", "c_tok", "c_nxt",
+            "round(ln((c_bigram / cast(nb_t as double))"
+            " / ((c_tok / cast(nu_t as double))"
+            " * (c_nxt / cast(nu_t as double)))), 4) AS pmi",
+        )
+        .orderBy(F.desc("pmi"), "tok", "nxt")
+        .limit(_PMI_TOPK)
+    )
+
+
+ORACLE_PMI_COLLOCATIONS = f"""
+WITH tl AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(x="coalesce(text, '')")} AS ts
+  FROM documents
+), toks AS (
+  SELECT doc_id, u.i AS pos, ts[u.i] AS tok
+  FROM tl, LATERAL unnest(range(1, len(ts)+1)) AS u(i)
+), bg AS (
+  SELECT doc_id, tok,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM toks
+), bigrams AS (
+  SELECT tok, nxt FROM bg WHERE nxt IS NOT NULL
+), uni AS (
+  SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok
+), bc AS (
+  SELECT tok, nxt, count(*)::BIGINT AS c
+  FROM bigrams GROUP BY tok, nxt
+  HAVING count(*) >= {_PMI_MIN_C}
+), nb AS (
+  SELECT count(*)::BIGINT AS t FROM bigrams
+), nu AS (
+  SELECT sum(c)::BIGINT AS t FROM uni
+)
+SELECT bc.tok AS tok, bc.nxt AS nxt, bc.c AS c_bigram,
+       ua.c AS c_tok, ub.c AS c_nxt,
+       round(ln((bc.c / cast(nb.t as double))
+                / ((ua.c / cast(nu.t as double))
+                   * (ub.c / cast(nu.t as double)))), 4) AS pmi
+FROM bc
+JOIN uni ua ON ua.tok = bc.tok
+JOIN uni ub ON ub.tok = bc.nxt
+CROSS JOIN nb CROSS JOIN nu
+ORDER BY pmi DESC, bc.tok, bc.nxt
+LIMIT {_PMI_TOPK}
+"""
+
+_SKEW_PARTS = (4, 8, 16, 32)
+
+
+def q_partition_skew_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-partition balance sweep — the measurement behind the north
+    rule's "partitioning / shuffle / skew handled explicitly": for each
+    candidate partition count P, the per-reducer load (in turn tokens)
+    when conversations are hash-distributed, and the skew ratio
+    max_load / (total/P) that says whether the conv-hash exchange the
+    extraction pipeline shuffles by will straggle at that P.  A ratio
+    near 1 means balanced; >> 1 means hot reducers — raise P, salt
+    (`salted_join`), or let AQE split.  Hashes are md5-derived so both
+    engines (and any cluster size) agree on the assignment.
+
+    Scale shape: ONE scan folds turns into per-conversation token loads
+    (conversation-count-sized); the P-grid cross join and the per-(P,
+    reducer) rollup run over that tiny table — the corpus is never
+    touched again; output is one row per P."""
+    toks = _SPARK_TOKENS.format(x="coalesce(text, '')")
+    h = _SPARK_MD5INT.format(x="cast(conv as string)")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH convs AS (
+          SELECT doc_id % {_CONV_MOD} AS conv,
+                 cast(sum(size({toks})) as bigint) AS load
+          FROM documents
+          GROUP BY doc_id % {_CONV_MOD}
+        ), grid AS (
+          SELECT p FROM VALUES {', '.join(f'({p})' for p in _SKEW_PARTS)}
+            AS g(p)
+        ), assigned AS (
+          SELECT g.p, {h} % g.p AS part, c.load
+          FROM convs c CROSS JOIN grid g
+        ), per_part AS (
+          SELECT p, part, cast(sum(load) as bigint) AS part_load
+          FROM assigned GROUP BY p, part
+        )
+        SELECT cast(p as bigint) AS n_partitions,
+               cast(count(*) as bigint) AS parts_used,
+               cast(sum(part_load) as bigint) AS total_load,
+               cast(max(part_load) as bigint) AS max_load,
+               round(max(part_load)
+                     / (sum(part_load) / cast(p as double)), 4)
+                 AS skew_ratio
+        FROM per_part
+        GROUP BY p
+        """,
+    )
+
+
+ORACLE_PARTITION_SKEW_SWEEP = f"""
+WITH convs AS (
+  SELECT doc_id % {_CONV_MOD} AS conv,
+         sum(len({_DUCK_TOKENS.format(x="coalesce(text, '')")}))::BIGINT
+           AS load
+  FROM documents
+  GROUP BY doc_id % {_CONV_MOD}
+), grid AS (
+  SELECT p FROM (VALUES {', '.join(f'({p})' for p in _SKEW_PARTS)}) g(p)
+), assigned AS (
+  SELECT g.p, {_DUCK_MD5INT.format(x="cast(conv as varchar)")} % g.p AS part,
+         c.load
+  FROM convs c CROSS JOIN grid g
+), per_part AS (
+  SELECT p, part, sum(load)::BIGINT AS part_load
+  FROM assigned GROUP BY p, part
+)
+SELECT p::BIGINT AS n_partitions,
+       count(*)::BIGINT AS parts_used,
+       sum(part_load)::BIGINT AS total_load,
+       max(part_load)::BIGINT AS max_load,
+       round(max(part_load) / (sum(part_load) / p::DOUBLE), 4) AS skew_ratio
+FROM per_part
+GROUP BY p
+"""
+
+_STRIDE_GRID = ((64, 32), (128, 64), (256, 128), (512, 256))
+
+
+def q_window_stride_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window training-example expansion sweep: for each
+    (window W, stride S) candidate, how many windows the corpus yields
+    and the token INFLATION factor (tokens emitted / tokens in — overlap
+    re-emits W−S tokens per extra window), per grid point.  The overlap
+    counterpart to `sequence_pack`'s concat-and-chop (zero overlap,
+    padding waste) and `pack_efficiency`'s budget sweep: together they
+    price the three chunking regimes before a 10^12-turn run commits to
+    one.  Windows: 1 if L ≤ W else 1 + ceil((L−W)/S), last window
+    truncated at the doc end (no padding accounted here — that is
+    pack_efficiency's axis).
+
+    Cross-engine determinism: windows/tokens are exact integer
+    expressions (the one ceil() runs on a ratio of small exact ints);
+    the only float is the final inflation ratio, rounded.
+
+    Scale shape: per-doc token counts fold map-side into the grid fan-out
+    (4 rows per doc BEFORE the aggregate, collapsed by partial
+    aggregation); one corpus scan, one 4-row output."""
+    toks = _SPARK_TOKENS.format(x="coalesce(text, '')")
+    grid_vals = ", ".join(f"({w}, {s})" for w, s in _STRIDE_GRID)
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH dl AS (
+          SELECT doc_id, cast(size({toks}) as bigint) AS l
+          FROM documents
+        ), grid AS (
+          SELECT w, s FROM VALUES {grid_vals} AS g(w, s)
+        ), per AS (
+          SELECT g.w, g.s, d.l,
+                 CASE WHEN d.l <= g.w THEN cast(1 as bigint)
+                      ELSE 1 + cast(ceil((d.l - g.w)
+                                         / cast(g.s as double)) as bigint)
+                 END AS n_win
+          FROM dl d CROSS JOIN grid g
+          WHERE d.l > 0
+        )
+        SELECT cast(w as bigint) AS window, cast(s as bigint) AS stride,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(n_win) as bigint) AS windows_total,
+               cast(sum(l) as bigint) AS tokens_in,
+               cast(sum(w * (n_win - 1)
+                        + least(cast(w as bigint), l - (n_win - 1) * s))
+                    as bigint) AS tokens_out,
+               round(sum(w * (n_win - 1)
+                         + least(cast(w as bigint), l - (n_win - 1) * s))
+                     / cast(sum(l) as double), 4) AS inflation
+        FROM per
+        GROUP BY w, s
+        """,
+    )
+
+
+ORACLE_WINDOW_STRIDE_INFLATION = f"""
+WITH dl AS (
+  SELECT doc_id, len({_DUCK_TOKENS.format(x="coalesce(text, '')")})::BIGINT
+    AS l
+  FROM documents
+), grid AS (
+  SELECT w, s
+  FROM (VALUES {", ".join(f"({w}, {s})" for w, s in _STRIDE_GRID)}) g(w, s)
+), per AS (
+  SELECT g.w, g.s, d.l,
+         CASE WHEN d.l <= g.w THEN 1::BIGINT
+              ELSE 1 + ceil((d.l - g.w) / g.s::DOUBLE)::BIGINT
+         END AS n_win
+  FROM dl d CROSS JOIN grid g
+  WHERE d.l > 0
+)
+SELECT w::BIGINT AS window, s::BIGINT AS stride,
+       count(*)::BIGINT AS n_docs,
+       sum(n_win)::BIGINT AS windows_total,
+       sum(l)::BIGINT AS tokens_in,
+       sum(w * (n_win - 1)
+           + least(w::BIGINT, l - (n_win - 1) * s))::BIGINT AS tokens_out,
+       round(sum(w * (n_win - 1)
+                 + least(w::BIGINT, l - (n_win - 1) * s))
+             / sum(l)::DOUBLE, 4) AS inflation
+FROM per
+GROUP BY w, s
+"""
+
+_BLOOM_GRID = (256, 1024, 4096, 16384)
+
+
+def q_bloom_fpr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured Bloom-filter false-positive rate vs bit budget — the
+    sizing measurement behind `decontaminate_bloom`: members are the
+    digests of every 10th document (the stand-in eval set), the filter
+    uses k=2 md5-derived bit positions, and each non-member digest
+    probes it at four bit budgets m.  Reported next to the textbook
+    (1−e^(−kn/m))^k prediction so the config chooses m from MEASURED
+    collision behaviour, not the formula's independence assumptions
+    (at 10^12 docs, a point of FPR is a 10^10-doc over-removal).
+
+    Cross-engine determinism: positions are 32-bit md5 ints mod m —
+    exact integers; the FP verdict is set membership (count of distinct
+    hit positions = 2); only the two final rates are floats, rounded.
+
+    Scale shape: one scan to distinct digests + their two hash ints
+    (24-byte rows); members fan out to the (m, pos) bit table (set-bit-
+    count-sized, broadcast); probes semi-join it twice via one join on
+    (m, pos) + a distinct-which count — the corpus text never crosses a
+    shuffle, only digests do."""
+    h1 = _SPARK_MD5INT.format(x="d")
+    h2 = _SPARK_MD5INT.format(x="concat(d, '#2')")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH docs AS (
+          SELECT doc_id, md5(coalesce(text, '')) AS d FROM documents
+        ), members AS (
+          SELECT DISTINCT d FROM docs WHERE doc_id % 10 = 0
+        ), probes AS (
+          SELECT DISTINCT d FROM docs
+          WHERE d NOT IN (SELECT d FROM members)
+        ), grid AS (
+          SELECT m FROM VALUES {', '.join(f'({m})' for m in _BLOOM_GRID)}
+            AS g(m)
+        ), mh AS (
+          SELECT d, {h1} AS h1, {h2} AS h2 FROM members
+        ), ph AS (
+          SELECT d, {h1} AS h1, {h2} AS h2 FROM probes
+        ), bits AS (
+          SELECT DISTINCT g.m, pos
+          FROM mh, grid g
+          LATERAL VIEW explode(array(h1 % g.m, h2 % g.m)) AS pos
+        ), probe_pos AS (
+          SELECT g.m, p.d, p.h1 % g.m AS pos, 1 AS which
+          FROM ph p CROSS JOIN grid g
+          UNION ALL
+          SELECT g.m, p.d, p.h2 % g.m AS pos, 2 AS which
+          FROM ph p CROSS JOIN grid g
+        ), hits AS (
+          SELECT pp.m, pp.d, count(DISTINCT pp.which) AS k_hit
+          FROM probe_pos pp JOIN bits ON bits.m = pp.m AND bits.pos = pp.pos
+          GROUP BY pp.m, pp.d
+        ), stats AS (
+          SELECT g.m,
+                 (SELECT cast(count(*) as bigint) FROM members) AS n_members,
+                 (SELECT cast(count(*) as bigint) FROM probes) AS n_probes,
+                 (SELECT cast(count(*) as bigint) FROM bits b
+                  WHERE b.m = g.m) AS n_bits_set,
+                 (SELECT cast(count(*) as bigint) FROM hits h
+                  WHERE h.m = g.m AND h.k_hit = 2) AS n_fp
+          FROM grid g
+        )
+        SELECT cast(m as bigint) AS m_bits, n_members, n_bits_set,
+               n_probes, n_fp,
+               round(n_fp / cast(greatest(n_probes, 1) as double), 4)
+                 AS measured_fpr,
+               round(pow(cast(1.0 as double)
+                         - exp(cast(-2.0 as double) * n_members / m), 2), 4)
+                 AS theoretical_fpr
+        FROM stats
+        """,
+    )
+
+
+ORACLE_BLOOM_FPR_SWEEP = f"""
+WITH docs AS (
+  SELECT doc_id, md5(coalesce(text, '')) AS d FROM documents
+), members AS (
+  SELECT DISTINCT d FROM docs WHERE doc_id % 10 = 0
+), probes AS (
+  SELECT DISTINCT d FROM docs
+  WHERE d NOT IN (SELECT d FROM members)
+), grid AS (
+  SELECT m FROM (VALUES {', '.join(f'({m})' for m in _BLOOM_GRID)}) g(m)
+), mh AS (
+  SELECT d, {_DUCK_MD5INT.format(x='d')} AS h1,
+         {_DUCK_MD5INT.format(x="concat(d, '#2')")} AS h2
+  FROM members
+), ph AS (
+  SELECT d, {_DUCK_MD5INT.format(x='d')} AS h1,
+         {_DUCK_MD5INT.format(x="concat(d, '#2')")} AS h2
+  FROM probes
+), bits AS (
+  SELECT DISTINCT g.m, u.pos
+  FROM mh, grid g, LATERAL unnest([mh.h1 % g.m, mh.h2 % g.m]) AS u(pos)
+), probe_pos AS (
+  SELECT g.m, p.d, p.h1 % g.m AS pos, 1 AS which
+  FROM ph p CROSS JOIN grid g
+  UNION ALL
+  SELECT g.m, p.d, p.h2 % g.m AS pos, 2 AS which
+  FROM ph p CROSS JOIN grid g
+), hits AS (
+  SELECT pp.m, pp.d, count(DISTINCT pp.which) AS k_hit
+  FROM probe_pos pp JOIN bits ON bits.m = pp.m AND bits.pos = pp.pos
+  GROUP BY pp.m, pp.d
+), stats AS (
+  SELECT g.m,
+         (SELECT count(*)::BIGINT FROM members) AS n_members,
+         (SELECT count(*)::BIGINT FROM probes) AS n_probes,
+         (SELECT count(*)::BIGINT FROM bits b WHERE b.m = g.m)
+           AS n_bits_set,
+         (SELECT count(*)::BIGINT FROM hits h
+          WHERE h.m = g.m AND h.k_hit = 2) AS n_fp
+  FROM grid g
+)
+SELECT m::BIGINT AS m_bits, n_members, n_bits_set, n_probes, n_fp,
+       round(n_fp / greatest(n_probes, 1)::DOUBLE, 4) AS measured_fpr,
+       round(pow(1.0::DOUBLE - exp(-2.0::DOUBLE * n_members / m), 2), 4)
+         AS theoretical_fpr
+FROM stats
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10992,6 +11383,14 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "signal_rank_correlation": (
         q_signal_rank_correlation, ORACLE_SIGNAL_RANK_CORRELATION,
     ),
+    "pmi_collocations": (q_pmi_collocations, ORACLE_PMI_COLLOCATIONS),
+    "partition_skew_sweep": (
+        q_partition_skew_sweep, ORACLE_PARTITION_SKEW_SWEEP,
+    ),
+    "window_stride_inflation": (
+        q_window_stride_inflation, ORACLE_WINDOW_STRIDE_INFLATION,
+    ),
+    "bloom_fpr_sweep": (q_bloom_fpr_sweep, ORACLE_BLOOM_FPR_SWEEP),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

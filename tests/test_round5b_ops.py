@@ -4,7 +4,10 @@ suite replays): bm25_topk (lexical retrieval baseline),
 filter_ablation_cube (curation-gate interaction grid),
 context_truncation_sweep / turn_alternation_audit (transcript-side
 context-budget and protocol audits over the synthetic conversation view),
-signal_rank_correlation (Spearman redundancy between quality signals)."""
+signal_rank_correlation (Spearman redundancy between quality signals);
+batch 3: pmi_collocations, partition_skew_sweep, window_stride_inflation,
+bloom_fpr_sweep (phrase mining, shuffle planning, chunking-regime and
+bloom-budget sizing)."""
 
 from __future__ import annotations
 
@@ -19,11 +22,15 @@ from pdf_extractor_spark.queries import (
     _BM25_K1,
     _CONV_MOD,
     _CTX_BUDGETS,
+    q_bloom_fpr_sweep,
     q_bm25_topk,
     q_context_truncation_sweep,
     q_filter_ablation_cube,
+    q_partition_skew_sweep,
+    q_pmi_collocations,
     q_signal_rank_correlation,
     q_turn_alternation_audit,
+    q_window_stride_inflation,
 )
 
 _STOPS = {
@@ -371,3 +378,165 @@ def test_signal_rank_correlation_monotone_pair_is_one(spark, tmp_path):
         for r in q_signal_rank_correlation(spark, str(tmp_path)).collect()
     }
     assert got[("n_chars", "n_tokens")] == 1.0
+
+
+# ------------------------------------------------------- pmi_collocations
+
+
+def test_pmi_collocations_hand_pmi(spark, tmp_path):
+    # "new york" always together (6x); filler tokens keep them rare overall
+    rows = [
+        (i, "new york " + f"filler{i} common word list body", "en", "s0")
+        for i in range(6)
+    ]
+    _write_documents(spark, tmp_path, rows)
+    out = q_pmi_collocations(spark, str(tmp_path)).collect()
+    toks_all = [_toks(t) for _, t, *_ in rows]
+    nu = sum(len(ts) for ts in toks_all)
+    nb = sum(len(ts) - 1 for ts in toks_all)
+    uni = {}
+    for ts in toks_all:
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+    big = {}
+    for ts in toks_all:
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    exp = {}
+    for (a, b), c in big.items():
+        if c >= 5:
+            pmi = math.log((c / nb) / ((uni[a] / nu) * (uni[b] / nu)))
+            exp[(a, b)] = (c, uni[a], uni[b], round(pmi, 4))
+    got = {(r["tok"], r["nxt"]): (r["c_bigram"], r["c_tok"], r["c_nxt"], r["pmi"])
+           for r in out}
+    assert got == exp
+    # the glued pair sits at the maximal PMI (other always-glued pairs tie)
+    assert got[("new", "york")][3] == max(v[3] for v in got.values())
+
+
+def test_pmi_min_count_floor_drops_rare_pairs(spark, tmp_path):
+    # "rare pair" appears 4x (< floor), "hot pair" 5x -> only hot survives
+    rows = [(i, "hot pair tail" + str(i), "en", "s0") for i in range(5)]
+    rows += [(10 + i, "rare pair2 tail" + str(i), "en", "s0") for i in range(4)]
+    _write_documents(spark, tmp_path, rows)
+    got = {(r["tok"], r["nxt"]) for r in
+           q_pmi_collocations(spark, str(tmp_path)).collect()}
+    assert ("hot", "pair") in got
+    assert all(a != "rare" for a, _ in got)
+
+
+# --------------------------------------------------- partition_skew_sweep
+
+
+def test_partition_skew_sweep_hand_assignment(spark, tmp_path):
+    # three conversations with loads 40, 10, 5 tokens
+    rows = (
+        [(k * _CONV_MOD, "t " * 10, "en", "s0") for k in range(4)]
+        + [(k * _CONV_MOD + 1, "t " * 5, "en", "s0") for k in range(2)]
+        + [(2, "t " * 5, "en", "s0")]
+    )
+    _write_documents(spark, tmp_path, rows)
+    loads = {0: 40, 1: 10, 2: 5}
+    got = {r["n_partitions"]: r.asDict()
+           for r in q_partition_skew_sweep(spark, str(tmp_path)).collect()}
+    from pdf_extractor_spark.queries import _SKEW_PARTS
+
+    for p in _SKEW_PARTS:
+        per = {}
+        for conv, load in loads.items():
+            part = _md5int(str(conv)) % p
+            per[part] = per.get(part, 0) + load
+        r = got[p]
+        assert r["parts_used"] == len(per)
+        assert r["total_load"] == 55
+        assert r["max_load"] == max(per.values())
+        assert r["skew_ratio"] == round(max(per.values()) / (55 / p), 4)
+
+
+def test_partition_skew_single_hot_conv_ratio_is_p(spark, tmp_path):
+    # one conversation only: max_load == total -> skew ratio == P exactly
+    rows = [(k * _CONV_MOD, "tok " * 8, "en", "s0") for k in range(3)]
+    _write_documents(spark, tmp_path, rows)
+    for r in q_partition_skew_sweep(spark, str(tmp_path)).collect():
+        assert r["parts_used"] == 1
+        assert r["skew_ratio"] == float(r["n_partitions"])
+
+
+# ------------------------------------------------ window_stride_inflation
+
+
+def test_window_stride_hand_window_math(spark, tmp_path):
+    rows = [
+        (0, "t " * 10, "en", "s0"),    # L=10: 1 window everywhere
+        (1, "t " * 100, "en", "s0"),   # L=100
+        (2, "", "en", "s0"),           # L=0: excluded
+    ]
+    _write_documents(spark, tmp_path, rows)
+    got = {(r["window"], r["stride"]): r.asDict()
+           for r in q_window_stride_inflation(spark, str(tmp_path)).collect()}
+    # (64, 32): doc1 -> n = 1 + ceil(36/32) = 3 windows,
+    # tokens_out = 64*2 + min(64, 100-64) = 164; doc0 -> 1 window, 10 tokens
+    r = got[(64, 32)]
+    assert r["n_docs"] == 2
+    assert r["windows_total"] == 1 + 3
+    assert r["tokens_in"] == 110
+    assert r["tokens_out"] == 10 + 164
+    assert r["inflation"] == round(174 / 110, 4)
+    # (128, 64): both docs fit in one window -> no inflation
+    r = got[(128, 64)]
+    assert r["windows_total"] == 2
+    assert r["tokens_out"] == 110 and r["inflation"] == 1.0
+
+
+def test_window_stride_exact_boundary_single_window(spark, tmp_path):
+    # L == W exactly -> 1 window, zero inflation
+    rows = [(0, "t " * 64, "en", "s0")]
+    _write_documents(spark, tmp_path, rows)
+    got = {(r["window"], r["stride"]): r.asDict()
+           for r in q_window_stride_inflation(spark, str(tmp_path)).collect()}
+    assert got[(64, 32)]["windows_total"] == 1
+    assert got[(64, 32)]["tokens_out"] == 64
+
+
+# --------------------------------------------------------- bloom_fpr_sweep
+
+
+def test_bloom_fpr_matches_python_bloom(spark, tmp_path):
+    rows = [(i, f"document body number {i}", "en", "s0") for i in range(40)]
+    _write_documents(spark, tmp_path, rows)
+    digests = {i: hashlib.md5(t.encode()).hexdigest() for i, t, *_ in rows}
+    members = {d for i, d in digests.items() if i % 10 == 0}
+    probes = {d for d in digests.values() if d not in members}
+    got = {r["m_bits"]: r.asDict()
+           for r in q_bloom_fpr_sweep(spark, str(tmp_path)).collect()}
+    from pdf_extractor_spark.queries import _BLOOM_GRID
+
+    for m in _BLOOM_GRID:
+        bits = set()
+        for d in members:
+            bits.add(_md5int(d) % m)
+            bits.add(_md5int(d + "#2") % m)
+        fp = sum(
+            1 for d in probes
+            if _md5int(d) % m in bits and _md5int(d + "#2") % m in bits
+        )
+        r = got[m]
+        assert r["n_members"] == len(members)
+        assert r["n_probes"] == len(probes)
+        assert r["n_bits_set"] == len(bits)
+        assert r["n_fp"] == fp
+        assert r["measured_fpr"] == round(fp / len(probes), 4)
+        theo = (1.0 - math.exp(-2.0 * len(members) / m)) ** 2
+        assert r["theoretical_fpr"] == _approx(round(theo, 4))
+
+
+def test_bloom_fpr_shrinks_with_bits(spark, tmp_path):
+    # tiny filter saturates (high fpr); big filter nearly clean
+    rows = [(i, f"text {i} " * 3, "en", "s0") for i in range(60)]
+    _write_documents(spark, tmp_path, rows)
+    got = sorted(
+        (r["m_bits"], r["measured_fpr"])
+        for r in q_bloom_fpr_sweep(spark, str(tmp_path)).collect()
+    )
+    fprs = [f for _, f in got]
+    assert fprs[0] >= fprs[-1]  # monotone-ish: more bits never worse here
