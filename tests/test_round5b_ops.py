@@ -540,3 +540,175 @@ def test_bloom_fpr_shrinks_with_bits(spark, tmp_path):
     )
     fprs = [f for _, f in got]
     assert fprs[0] >= fprs[-1]  # monotone-ish: more bits never worse here
+
+
+# -------------------------------------------------------- session_gap_sweep
+
+
+def _write_events(spark, path, rows):
+    """rows: (event_id, ts_iso, user_id, event_type, value)."""
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf["props"] = "{}"
+    spark.createDataFrame(
+        pdf,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_session_gap_sweep_hand_gaps(spark, tmp_path):
+    from pdf_extractor_spark.queries import _GAP_GRID, q_session_gap_sweep
+
+    # user 1 gaps: 120s, 2000s; user 2 gaps: 30s; user 3: single event
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "a", 1.0),
+        (2, "2024-01-01 10:02:00", 1, "a", 1.0),
+        (3, "2024-01-01 10:35:20", 1, "a", 1.0),
+        (4, "2024-01-01 09:00:00", 2, "b", 1.0),
+        (5, "2024-01-01 09:00:30", 2, "b", 1.0),
+        (6, "2024-01-01 08:00:00", 3, "c", 1.0),
+    ]
+    _write_events(spark, tmp_path, rows)
+    gaps = [120, 2000, 30]
+    got = {r["threshold_s"]: r.asDict()
+           for r in q_session_gap_sweep(spark, str(tmp_path)).collect()}
+    for t in _GAP_GRID:
+        over = sum(1 for g in gaps if g > t)
+        r = got[t]
+        assert r["n_gaps"] == 3
+        assert r["gaps_over"] == over
+        assert r["n_sessions"] == 3 + over
+        assert r["sessions_per_user"] == round((3 + over) / 3, 4)
+        assert r["share_gaps_broken"] == round(over / 3, 4)
+
+
+def test_session_gap_monotone_in_threshold(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_session_gap_sweep
+
+    rows = [
+        (i, f"2024-01-01 10:{i:02d}:00", 1, "a", 1.0) for i in range(30)
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = sorted(
+        (r["threshold_s"], r["n_sessions"])
+        for r in q_session_gap_sweep(spark, str(tmp_path)).collect()
+    )
+    ns = [n for _, n in out]
+    assert ns == sorted(ns, reverse=True)  # bigger gap -> fewer sessions
+
+
+# ----------------------------------------------------- file_compaction_plan
+
+
+def test_file_compaction_hand_math(spark, tmp_path):
+    from pdf_extractor_spark.queries import (
+        _COMPACT_TARGETS, q_file_compaction_plan,
+    )
+
+    # source sizes: s0 = 10000 chars, s1 = 3000 chars
+    rows = [(0, "x" * 10000, "en", "s0"), (1, "y" * 3000, "en", "s1")]
+    _write_documents(spark, tmp_path, rows)
+    got = {r["target_bytes"]: r.asDict()
+           for r in q_file_compaction_plan(spark, str(tmp_path)).collect()}
+    for t in _COMPACT_TARGETS:
+        sizes = {"s0": 10000, "s1": 3000}
+        files = {s: -(-b // t) for s, b in sizes.items()}  # ceil
+        r = got[t]
+        assert r["n_sources"] == 2
+        assert r["total_bytes"] == 13000
+        assert r["files_total"] == sum(files.values())
+        assert r["avg_fill"] == round(13000 / (sum(files.values()) * t), 4)
+        assert r["n_small_sources"] == sum(
+            1 for b in sizes.values() if 2 * b < t
+        )
+    # sanity of the sweep's story: small targets fragment, big ones strand
+    assert got[4096]["files_total"] > got[262144]["files_total"]
+    assert got[262144]["n_small_sources"] == 2
+
+
+# --------------------------------------------------------- loss_mask_stats
+
+
+def test_loss_mask_stats_hand_roles(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_loss_mask_stats
+
+    ids = [0, 53, 106, 159]
+    rows = [(i, "tok " * (5 * (k + 1)), "en", "s0")
+            for k, i in enumerate(ids)]
+    _write_documents(spark, tmp_path, rows)
+    toks = {i: 5 * (k + 1) for k, i in enumerate(ids)}
+    assistant = {i for i in ids if _md5int(str(i)) % 2 == 1}
+    total = sum(toks.values())
+    a_tok = sum(toks[i] for i in assistant)
+    r = q_loss_mask_stats(spark, str(tmp_path)).collect()[0]
+    assert r["conv"] == 0 and r["n_turns"] == 4
+    assert r["tokens_total"] == total
+    assert r["tokens_assistant"] == a_tok
+    assert r["assistant_share"] == round(a_tok / total, 4)
+    assert r["balanced"] == (0.2 * total <= a_tok <= 0.8 * total)
+
+
+def test_loss_mask_all_user_conv_unbalanced(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_loss_mask_stats
+
+    # find doc_ids in conv 0 whose md5 parity is 'user' (even)
+    ids = [k * _CONV_MOD for k in range(40)
+           if _md5int(str(k * _CONV_MOD)) % 2 == 0][:3]
+    assert len(ids) == 3
+    rows = [(i, "tok tok tok", "en", "s0") for i in ids]
+    _write_documents(spark, tmp_path, rows)
+    r = q_loss_mask_stats(spark, str(tmp_path)).collect()[0]
+    assert r["tokens_assistant"] == 0
+    assert r["assistant_share"] == 0.0 and r["balanced"] is False
+
+
+# ------------------------------------------- positional_stopword_profile
+
+
+def test_positional_stopword_hand_counts(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_positional_stopword_profile
+
+    # 20 tokens -> head = first 2; stopwords 'the' at positions 1, 2 and
+    # 'of' mid-body
+    txt = "the the body word list " + "word " * 10 + "of tail body word end"
+    rows = [(0, txt, "en", "boiler")]
+    _write_documents(spark, tmp_path, rows)
+    ts = _toks(txt)
+    head_n = -(-len(ts) // 10)
+    head = ts[:head_n]
+    body = ts[head_n:]
+    r = q_positional_stopword_profile(spark, str(tmp_path)).collect()[0]
+    assert r["head_tokens"] == len(head)
+    assert r["head_stopwords"] == sum(1 for t in head if t in _STOPS)
+    assert r["body_tokens"] == len(body)
+    assert r["body_stopwords"] == sum(1 for t in body if t in _STOPS)
+    exp = round(
+        sum(1 for t in head if t in _STOPS) / max(len(head), 1)
+        - sum(1 for t in body if t in _STOPS) / max(len(body), 1), 4,
+    )
+    assert r["head_excess"] == exp
+    assert r["head_excess"] > 0  # boilerplate head flagged
+
+
+def test_positional_stopword_integer_sums_not_ratio_avg(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_positional_stopword_profile
+
+    # two docs, very different lengths: corpus-level pooled rates, NOT the
+    # mean of per-doc ratios (pooled weights the long doc more)
+    rows = [
+        (0, "the of and to in is it that for on as with was are the "
+            "word " * 1, "en", "s0"),
+        (1, "plain words only here " * 50, "en", "s0"),
+    ]
+    _write_documents(spark, tmp_path, rows)
+    r = q_positional_stopword_profile(spark, str(tmp_path)).collect()[0]
+    ts0, ts1 = (_toks(t) for _, t, *_ in rows)
+    h0, h1 = -(-len(ts0) // 10), -(-len(ts1) // 10)
+    head = ts0[:h0] + ts1[:h1]
+    body = ts0[h0:] + ts1[h1:]
+    assert r["head_tokens"] == len(head)
+    assert r["head_stopwords"] == sum(1 for t in head if t in _STOPS)
+    assert r["body_stopwords"] == sum(1 for t in body if t in _STOPS)
