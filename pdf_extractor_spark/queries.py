@@ -11462,6 +11462,187 @@ GROUP BY source
 """
 
 
+def q_extraction_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation QA rollup of the CORE extraction pipeline — the
+    counters the north rule requires (turns in/out, bytes parsed, parse
+    failures) as a driver-checked catalog query rather than only sink
+    metadata: turn counts, parse-failure and XSS-rejection flags, bytes
+    in vs chars out, and the parse-ok rate, one row per conversation.
+    The oracle reads the byte-pinned stage-1 golden parquet and
+    aggregates it in DuckDB, so this cross-checks the LIVE pipeline
+    (pandas-UDF layout parse included) against the frozen goldens on
+    every driver round — per-turn text equality's aggregate shadow.
+
+    Scale shape: everything after the stage-1 UDF is one groupBy on
+    conv_id — the partitioning the extraction shuffle already
+    established; output is conversation-sized."""
+    from .operators.extract import extract_turns
+    from .sources.transcripts import transcripts_spark_df
+
+    tx = transcripts_spark_df(spark, _PIPELINE_CONVS, seed=42, skew_every=20)
+    et = extract_turns(tx)
+    return et.groupBy("conv_id").agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        F.sum(F.when(~F.col("parse_ok"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("parse_failures"),
+        F.max(F.col("rejected_xss")).alias("any_rejected"),
+        F.sum("struct_warn").cast("bigint").alias("struct_warnings"),
+        F.sum("bytes_in").cast("bigint").alias("bytes_in"),
+        F.sum("char_count").cast("bigint").alias("chars_out"),
+        F.round(
+            F.sum(F.when(F.col("parse_ok"), 1).otherwise(0))
+            / F.greatest(F.count("*"), F.lit(1)).cast("double"),
+            4,
+        ).alias("parse_ok_rate"),
+    )
+
+
+ORACLE_EXTRACTION_QUALITY_REPORT = f"""
+SELECT conv_id,
+       count(*)::BIGINT AS n_turns,
+       sum(CASE WHEN NOT parse_ok THEN 1 ELSE 0 END)::BIGINT
+         AS parse_failures,
+       max(rejected_xss) AS any_rejected,
+       sum(struct_warn)::BIGINT AS struct_warnings,
+       sum(bytes_in)::BIGINT AS bytes_in,
+       sum(char_count)::BIGINT AS chars_out,
+       round(sum(CASE WHEN parse_ok THEN 1 ELSE 0 END)
+             / greatest(count(*), 1)::DOUBLE, 4) AS parse_ok_rate
+FROM read_parquet('{os.path.join(_GOLDEN_PIPELINE_DIR, "extract_turns.parquet")}')
+GROUP BY conv_id
+"""
+
+
+_HEAVY_CHANGE_TOPK = 20
+
+
+def q_token_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-CHANGE detection at token granularity: the top-20 vocabulary
+    movers between the corpus's first 80% and the newest 20% (doc_id
+    cut), ranked by |share delta| — `unigram_drift` says THAT content
+    moved, this says WHICH tokens moved (a spam word surging, a template
+    phrase vanishing).  The batch spelling of the sketch literature's
+    heavy-change problem (Cormode & Muthukrishnan's deltoids), exact
+    here; at stream scale the same contract runs over two `cms_heavy_
+    hitters` sketches.
+
+    Cross-engine determinism: both halves' counts come from INTEGER
+    conditional sums in ONE wordcount pass; shares are fixed-order
+    divisions rounded to 6dp before ranking, tie-broken by token.
+
+    Scale shape: one explode + one token-keyed shuffle (conditional
+    partial aggregates fold map-side); totals are a one-row broadcast;
+    the top-20 is a TakeOrdered merge."""
+    toks = _SPARK_TOKENS.format(x="coalesce(text, '')")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH cut AS (
+          SELECT cast(floor(max(doc_id) * 0.8) as bigint) AS c
+          FROM documents
+        ), counts AS (
+          SELECT tok,
+                 cast(sum(CASE WHEN doc_id < c THEN 1 ELSE 0 END) as bigint)
+                   AS c_old,
+                 cast(sum(CASE WHEN doc_id >= c THEN 1 ELSE 0 END) as bigint)
+                   AS c_new
+          FROM (SELECT doc_id, explode({toks}) AS tok FROM documents)
+          CROSS JOIN cut
+          GROUP BY tok
+        ), tot AS (
+          SELECT cast(sum(c_old) as bigint) AS t_old,
+                 cast(sum(c_new) as bigint) AS t_new
+          FROM counts
+        )
+        SELECT tok, c_old, c_new,
+               round(c_new / cast(greatest(t_new, 1) as double)
+                   - c_old / cast(greatest(t_old, 1) as double), 6)
+                 AS share_delta,
+               round(abs(c_new / cast(greatest(t_new, 1) as double)
+                       - c_old / cast(greatest(t_old, 1) as double)), 6)
+                 AS abs_delta
+        FROM counts CROSS JOIN tot
+        ORDER BY abs_delta DESC, tok
+        LIMIT {_HEAVY_CHANGE_TOPK}
+        """,
+    )
+
+
+ORACLE_TOKEN_HEAVY_CHANGE = f"""
+WITH cut AS (
+  SELECT floor(max(doc_id) * 0.8)::BIGINT AS c FROM documents
+), counts AS (
+  SELECT tok,
+         sum(CASE WHEN doc_id < c THEN 1 ELSE 0 END)::BIGINT AS c_old,
+         sum(CASE WHEN doc_id >= c THEN 1 ELSE 0 END)::BIGINT AS c_new
+  FROM (SELECT doc_id, unnest({_DUCK_TOKENS.format(x="coalesce(text, '')")})
+          AS tok
+        FROM documents)
+  CROSS JOIN cut
+  GROUP BY tok
+), tot AS (
+  SELECT sum(c_old)::BIGINT AS t_old, sum(c_new)::BIGINT AS t_new
+  FROM counts
+)
+SELECT tok, c_old, c_new,
+       round(c_new / greatest(t_new, 1)::DOUBLE
+           - c_old / greatest(t_old, 1)::DOUBLE, 6) AS share_delta,
+       round(abs(c_new / greatest(t_new, 1)::DOUBLE
+               - c_old / greatest(t_old, 1)::DOUBLE), 6) AS abs_delta
+FROM counts CROSS JOIN tot
+ORDER BY abs_delta DESC, tok
+LIMIT {_HEAVY_CHANGE_TOPK}
+"""
+
+
+def q_conv_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-depth telemetry over the synthetic conversation view:
+    how many conversations have exactly N turns, with the cumulative
+    share — the distribution that sizes the stateful assembler's buffers
+    and decides whether long-conversation salting (`skew_every`) is
+    worth its shuffle.  A heavy right tail here is exactly the skew the
+    north rule requires handling explicitly.
+
+    Scale shape: two count-sized aggregations (turns→convs, convs→depth
+    histogram) then a window over the |depths|-sized table; the RANGE
+    cumulative never touches corpus-sized data."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH convs AS (
+          SELECT doc_id % {_CONV_MOD} AS conv,
+                 cast(count(*) as bigint) AS n_turns
+          FROM documents GROUP BY doc_id % {_CONV_MOD}
+        ), hist AS (
+          SELECT n_turns, cast(count(*) as bigint) AS n_convs
+          FROM convs GROUP BY n_turns
+        )
+        SELECT n_turns, n_convs,
+               round(sum(n_convs) OVER (ORDER BY n_turns
+                                        RANGE UNBOUNDED PRECEDING)
+                     / cast(sum(n_convs) OVER () as double), 4)
+                 AS cum_share
+        FROM hist
+        """,
+    )
+
+
+ORACLE_CONV_DEPTH_HISTOGRAM = f"""
+WITH convs AS (
+  SELECT doc_id % {_CONV_MOD} AS conv, count(*)::BIGINT AS n_turns
+  FROM documents GROUP BY doc_id % {_CONV_MOD}
+), hist AS (
+  SELECT n_turns, count(*)::BIGINT AS n_convs
+  FROM convs GROUP BY n_turns
+)
+SELECT n_turns, n_convs,
+       round(sum(n_convs) OVER (ORDER BY n_turns RANGE UNBOUNDED PRECEDING)
+             / (sum(n_convs) OVER ())::DOUBLE, 4) AS cum_share
+FROM hist
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -11690,6 +11871,13 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "loss_mask_stats": (q_loss_mask_stats, ORACLE_LOSS_MASK_STATS),
     "positional_stopword_profile": (
         q_positional_stopword_profile, ORACLE_POSITIONAL_STOPWORD_PROFILE,
+    ),
+    "extraction_quality_report": (
+        q_extraction_quality_report, ORACLE_EXTRACTION_QUALITY_REPORT,
+    ),
+    "token_heavy_change": (q_token_heavy_change, ORACLE_TOKEN_HEAVY_CHANGE),
+    "conv_depth_histogram": (
+        q_conv_depth_histogram, ORACLE_CONV_DEPTH_HISTOGRAM,
     ),
 }
 

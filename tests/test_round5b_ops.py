@@ -712,3 +712,89 @@ def test_positional_stopword_integer_sums_not_ratio_avg(spark, tmp_path):
     assert r["head_tokens"] == len(head)
     assert r["head_stopwords"] == sum(1 for t in head if t in _STOPS)
     assert r["body_stopwords"] == sum(1 for t in body if t in _STOPS)
+
+
+# --------------------------------------------- extraction_quality_report
+
+
+def test_extraction_quality_report_matches_golden_pandas(spark):
+    """Aggregate the byte-pinned stage-1 golden in PANDAS (third engine,
+    independent of both Spark and the DuckDB oracle) and compare."""
+    from pdf_extractor_spark.queries import (
+        _GOLDEN_PIPELINE_DIR, q_extraction_quality_report,
+    )
+    import os
+
+    g = pd.read_parquet(
+        os.path.join(_GOLDEN_PIPELINE_DIR, "extract_turns.parquet")
+    )
+    exp = g.groupby("conv_id").apply(
+        lambda d: pd.Series({
+            "n_turns": len(d),
+            "parse_failures": int((~d.parse_ok).sum()),
+            "any_rejected": bool(d.rejected_xss.max()),
+            "struct_warnings": int(d.struct_warn.sum()),
+            "bytes_in": int(d.bytes_in.sum()),
+            "chars_out": int(d.char_count.sum()),
+            "parse_ok_rate": round(d.parse_ok.sum() / max(len(d), 1), 4),
+        }),
+        include_groups=False,
+    )
+    got = {r["conv_id"]: r.asDict()
+           for r in q_extraction_quality_report(spark, "").collect()}
+    assert set(got) == set(exp.index)
+    for conv, e in exp.iterrows():
+        r = got[conv]
+        for k in ("n_turns", "parse_failures", "struct_warnings",
+                  "bytes_in", "chars_out"):
+            assert r[k] == e[k], (conv, k, r[k], e[k])
+        assert r["any_rejected"] == e["any_rejected"]
+        assert r["parse_ok_rate"] == _approx(e["parse_ok_rate"])
+    # the seeded XSS conversations are flagged, clean ones are not
+    assert any(r["any_rejected"] for r in got.values())
+    assert any(not r["any_rejected"] for r in got.values())
+
+
+# ------------------------------------------------------ token_heavy_change
+
+
+def test_token_heavy_change_hand_shift(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_token_heavy_change
+
+    # doc_ids 0..9, cut = floor(9*0.8) = 7 -> old: 0-6, new: 7-9.
+    # 'stable' everywhere; 'legacy' only old; 'surge' only new.
+    rows = [(i, "stable legacy filler", "en", "s0") for i in range(7)]
+    rows += [(i, "stable surge surge", "en", "s0") for i in range(7, 10)]
+    _write_documents(spark, tmp_path, rows)
+    old = [t for i, txt, *_ in rows if i < 7 for t in _toks(txt)]
+    new = [t for i, txt, *_ in rows if i >= 7 for t in _toks(txt)]
+    got = {r["tok"]: r.asDict()
+           for r in q_token_heavy_change(spark, str(tmp_path)).collect()}
+    for tok in {"stable", "legacy", "filler", "surge"}:
+        co, cn = old.count(tok), new.count(tok)
+        delta = round(cn / len(new) - co / len(old), 6)
+        r = got[tok]
+        assert (r["c_old"], r["c_new"]) == (co, cn)
+        assert r["share_delta"] == _approx(delta)
+        assert r["abs_delta"] == _approx(abs(delta))
+    # surge is the top mover (2/9 new share from zero)
+    top = max(got.values(), key=lambda r: r["abs_delta"])
+    assert top["tok"] == "surge"
+
+
+# --------------------------------------------------- conv_depth_histogram
+
+
+def test_conv_depth_histogram_hand_depths(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_conv_depth_histogram
+
+    # conv 0: 3 turns, conv 1: 3 turns, conv 2: 1 turn
+    rows = (
+        [(k * _CONV_MOD, "a", "en", "s0") for k in range(3)]
+        + [(k * _CONV_MOD + 1, "a", "en", "s0") for k in range(3)]
+        + [(2, "a", "en", "s0")]
+    )
+    _write_documents(spark, tmp_path, rows)
+    got = {r["n_turns"]: (r["n_convs"], r["cum_share"])
+           for r in q_conv_depth_histogram(spark, str(tmp_path)).collect()}
+    assert got == {1: (1, round(1 / 3, 4)), 3: (2, 1.0)}
