@@ -11643,6 +11643,206 @@ FROM hist
 """
 
 
+def q_code_share_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose mix per source — the training-mix axis every LLM
+    data recipe reports (code share): a document is CODE-shaped when its
+    structural-punctuation density (';', '{', '}', '(') reaches 5% of
+    characters — the cheap symbol-density heuristic that needs no
+    parser.  Per source: docs, code docs, code share and the char-
+    weighted share (one 10-KLOC file outweighs ten comments).
+
+    Cross-engine determinism: marker counts are length-difference
+    integers (len(x) − len(replace(x, m, ''))); the 5% gate is the
+    integer comparison markers·20 ≥ n_chars; only the two final shares
+    are floats, rounded.
+
+    Scale shape: per-row integer folds (replace/length — whole-stage
+    codegen, no regex engine), one groupBy(source), |sources| rows."""
+    mark = (
+        "(length(t) - length(replace(t, ';', '')))"
+        " + (length(t) - length(replace(t, '{', '')))"
+        " + (length(t) - length(replace(t, '}', '')))"
+        " + (length(t) - length(replace(t, '(', '')))"
+    )
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH flagged AS (
+          SELECT source, cast(coalesce(n_chars, 0) as bigint) AS nc,
+                 ({mark}) * 20 >= greatest(coalesce(n_chars, 0), 1)
+                   AS is_code
+          FROM (SELECT source, n_chars, coalesce(text, '') AS t
+                FROM documents)
+        )
+        SELECT source,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(CASE WHEN is_code THEN 1 ELSE 0 END) as bigint)
+                 AS n_code_docs,
+               round(sum(CASE WHEN is_code THEN 1 ELSE 0 END)
+                     / cast(greatest(count(*), 1) as double), 4)
+                 AS code_doc_share,
+               round(sum(CASE WHEN is_code THEN nc ELSE 0 END)
+                     / cast(greatest(sum(nc), 1) as double), 4)
+                 AS code_char_share
+        FROM flagged
+        GROUP BY source
+        """,
+    )
+
+
+ORACLE_CODE_SHARE_PROFILE = """
+WITH flagged AS (
+  SELECT source, coalesce(n_chars, 0)::BIGINT AS nc,
+         ((length(t) - length(replace(t, ';', '')))
+          + (length(t) - length(replace(t, '{', '')))
+          + (length(t) - length(replace(t, '}', '')))
+          + (length(t) - length(replace(t, '(', '')))) * 20
+           >= greatest(coalesce(n_chars, 0), 1) AS is_code
+  FROM (SELECT source, n_chars, coalesce(text, '') AS t FROM documents)
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN is_code THEN 1 ELSE 0 END)::BIGINT AS n_code_docs,
+       round(sum(CASE WHEN is_code THEN 1 ELSE 0 END)
+             / greatest(count(*), 1)::DOUBLE, 4) AS code_doc_share,
+       round(sum(CASE WHEN is_code THEN nc ELSE 0 END)
+             / greatest(sum(nc), 1)::DOUBLE, 4) AS code_char_share
+FROM flagged
+GROUP BY source
+"""
+
+
+def q_markdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown-structure census per source: ATX headers ('# '), fenced
+    code blocks (``` triples, i.e. fences/2 complete blocks rounded
+    down), and inline links ('](') — the arrival-format telemetry that
+    decides whether a source needs the markdown-aware extraction path
+    (headers become `header_shape` blocks, fences must NOT be
+    whitespace-normalized) before it hits the generic pipeline.
+
+    Cross-engine determinism: every count is a length-difference integer
+    divided by its marker length (exactly divisible by construction);
+    no regex, no floats except the final doc share.
+
+    Scale shape: per-row integer folds in whole-stage codegen, one
+    groupBy(source), |sources| rows."""
+    occ = "cast((length(t) - length(replace(t, '{m}', ''))) / {n} as bigint)"
+    h = occ.format(m="# ", n=2)
+    f = occ.format(m="```", n=3)
+    k = occ.format(m="](", n=2)
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH counted AS (
+          SELECT source,
+                 {h} AS n_headers,
+                 {f} AS n_fences,
+                 {k} AS n_links
+          FROM (SELECT source, coalesce(text, '') AS t FROM documents)
+        )
+        SELECT source,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(n_headers) as bigint) AS headers_total,
+               cast(sum(n_fences div 2) as bigint)
+                 AS fenced_blocks_total,
+               cast(sum(n_links) as bigint) AS links_total,
+               cast(sum(CASE WHEN n_headers + n_fences + n_links > 0
+                             THEN 1 ELSE 0 END) as bigint) AS n_md_docs,
+               round(sum(CASE WHEN n_headers + n_fences + n_links > 0
+                              THEN 1 ELSE 0 END)
+                     / cast(greatest(count(*), 1) as double), 4)
+                 AS md_doc_share
+        FROM counted
+        GROUP BY source
+        """,
+    )
+
+
+ORACLE_MARKDOWN_STATS = """
+WITH counted AS (
+  SELECT source,
+         ((length(t) - length(replace(t, '# ', ''))) / 2)::BIGINT
+           AS n_headers,
+         ((length(t) - length(replace(t, '```', ''))) / 3)::BIGINT
+           AS n_fences,
+         ((length(t) - length(replace(t, '](', ''))) / 2)::BIGINT
+           AS n_links
+  FROM (SELECT source, coalesce(text, '') AS t FROM documents)
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_headers)::BIGINT AS headers_total,
+       sum(n_fences // 2)::BIGINT AS fenced_blocks_total,
+       sum(n_links)::BIGINT AS links_total,
+       sum(CASE WHEN n_headers + n_fences + n_links > 0 THEN 1 ELSE 0
+           END)::BIGINT AS n_md_docs,
+       round(sum(CASE WHEN n_headers + n_fences + n_links > 0
+                      THEN 1 ELSE 0 END)
+             / greatest(count(*), 1)::DOUBLE, 4) AS md_doc_share
+FROM counted
+GROUP BY source
+"""
+
+
+def q_conv_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language mixing inside conversations over the synthetic
+    conversation view: per conversation, distinct languages, the
+    DOMINANT language (max turn count, ties broken alphabetically so
+    both engines pick the same winner) and its share, plus a mixed flag
+    — code-switching conversations need language-aware chunking, and a
+    'mixed' rate spike per source is an upstream-labelling alarm.
+
+    Scale shape: one scan to the (conv, lang) count table (conversation
+    × language sized), dominant-pick via one row_number window over that
+    tiny table, a conv-level rollup joined back — nothing corpus-sized
+    past the first groupBy."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH cl AS (
+          SELECT doc_id % {_CONV_MOD} AS conv, lang,
+                 cast(count(*) as bigint) AS n
+          FROM documents GROUP BY doc_id % {_CONV_MOD}, lang
+        ), ranked AS (
+          SELECT conv, lang, n,
+                 row_number() OVER (PARTITION BY conv
+                                    ORDER BY n DESC, lang) AS rk
+          FROM cl
+        ), per AS (
+          SELECT conv, cast(count(*) as bigint) AS n_langs,
+                 cast(sum(n) as bigint) AS n_turns
+          FROM cl GROUP BY conv
+        )
+        SELECT cast(p.conv as bigint) AS conv, p.n_turns, p.n_langs,
+               r.lang AS top_lang,
+               round(r.n / cast(greatest(p.n_turns, 1) as double), 4)
+                 AS top_share,
+               p.n_langs > 1 AS mixed
+        FROM per p JOIN ranked r ON r.conv = p.conv AND r.rk = 1
+        """,
+    )
+
+
+ORACLE_CONV_LANG_MIX = f"""
+WITH cl AS (
+  SELECT doc_id % {_CONV_MOD} AS conv, lang, count(*)::BIGINT AS n
+  FROM documents GROUP BY doc_id % {_CONV_MOD}, lang
+), ranked AS (
+  SELECT conv, lang, n,
+         row_number() OVER (PARTITION BY conv ORDER BY n DESC, lang) AS rk
+  FROM cl
+), per AS (
+  SELECT conv, count(*)::BIGINT AS n_langs, sum(n)::BIGINT AS n_turns
+  FROM cl GROUP BY conv
+)
+SELECT p.conv::BIGINT AS conv, p.n_turns, p.n_langs,
+       r.lang AS top_lang,
+       round(r.n / greatest(p.n_turns, 1)::DOUBLE, 4) AS top_share,
+       p.n_langs > 1 AS mixed
+FROM per p JOIN ranked r ON r.conv = p.conv AND r.rk = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -11879,6 +12079,9 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "conv_depth_histogram": (
         q_conv_depth_histogram, ORACLE_CONV_DEPTH_HISTOGRAM,
     ),
+    "code_share_profile": (q_code_share_profile, ORACLE_CODE_SHARE_PROFILE),
+    "markdown_stats": (q_markdown_stats, ORACLE_MARKDOWN_STATS),
+    "conv_lang_mix": (q_conv_lang_mix, ORACLE_CONV_LANG_MIX),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

@@ -798,3 +798,82 @@ def test_conv_depth_histogram_hand_depths(spark, tmp_path):
     got = {r["n_turns"]: (r["n_convs"], r["cum_share"])
            for r in q_conv_depth_histogram(spark, str(tmp_path)).collect()}
     assert got == {1: (1, round(1 / 3, 4)), 3: (2, 1.0)}
+
+
+# ------------------------------------------------------- code_share_profile
+
+
+def test_code_share_profile_hand_flags(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_code_share_profile
+
+    code = "def f(x): return g(x); h(x); { a; b; }"       # dense markers
+    prose = "plain sentence with no structural punctuation " * 3
+    rows = [
+        (0, code, "en", "s0"),
+        (1, prose, "en", "s0"),
+        (2, prose + " more", "en", "s1"),
+    ]
+    _write_documents(spark, tmp_path, rows)
+
+    def markers(t):
+        return sum(t.count(m) for m in (";", "{", "}", "("))
+
+    got = {r["source"]: r.asDict()
+           for r in q_code_share_profile(spark, str(tmp_path)).collect()}
+    assert markers(code) * 20 >= len(code)          # fixture sanity
+    assert markers(prose) * 20 < len(prose)
+    r = got["s0"]
+    assert (r["n_docs"], r["n_code_docs"]) == (2, 1)
+    assert r["code_doc_share"] == 0.5
+    assert r["code_char_share"] == round(len(code) / (len(code) + len(prose)), 4)
+    assert got["s1"]["n_code_docs"] == 0 and got["s1"]["code_char_share"] == 0.0
+
+
+# ----------------------------------------------------------- markdown_stats
+
+
+def test_markdown_stats_hand_counts(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_markdown_stats
+
+    md = ("# Title\n## Sub\ntext [link](http://x) and [two](y)\n"
+          "```\ncode\n```\nplain tail")
+    plain = "no markdown at all here"
+    odd_fence = "```\nunclosed fence"
+    rows = [(0, md, "en", "s0"), (1, plain, "en", "s0"),
+            (2, odd_fence, "en", "s1")]
+    _write_documents(spark, tmp_path, rows)
+    got = {r["source"]: r.asDict()
+           for r in q_markdown_stats(spark, str(tmp_path)).collect()}
+    r = got["s0"]
+    assert r["headers_total"] == md.count("# ")      # '# ' and '## ' -> 2
+    assert r["fenced_blocks_total"] == md.count("```") // 2
+    assert r["links_total"] == md.count("](")
+    assert r["n_md_docs"] == 1 and r["md_doc_share"] == 0.5
+    # odd fence count floors to 0 complete blocks in BOTH engines
+    assert got["s1"]["fenced_blocks_total"] == 0
+    assert got["s1"]["n_md_docs"] == 1  # the lone fence still marks it
+
+
+# ----------------------------------------------------------- conv_lang_mix
+
+
+def test_conv_lang_mix_dominant_and_ties(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_conv_lang_mix
+
+    # conv 0: en x2, de x1 -> dominant en; conv 1: de x1, en x1 -> tie,
+    # alphabetical winner 'de'; conv 2: single lang
+    rows = [
+        (0, "a", "en", "s0"), (_CONV_MOD, "a", "en", "s0"),
+        (2 * _CONV_MOD, "a", "de", "s0"),
+        (1, "a", "de", "s0"), (_CONV_MOD + 1, "a", "en", "s0"),
+        (2, "a", "zh", "s0"),
+    ]
+    _write_documents(spark, tmp_path, rows)
+    got = {r["conv"]: r.asDict()
+           for r in q_conv_lang_mix(spark, str(tmp_path)).collect()}
+    assert got[0]["top_lang"] == "en" and got[0]["n_langs"] == 2
+    assert got[0]["top_share"] == round(2 / 3, 4) and got[0]["mixed"]
+    assert got[1]["top_lang"] == "de"  # deterministic tiebreak
+    assert got[1]["top_share"] == 0.5 and got[1]["mixed"]
+    assert got[2]["top_lang"] == "zh" and not got[2]["mixed"]
+    assert got[2]["n_langs"] == 1 and got[2]["top_share"] == 1.0
