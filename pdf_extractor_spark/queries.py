@@ -11843,6 +11843,175 @@ FROM per p JOIN ranked r ON r.conv = p.conv AND r.rk = 1
 """
 
 
+def q_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality trend over arrival order: the share of docs
+    passing the cheap curation gate (length band AND a stopword hit —
+    `filter_ablation_cube`'s len/stop axes) in each within-source doc_id
+    decile.  A source whose recent deciles sag is degrading upstream
+    (crawler rot, template change) and needs re-auditing BEFORE its new
+    arrivals hit the training mix — the composition companion to
+    `ks_drift`/`psi_drift`'s distribution tests.
+
+    Scale shape: one scan computes the pass flag per row; ntile(10)
+    partitions BY SOURCE (never a global sort — the shuffle is the
+    source-keyed exchange, with the usual salting caveat for a
+    mega-source); the fold is a |sources|×10 aggregate."""
+    toks = _SPARK_TOKENS.format(x="coalesce(text, '')")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH flagged AS (
+          SELECT source, doc_id,
+                 (n_chars >= 100 AND n_chars <= 20000
+                  AND coalesce(arrays_overlap({toks},
+                        array({_STOPWORDS})), false)) AS pass
+          FROM documents
+        ), tiled AS (
+          SELECT source, pass,
+                 ntile(10) OVER (PARTITION BY source ORDER BY doc_id)
+                   AS decile
+          FROM flagged
+        )
+        SELECT source, cast(decile as bigint) AS decile,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(CASE WHEN pass THEN 1 ELSE 0 END) as bigint)
+                 AS n_pass,
+               round(sum(CASE WHEN pass THEN 1 ELSE 0 END)
+                     / cast(greatest(count(*), 1) as double), 4)
+                 AS pass_rate
+        FROM tiled
+        GROUP BY source, decile
+        """,
+    )
+
+
+ORACLE_QUALITY_TREND = f"""
+WITH flagged AS (
+  SELECT source, doc_id,
+         (n_chars >= 100 AND n_chars <= 20000
+          AND coalesce(len(list_intersect(
+                {_DUCK_TOKENS.format(x="coalesce(text, '')")},
+                [{_STOPWORDS}])) > 0, false)) AS pass
+  FROM documents
+), tiled AS (
+  SELECT source, pass,
+         ntile(10) OVER (PARTITION BY source ORDER BY doc_id) AS decile
+  FROM flagged
+)
+SELECT source, decile::BIGINT AS decile,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+       round(sum(CASE WHEN pass THEN 1 ELSE 0 END)
+             / greatest(count(*), 1)::DOUBLE, 4) AS pass_rate
+FROM tiled
+GROUP BY source, decile
+"""
+
+
+def q_digest_collision_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-space numeracy audit: how many DISTINCT texts collide in the
+    32-bit md5-prefix space every md5int-based operator (minhash perms,
+    LSH bucketing, salting) lives in, next to the birthday-problem
+    expectation n(n−1)/2^33.  At 500 distinct docs collisions are ~0; at
+    10^12 they are CERTAIN (≈10^11 expected) — this one-row table is the
+    measured justification for widening to 64-bit words / full digests
+    before any corpus-scale dedup keyed on h32 (the `hamming_topk`
+    32-bit-word lesson as a monitor).
+
+    Scale shape: distinct digests (one exchange over 16-byte keys), then
+    a two-level count-distinct fold; one output row."""
+    h32 = _SPARK_MD5INT.format(x="dg")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH d AS (
+          SELECT DISTINCT md5(coalesce(text, '')) AS dg FROM documents
+        ), h AS (
+          SELECT dg, {h32} AS h32 FROM d
+        )
+        SELECT cast(count(*) as bigint) AS n_texts,
+               cast(count(DISTINCT h32) as bigint) AS n_distinct_h32,
+               cast(count(*) - count(DISTINCT h32) as bigint)
+                 AS n_collisions,
+               round((count(*) - count(DISTINCT h32))
+                     / cast(greatest(count(*), 1) as double), 6)
+                 AS collision_rate,
+               round(count(*) * (count(*) - 1)
+                     / cast(8589934592 as double), 6)
+                 AS birthday_expected
+        FROM h
+        """,
+    )
+
+
+ORACLE_DIGEST_COLLISION_CHECK = f"""
+WITH d AS (
+  SELECT DISTINCT md5(coalesce(text, '')) AS dg FROM documents
+), h AS (
+  SELECT dg, {_DUCK_MD5INT.format(x='dg')} AS h32 FROM d
+)
+SELECT count(*)::BIGINT AS n_texts,
+       count(DISTINCT h32)::BIGINT AS n_distinct_h32,
+       (count(*) - count(DISTINCT h32))::BIGINT AS n_collisions,
+       round((count(*) - count(DISTINCT h32))
+             / greatest(count(*), 1)::DOUBLE, 6) AS collision_rate,
+       round(count(*) * (count(*) - 1) / 8589934592::DOUBLE, 6)
+         AS birthday_expected
+FROM h
+"""
+
+
+def q_arrival_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-composition drift over arrival order: each source's share
+    of docs within every corpus-wide doc_id decile — is the recent
+    corpus the same MIXTURE that the training weights (`mix_weights`)
+    were fitted on, or has one feed started flooding?  The composition
+    companion to `token_heavy_change` (vocabulary axis) and
+    `quality_trend` (quality axis).
+
+    Scale shape: decile cuts are width-based from a broadcast max
+    (ceil(doc_id·10/max) — NEVER a global ntile sort); the fold is a
+    10×|sources| aggregate with per-decile totals from a window over
+    that tiny table."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH md AS (
+          SELECT cast(max(doc_id) as bigint) AS m FROM documents
+        ), cells AS (
+          SELECT greatest(cast(ceil(doc_id * 10
+                   / cast(greatest(m, 1) as double)) as bigint), 1)
+                   AS decile,
+                 source, cast(count(*) as bigint) AS n_docs
+          FROM documents CROSS JOIN md
+          GROUP BY 1, source
+        )
+        SELECT cast(decile as bigint) AS decile, source, n_docs,
+               round(n_docs / cast(sum(n_docs)
+                     OVER (PARTITION BY decile) as double), 4)
+                 AS decile_share
+        FROM cells
+        """,
+    )
+
+
+ORACLE_ARRIVAL_MIX_TREND = """
+WITH md AS (
+  SELECT max(doc_id)::BIGINT AS m FROM documents
+), cells AS (
+  SELECT greatest(ceil(doc_id * 10 / greatest(m, 1)::DOUBLE)::BIGINT, 1)
+           AS decile,
+         source, count(*)::BIGINT AS n_docs
+  FROM documents CROSS JOIN md
+  GROUP BY 1, source
+)
+SELECT decile::BIGINT AS decile, source, n_docs,
+       round(n_docs / (sum(n_docs) OVER (PARTITION BY decile))::DOUBLE, 4)
+         AS decile_share
+FROM cells
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -12082,6 +12251,11 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "code_share_profile": (q_code_share_profile, ORACLE_CODE_SHARE_PROFILE),
     "markdown_stats": (q_markdown_stats, ORACLE_MARKDOWN_STATS),
     "conv_lang_mix": (q_conv_lang_mix, ORACLE_CONV_LANG_MIX),
+    "quality_trend": (q_quality_trend, ORACLE_QUALITY_TREND),
+    "digest_collision_check": (
+        q_digest_collision_check, ORACLE_DIGEST_COLLISION_CHECK,
+    ),
+    "arrival_mix_trend": (q_arrival_mix_trend, ORACLE_ARRIVAL_MIX_TREND),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

@@ -877,3 +877,88 @@ def test_conv_lang_mix_dominant_and_ties(spark, tmp_path):
     assert got[1]["top_share"] == 0.5 and got[1]["mixed"]
     assert got[2]["top_lang"] == "zh" and not got[2]["mixed"]
     assert got[2]["n_langs"] == 1 and got[2]["top_share"] == 1.0
+
+
+# ------------------------------------------------------------ quality_trend
+
+
+def _ntile(n_rows, buckets=10):
+    """Replicate SQL ntile: earlier buckets take the remainder."""
+    base, rem = divmod(n_rows, buckets)
+    out = []
+    for b in range(1, buckets + 1):
+        out.extend([b] * (base + (1 if b <= rem else 0)))
+    return out
+
+
+def test_quality_trend_hand_ntile_and_gate(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_quality_trend
+
+    # 12 docs in one source: first 6 pass (long + stopword), last 6 fail
+    good = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [(i, good, "en", "s0") for i in range(6)]
+    rows += [(i, "short junk", "en", "s0") for i in range(6, 12)]
+    _write_documents(spark, tmp_path, rows)
+    tiles = _ntile(12)
+    exp = {}
+    for i, t in enumerate(tiles):
+        p = i < 6
+        n, np_ = exp.get(t, (0, 0))
+        exp[t] = (n + 1, np_ + (1 if p else 0))
+    got = {r["decile"]: (r["n_docs"], r["n_pass"], r["pass_rate"])
+           for r in q_quality_trend(spark, str(tmp_path)).collect()}
+    assert set(got) == set(exp)
+    for d, (n, np_) in exp.items():
+        assert got[d] == (n, np_, round(np_ / n, 4))
+    # the trend is visible: early deciles pass, late ones fail
+    assert got[1][2] == 1.0 and got[10][2] == 0.0
+
+
+# -------------------------------------------------- digest_collision_check
+
+
+def test_digest_collision_check_clean_corpus(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_digest_collision_check
+
+    rows = [(i, f"unique text {i}", "en", "s0") for i in range(50)]
+    rows += [(100 + i, "repeated text", "en", "s0") for i in range(5)]
+    _write_documents(spark, tmp_path, rows)
+    r = q_digest_collision_check(spark, str(tmp_path)).collect()[0]
+    # 51 DISTINCT texts (the 5 repeats collapse before hashing)
+    assert r["n_texts"] == 51
+    assert r["n_collisions"] == 0 and r["collision_rate"] == 0.0
+    assert r["n_distinct_h32"] == 51
+    assert r["birthday_expected"] == round(51 * 50 / 2**33, 6)
+
+
+# ------------------------------------------------------- arrival_mix_trend
+
+
+def test_arrival_mix_trend_hand_deciles(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_arrival_mix_trend
+
+    # doc_ids 1..20, max=20 -> decile = ceil(id*10/20): two ids per decile.
+    # Odd ids source 'a', even ids source 'b' -> every decile is 50/50
+    rows = [(i, "txt", "en", "a" if i % 2 else "b") for i in range(1, 21)]
+    _write_documents(spark, tmp_path, rows)
+    out = q_arrival_mix_trend(spark, str(tmp_path)).collect()
+    got = {(r["decile"], r["source"]): (r["n_docs"], r["decile_share"])
+           for r in out}
+    assert len(got) == 20  # 10 deciles x 2 sources
+    for d in range(1, 11):
+        assert got[(d, "a")] == (1, 0.5)
+        assert got[(d, "b")] == (1, 0.5)
+
+
+def test_arrival_mix_trend_flooding_source_detected(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_arrival_mix_trend
+
+    # source 'flood' only appears in the last 20% of doc_ids
+    rows = [(i, "txt", "en", "base") for i in range(1, 81)]
+    rows += [(i, "txt", "en", "flood") for i in range(81, 101)]
+    _write_documents(spark, tmp_path, rows)
+    got = {(r["decile"], r["source"]): r["decile_share"]
+           for r in q_arrival_mix_trend(spark, str(tmp_path)).collect()}
+    assert got[(10, "flood")] == 1.0
+    assert (1, "flood") not in got
+    assert got[(1, "base")] == 1.0
