@@ -12012,6 +12012,210 @@ FROM cells
 """
 
 
+_BUDGET_MULT = 2.0   # training token budget as a multiple of corpus tokens
+_MAX_EPOCHS = 4.0    # repeat cap per source (Muennighoff et al. 2023)
+
+
+def q_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch allocation under a fixed training token budget:
+    target shares come from temperature-0.5 sampling over source token
+    mass (sqrt-share, the multilingual-training heuristic), the budget is
+    ``_BUDGET_MULT``x the corpus, and no source may repeat more than
+    ``_MAX_EPOCHS`` epochs (data-constrained scaling: repeating beyond ~4
+    epochs stops helping).  Reports the requested vs achievable epochs,
+    the cap flag, and the achieved mix after capping — the planning table
+    a data-mixture owner reads before launching a run, and the budgeted
+    companion to `mix_weights`/`temperature_mix` (which pick shares
+    without a repeat-cap feasibility check).
+
+    Scale shape: ONE corpus scan folds token counts per source (map-side
+    combine into a |sources|-row table); everything after — sqrt shares,
+    budget math, windows for the two normalizations — runs on that tiny
+    aggregate.  No second scan, no join back to the corpus."""
+    toks = _SPARK_TOKENS.format(x="coalesce(text, '')")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH per AS (
+          SELECT source,
+                 cast(sum(size({toks})) as bigint) AS n_tokens
+          FROM documents
+          GROUP BY source
+        ), shares AS (
+          SELECT source, n_tokens,
+                 sqrt(n_tokens) / sum(sqrt(n_tokens)) OVER () AS tshare,
+                 cast({_BUDGET_MULT} as double)
+                   * sum(n_tokens) OVER () AS budget
+          FROM per
+        ), alloc AS (
+          SELECT source, n_tokens, tshare,
+                 tshare * budget / n_tokens AS epochs_needed,
+                 least(tshare * budget / n_tokens,
+                       cast({_MAX_EPOCHS} as double)) AS epochs_alloc
+          FROM shares
+          WHERE n_tokens > 0
+        )
+        SELECT source, n_tokens,
+               round(tshare, 4) AS target_share,
+               round(epochs_needed, 4) AS epochs_needed,
+               round(epochs_alloc, 4) AS epochs_alloc,
+               epochs_needed > cast({_MAX_EPOCHS} as double) AS capped,
+               cast(round(epochs_alloc * n_tokens, 0) as bigint)
+                 AS achieved_tokens,
+               round(epochs_alloc * n_tokens
+                     / sum(epochs_alloc * n_tokens) OVER (), 4)
+                 AS achieved_share
+        FROM alloc
+        """,
+    )
+
+
+ORACLE_TOKEN_BUDGET_PLAN = f"""
+WITH per AS (
+  SELECT source,
+         sum(len({_DUCK_TOKENS.format(x="coalesce(text, '')")}))::BIGINT
+           AS n_tokens
+  FROM documents
+  GROUP BY source
+), shares AS (
+  SELECT source, n_tokens,
+         sqrt(n_tokens) / sum(sqrt(n_tokens)) OVER () AS tshare,
+         {_BUDGET_MULT}::DOUBLE * sum(n_tokens) OVER () AS budget
+  FROM per
+), alloc AS (
+  SELECT source, n_tokens, tshare,
+         tshare * budget / n_tokens AS epochs_needed,
+         least(tshare * budget / n_tokens, {_MAX_EPOCHS}::DOUBLE)
+           AS epochs_alloc
+  FROM shares
+  WHERE n_tokens > 0
+)
+SELECT source, n_tokens,
+       round(tshare, 4) AS target_share,
+       round(epochs_needed, 4) AS epochs_needed,
+       round(epochs_alloc, 4) AS epochs_alloc,
+       epochs_needed > {_MAX_EPOCHS}::DOUBLE AS capped,
+       round(epochs_alloc * n_tokens, 0)::BIGINT AS achieved_tokens,
+       round(epochs_alloc * n_tokens
+             / sum(epochs_alloc * n_tokens) OVER (), 4) AS achieved_share
+FROM alloc
+"""
+
+
+_N_SHARDS = 64  # epoch_shuffle's shard fan-out
+
+
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token balance of the 64-way hash sharding `epoch_shuffle` uses:
+    per-shard doc and token counts, each shard's relative deviation from
+    the mean token load, and the straggler ratio (max/mean) every row
+    carries — the number that predicts epoch wall-clock, since one hot
+    shard sets the step time of the whole data-parallel read.  Hash
+    sharding is balanced in DOC count by construction; this MEASURES
+    whether token mass (the actual cost) stays balanced too.
+
+    Scale shape: one scan folds (docs, tokens) per shard key with
+    map-side combine — the only exchange carries 64 keys; the deviation
+    and straggler windows run over the 64-row table.  At 10^12 docs the
+    per-shard fold is exactly the epoch reader's own partitioning, so
+    the audit costs one wordcount-shaped pass."""
+    toks = _SPARK_TOKENS.format(x="coalesce(text, '')")
+    h = _SPARK_MD5INT.format(x="concat(cast(doc_id as string), ':shard')")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH per AS (
+          SELECT {h} % {_N_SHARDS} AS shard,
+                 cast(count(*) as bigint) AS n_docs,
+                 cast(sum(size({toks})) as bigint) AS n_tokens
+          FROM documents
+          GROUP BY 1
+        )
+        SELECT cast(shard as bigint) AS shard, n_docs, n_tokens,
+               round(n_tokens / avg(n_tokens) OVER () - 1, 4) AS rel_dev,
+               round(max(n_tokens) OVER () / avg(n_tokens) OVER (), 4)
+                 AS straggler_ratio
+        FROM per
+        """,
+    )
+
+
+ORACLE_SHARD_BALANCE = f"""
+WITH per AS (
+  SELECT {_DUCK_MD5INT.format(x="doc_id::VARCHAR || ':shard'")}
+           % {_N_SHARDS} AS shard,
+         count(*)::BIGINT AS n_docs,
+         sum(len({_DUCK_TOKENS.format(x="coalesce(text, '')")}))::BIGINT
+           AS n_tokens
+  FROM documents
+  GROUP BY 1
+)
+SELECT shard::BIGINT AS shard, n_docs, n_tokens,
+       round(n_tokens / avg(n_tokens) OVER () - 1, 4) AS rel_dev,
+       round(max(n_tokens) OVER () / avg(n_tokens) OVER (), 4)
+         AS straggler_ratio
+FROM per
+"""
+
+
+def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile of the embedding table (count, min/max,
+    p10/p50/p90, mean): unnormalized vectors silently break cosine-free
+    dot-product ANN shortcuts, and a label whose norm band sits apart
+    from the rest usually means its vectors came from a different encoder
+    checkpoint — the cheapest index-health probe to run before trusting
+    `cosine_topk`/`ivf_bucket_ann` results.  Norms are per-row array
+    folds rounded to 6dp before the percentile so both engines rank
+    identical values.
+
+    Scale shape: the norm is a zero-shuffle per-row fold (no explode —
+    the array never unpacks into rows); the only exchange groups
+    |labels| keys.  Exact percentile() buffers per group; at corpus
+    scale swap approx_percentile, same plan shape."""
+    return _sql(
+        spark, sf_dir, ["embeddings"],
+        """
+        WITH n AS (
+          SELECT label,
+                 round(sqrt(aggregate(embedding, cast(0 as double),
+                         (acc, x) -> acc + cast(x as double)
+                                       * cast(x as double))), 6) AS nrm
+          FROM embeddings
+        )
+        SELECT cast(label as int) AS label,
+               cast(count(*) as bigint) AS n_vecs,
+               round(min(nrm), 4) AS min_norm,
+               round(percentile(nrm, 0.1D), 4) AS p10,
+               round(percentile(nrm, 0.5D), 4) AS p50,
+               round(percentile(nrm, 0.9D), 4) AS p90,
+               round(max(nrm), 4) AS max_norm,
+               round(avg(nrm), 4) AS mean_norm
+        FROM n
+        GROUP BY label
+        """,
+    )
+
+
+ORACLE_EMBEDDING_NORM_PROFILE = """
+WITH n AS (
+  SELECT label,
+         round(sqrt(list_sum(list_transform(embedding,
+                 x -> x::DOUBLE * x::DOUBLE))), 6) AS nrm
+  FROM embeddings
+)
+SELECT label::INT AS label,
+       count(*)::BIGINT AS n_vecs,
+       round(min(nrm), 4) AS min_norm,
+       round(quantile_cont(nrm, 0.1), 4) AS p10,
+       round(quantile_cont(nrm, 0.5), 4) AS p50,
+       round(quantile_cont(nrm, 0.9), 4) AS p90,
+       round(max(nrm), 4) AS max_norm,
+       round(avg(nrm), 4) AS mean_norm
+FROM n
+GROUP BY label
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -12256,6 +12460,11 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
         q_digest_collision_check, ORACLE_DIGEST_COLLISION_CHECK,
     ),
     "arrival_mix_trend": (q_arrival_mix_trend, ORACLE_ARRIVAL_MIX_TREND),
+    "token_budget_plan": (q_token_budget_plan, ORACLE_TOKEN_BUDGET_PLAN),
+    "shard_balance": (q_shard_balance, ORACLE_SHARD_BALANCE),
+    "embedding_norm_profile": (
+        q_embedding_norm_profile, ORACLE_EMBEDDING_NORM_PROFILE,
+    ),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

@@ -1114,3 +1114,39 @@ def test_heaps_law_bounded_scans_no_smj(spark, registry):
     assert "SortMergeJoin" not in final
     assert "CartesianProduct" not in final
     assert 1 <= final.count("Scan parquet") <= 3
+
+
+def test_token_budget_plan_single_scan_tiny_windows(spark, registry):
+    """ONE corpus scan folds token counts to |sources| rows; the share /
+    budget / cap math and both normalization windows run on that tiny
+    aggregate — no join back, no second scan."""
+    df = registry["token_budget_plan"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "Generate" not in final  # token counting never explodes
+
+
+def test_shard_balance_single_scan_64key_fold(spark, registry):
+    """One scan, one 64-key grouped fold with map-side combine; the
+    deviation/straggler windows run over the 64-row table."""
+    df = registry["shard_balance"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Generate" not in final
+    assert "SortMergeJoin" not in final
+
+
+def test_embedding_norm_profile_no_dim_explode(spark, registry):
+    """The L2 norm is a per-row array fold — the embedding array never
+    unpacks into rows (no Generate) and the only exchange carries
+    |labels| keys."""
+    df = registry["embedding_norm_profile"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Generate" not in final
+    assert "SortMergeJoin" not in final

@@ -1,0 +1,139 @@
+"""Round-5 batch-4 operators on crafted inputs, verified against
+independent Python computations (not just the DuckDB oracles the contract
+suite replays): token_budget_plan (epoch allocation under a budget with
+the 4-epoch repeat cap), shard_balance (token balance of the 64-way hash
+sharding), embedding_norm_profile (per-label L2-norm health probe)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pandas as pd
+
+from pdf_extractor_spark.queries import (
+    _BUDGET_MULT,
+    _MAX_EPOCHS,
+    _N_SHARDS,
+    q_embedding_norm_profile,
+    q_shard_balance,
+    q_token_budget_plan,
+)
+
+
+def _toks(text):
+    return [t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t]
+
+
+def _md5int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _write_documents(spark, path, rows):
+    """rows: (doc_id, text, lang, source)."""
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    spark.createDataFrame(
+        pdf, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def _write_embeddings(spark, path, rows):
+    """rows: (vec_id, list[float], label)."""
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id bigint, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+
+
+# --------------------------------------------------------- token_budget_plan
+
+
+def test_token_budget_plan_sqrt_shares_and_cap(spark, tmp_path):
+    # big source: 64 tokens; small source: 4 tokens.
+    # sqrt shares: 8/(8+2)=0.8 and 2/10=0.2; budget = 2.0 * 68 = 136.
+    # big: target 108.8 tokens -> 1.7 epochs (uncapped)
+    # small: target 27.2 tokens -> 6.8 epochs -> capped at 4.0
+    rows = [(1, "w " * 64, "en", "big"), (2, "w " * 4, "en", "small")]
+    _write_documents(spark, tmp_path, rows)
+    got = {r["source"]: r for r in
+           q_token_budget_plan(spark, str(tmp_path)).collect()}
+    assert _BUDGET_MULT == 2.0 and _MAX_EPOCHS == 4.0
+    b = got["big"]
+    assert b["n_tokens"] == 64 and b["target_share"] == 0.8
+    assert b["epochs_needed"] == round(0.8 * 136 / 64, 4) == 1.7
+    assert b["epochs_alloc"] == 1.7 and not b["capped"]
+    assert b["achieved_tokens"] == round(1.7 * 64) == 109
+    s = got["small"]
+    assert s["target_share"] == 0.2
+    assert s["epochs_needed"] == 6.8 and s["epochs_alloc"] == 4.0
+    assert s["capped"] and s["achieved_tokens"] == 16
+    tot = 1.7 * 64 + 4.0 * 4
+    assert b["achieved_share"] == round(1.7 * 64 / tot, 4)
+    assert s["achieved_share"] == round(16 / tot, 4)
+
+
+def test_token_budget_plan_zero_token_source_dropped(spark, tmp_path):
+    rows = [(1, "alpha beta gamma", "en", "s0"), (2, "!!! ...", "en", "empty")]
+    _write_documents(spark, tmp_path, rows)
+    got = {r["source"]: r for r in
+           q_token_budget_plan(spark, str(tmp_path)).collect()}
+    assert set(got) == {"s0"}
+    # single surviving source takes the whole budget: 2.0 epochs, share 1
+    assert got["s0"]["target_share"] == 1.0
+    assert got["s0"]["epochs_alloc"] == 2.0
+    assert got["s0"]["achieved_share"] == 1.0
+
+
+# ------------------------------------------------------------ shard_balance
+
+
+def test_shard_balance_hand_hash(spark, tmp_path):
+    rows = [(i, "tok " * (i + 1), "en", "s0") for i in range(40)]
+    _write_documents(spark, tmp_path, rows)
+    exp = {}
+    for i, text, _, _ in rows:
+        sh = _md5int(f"{i}:shard") % _N_SHARDS
+        n, t = exp.get(sh, (0, 0))
+        exp[sh] = (n + 1, t + len(_toks(text)))
+    out = q_shard_balance(spark, str(tmp_path)).collect()
+    got = {r["shard"]: (r["n_docs"], r["n_tokens"]) for r in out}
+    assert got == exp
+    mean_t = sum(t for _, t in exp.values()) / len(exp)
+    max_t = max(t for _, t in exp.values())
+    for r in out:
+        assert r["rel_dev"] == round(exp[r["shard"]][1] / mean_t - 1, 4)
+        assert r["straggler_ratio"] == round(max_t / mean_t, 4)
+
+
+# -------------------------------------------------- embedding_norm_profile
+
+
+def test_embedding_norm_profile_known_norms(spark, tmp_path):
+    # label 0: norms 1..5 (axis-aligned vectors); label 1: all norm 2.
+    rows = [(i, [float(i + 1)] + [0.0] * 7, 0) for i in range(5)]
+    rows += [(10 + i, [0.0, 2.0] + [0.0] * 6, 1) for i in range(4)]
+    _write_embeddings(spark, tmp_path, rows)
+    got = {r["label"]: r for r in
+           q_embedding_norm_profile(spark, str(tmp_path)).collect()}
+    a = got[0]
+    assert a["n_vecs"] == 5 and a["min_norm"] == 1.0 and a["max_norm"] == 5.0
+    # percentile over [1,2,3,4,5]: pos = p*(n-1)
+    assert a["p50"] == 3.0
+    assert a["p10"] == 1.4  # pos 0.1*(5-1) = 0.4 -> 1 + 0.4
+    assert a["p90"] == 4.6  # pos 3.6 -> 4 + 0.6
+    assert a["mean_norm"] == 3.0
+    b = got[1]
+    assert b["n_vecs"] == 4
+    assert (b["min_norm"], b["p50"], b["max_norm"]) == (2.0, 2.0, 2.0)
+    assert b["mean_norm"] == 2.0
+
+
+def test_embedding_norm_profile_interpolated(spark, tmp_path):
+    # norms [3, 4] in one label: p10 = 3.1, p90 = 3.9 (linear interp)
+    rows = [(1, [3.0, 0.0], 7), (2, [0.0, 4.0], 7)]
+    _write_embeddings(spark, tmp_path, rows)
+    r = q_embedding_norm_profile(spark, str(tmp_path)).collect()[0]
+    assert (r["p10"], r["p50"], r["p90"]) == (3.1, 3.5, 3.9)
+    assert math.isclose(r["mean_norm"], 3.5)
