@@ -12216,6 +12216,317 @@ GROUP BY label
 """
 
 
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension audit of the embedding table: mean, population
+    variance, exact-zero share, and a dead flag (every value zero) for
+    each of the d dimensions.  Dead or near-constant dimensions are pure
+    index bloat — they waste ANN memory and distance FLOPs and are the
+    first candidates for projection before `ivf_bucket_ann` — and a dim
+    whose variance collapses between snapshots is the earliest symptom of
+    an encoder regression (`embedding_drift`'s per-dim companion).
+
+    Scale shape: the embedding_drift tree — mapInPandas emits ONE
+    (sum, sumsq, zerocount, n) partial per partition (numpy fold, no
+    per-dimension rows), applyInPandas reduces the ~#partitions partials,
+    and the single d-array row posexplodes into the d-row report.  No
+    corpus-sized Generate, nothing wider than (partitions × d) doubles
+    crosses the wire; float summation-order differences vs the oracle
+    are absorbed by round(4); the zero share is integer-exact."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame({
+                "s": [m.sum(axis=0).tolist()],
+                "ss": [(m * m).sum(axis=0).tolist()],
+                "z": [(m == 0.0).sum(axis=0).astype(np.int64).tolist()],
+                "n": [int(len(m))],
+            })
+
+    parts = emb.mapInPandas(
+        partials, "s array<double>, ss array<double>, z array<bigint>, n bigint"
+    )
+
+    def reduce_all(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np  # noqa: F811 — worker-side import
+
+        s = np.sum([np.asarray(v, dtype=np.float64) for v in pdf["s"]], axis=0)
+        ss = np.sum([np.asarray(v, dtype=np.float64) for v in pdf["ss"]], axis=0)
+        z = np.sum([np.asarray(v, dtype=np.int64) for v in pdf["z"]], axis=0)
+        n = int(pdf["n"].sum())
+        mean = s / n
+        var = np.maximum(ss / n - mean * mean, 0.0)
+        return pd.DataFrame({
+            "means": [mean.tolist()], "vars": [var.tolist()],
+            "zs": [z.tolist()], "n": [n],
+        })
+
+    one = parts.groupBy(F.lit(1).alias("g")).applyInPandas(
+        lambda key, pdf: reduce_all(pdf),
+        "means array<double>, vars array<double>, zs array<bigint>, n bigint",
+    )
+    return one.selectExpr(
+        "n", "posexplode(arrays_zip(means, vars, zs)) AS (i, t)"
+    ).selectExpr(
+        "cast(i + 1 as int) AS dim",
+        "round(t.means, 4) AS mean_v",
+        "round(t.vars, 4) AS var_v",
+        "round(t.zs / cast(n as double), 4) AS zero_frac",
+        "t.zs = n AS dead",
+    )
+
+
+ORACLE_EMBEDDING_DIM_STATS = """
+WITH x AS (
+  SELECT unnest(embedding)::DOUBLE AS v,
+         unnest(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings
+)
+SELECT dim::INT AS dim,
+       round(avg(v), 4) AS mean_v,
+       round(greatest(avg(v * v) - avg(v) * avg(v), 0), 4) AS var_v,
+       round((count(*) FILTER (WHERE v = 0))::DOUBLE / count(*), 4)
+         AS zero_frac,
+       (count(*) FILTER (WHERE v = 0)) = count(*) AS dead
+FROM x
+GROUP BY dim
+"""
+
+
+def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid confusion matrix over the labeled embedding
+    table: assign every vector to the closest per-label mean by cosine
+    and cross-tabulate true × assigned.  Off-diagonal mass means labels
+    are not linearly separable in embedding space — the purity probe
+    that predicts how well centroid-routed ANN (`ivf_bucket_ann`) and
+    label-stratified semantic dedup will behave, and the detector for
+    mislabeled ingest feeds (a feed whose rows scatter across other
+    labels' centroids was tagged wrong upstream).
+
+    Scale shape: centroids come from the embedding_drift partial-sum
+    tree (one |labels|-key reduce); the k×d matrix collects to the
+    driver (tiny side-structure, the kmeans precedent) and broadcasts
+    into a single zero-shuffle mapInPandas GEMM pass — no n×k row
+    fan-out, no join.  The only corpus exchange is the final
+    (label, assigned) groupBy.  Cosines round to 6dp before the argmax
+    (ties break to the lowest label) so both engines pick identical
+    winners; zero vectors are excluded in both spellings."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out = {"label": [], "s": [], "n": []}
+            for lab, sub in pdf.groupby("label"):
+                m = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+                out["label"].append(int(lab))
+                out["s"].append(m.sum(axis=0).tolist())
+                out["n"].append(int(len(m)))
+            yield pd.DataFrame(out)
+
+    parts = emb.mapInPandas(partials, "label int, s array<double>, n bigint")
+
+    def reduce_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        s = np.sum([np.asarray(v, dtype=np.float64) for v in pdf["s"]], axis=0)
+        n = int(pdf["n"].sum())
+        return pd.DataFrame(
+            {"label": [int(key[0])], "mean": [(s / n).tolist()]}
+        )
+
+    cent = sorted(
+        parts.groupBy("label").applyInPandas(
+            reduce_group, "label int, mean array<double>"
+        ).collect(),
+        key=lambda r: r["label"],
+    )
+    labels = np.array([r["label"] for r in cent], dtype=np.int64)
+    C = np.stack([np.asarray(r["mean"], dtype=np.float64) for r in cent])
+    cn = np.sqrt((C * C).sum(axis=1))
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vn = np.sqrt((m * m).sum(axis=1))
+            keep = vn > 0
+            if not keep.any():
+                continue
+            m, vn = m[keep], vn[keep]
+            sims = np.round((m @ C.T) / (vn[:, None] * cn[None, :]), 6)
+            # C rows are label-ascending, argmax takes the first max →
+            # ties break to the lowest label, matching the oracle window
+            idx = sims.argmax(axis=1)
+            yield pd.DataFrame({
+                "label": pdf["label"].to_numpy()[keep],
+                "assigned": labels[idx],
+            })
+
+    scored = emb.mapInPandas(assign, "label int, assigned int")
+    return scored.groupBy("label", "assigned").agg(
+        F.expr("cast(count(*) as bigint)").alias("n_vecs")
+    ).selectExpr(
+        "cast(label as int) AS label",
+        "cast(assigned as int) AS assigned",
+        "n_vecs",
+        "round(n_vecs / cast(sum(n_vecs)"
+        " OVER (PARTITION BY label) as double), 4) AS label_share",
+    )
+
+
+ORACLE_CENTROID_CONFUSION = """
+WITH x AS (
+  SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+         unnest(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings
+), c AS (
+  SELECT label AS cl, dim, avg(v) AS cv FROM x GROUP BY label, dim
+), cnorm AS (
+  SELECT cl, sqrt(sum(cv * cv)) AS cn FROM c GROUP BY cl
+), vnorm AS (
+  SELECT vec_id, sqrt(sum(v * v)) AS vn FROM x GROUP BY vec_id
+), dots AS (
+  SELECT x.vec_id, x.label, c.cl, sum(x.v * c.cv) AS dot
+  FROM x JOIN c USING (dim)
+  GROUP BY x.vec_id, x.label, c.cl
+), ranked AS (
+  SELECT d.label, d.cl AS assigned,
+         row_number() OVER (
+           PARTITION BY d.vec_id
+           ORDER BY round(d.dot / (v.vn * n.cn), 6) DESC, d.cl) AS rk
+  FROM dots d
+  JOIN vnorm v USING (vec_id) JOIN cnorm n ON n.cl = d.cl
+  WHERE v.vn > 0
+)
+SELECT label::INT AS label, assigned::INT AS assigned,
+       count(*)::BIGINT AS n_vecs,
+       round(count(*) / (sum(count(*)) OVER (PARTITION BY label))::DOUBLE, 4)
+         AS label_share
+FROM ranked
+WHERE rk = 1
+GROUP BY label, assigned
+"""
+
+
+def q_perplexity_prune_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention sweep over unigram cross-entropy cutoffs: for each
+    candidate max-surprise threshold (nats/token), how many documents
+    and tokens survive a `doc_perplexity` prune — run BEFORE committing
+    to a perplexity filter so the cutoff is picked at the knee of the
+    measured curve, not guessed (the `length_filter_sweep` of the LM
+    axis; CCNet picks its Wikipedia-LM buckets the same way).
+
+    Scale shape: doc_perplexity's two passes (one token-keyed wordcount
+    shuffle builds the 1000-entry model; scoring is a zero-shuffle
+    per-row fold) + the 6-row threshold grid cross-joined map-side; the
+    final aggregate reduces to 6 groups with map-side combine.  Zero-
+    token docs are excluded in both spellings; thresholds compare on the
+    4dp-rounded score, exactly the `high_surprise` convention."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH tok AS (
+          SELECT doc_id, {_SPARK_TOKENS.format(x='text')} AS toks
+          FROM documents
+        ), cnt AS (
+          SELECT token, cast(count(*) as bigint) AS n
+          FROM tok LATERAL VIEW explode(toks) AS token
+          GROUP BY token
+        ), tot AS (
+          SELECT cast(sum(n) as bigint) AS nn FROM cnt
+        ), topv AS (
+          SELECT token, n
+          FROM (SELECT token, n,
+                       row_number() OVER (ORDER BY n DESC, token) AS rk
+                FROM cnt)
+          WHERE rk <= 1000
+        ), params AS (
+          SELECT m, nn, greatest(nn - n_top, cast(1 as bigint)) AS unk_n
+          FROM (SELECT map_from_entries(collect_list(struct(token, n))) AS m,
+                       cast(sum(n) as bigint) AS n_top
+                FROM topv)
+          CROSS JOIN tot
+        ), scored AS (
+          SELECT doc_id, cast(size(toks) as bigint) AS n_tokens,
+                 round(aggregate(toks, cast(0.0 as double),
+                         (acc, t) -> acc
+                           - ln(coalesce(element_at(m, t), unk_n) / nn))
+                       / cast(size(toks) as double), 4) AS xent
+          FROM tok CROSS JOIN params
+          WHERE size(toks) > 0
+        ), th AS (
+          SELECT explode(array(3.0D, 4.0D, 5.0D, 6.0D, 7.0D, 8.0D))
+            AS max_xent
+        )
+        SELECT max_xent,
+               cast(count(*) FILTER (WHERE xent <= max_xent) as bigint)
+                 AS docs_kept,
+               cast(count(*) as bigint) AS docs_total,
+               cast(coalesce(sum(n_tokens)
+                               FILTER (WHERE xent <= max_xent), 0)
+                    as bigint) AS tokens_kept,
+               round(cast(count(*) FILTER (WHERE xent <= max_xent)
+                          as double)
+                     / cast(greatest(count(*), 1) as double), 4)
+                 AS doc_retention,
+               round(cast(coalesce(sum(n_tokens)
+                                     FILTER (WHERE xent <= max_xent), 0)
+                          as double)
+                     / cast(greatest(sum(n_tokens), 1) as double), 4)
+                 AS token_retention
+        FROM scored CROSS JOIN th
+        GROUP BY max_xent
+        """,
+    )
+
+
+ORACLE_PERPLEXITY_PRUNE_SWEEP = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS.format(x='text')}) AS token
+  FROM documents
+), cnt AS (
+  SELECT token, count(*)::BIGINT AS n FROM tok GROUP BY token
+), tot AS (
+  SELECT sum(n)::BIGINT AS nn FROM cnt
+), topv AS (
+  SELECT token, n
+  FROM (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rk
+        FROM cnt) t
+  WHERE rk <= 1000
+), unk AS (
+  SELECT greatest(nn - (SELECT sum(n) FROM topv), 1)::BIGINT AS unk_n, nn
+  FROM tot
+), scored AS (
+  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+         round(avg(-ln(coalesce(v.n, u.unk_n) / u.nn)), 4) AS xent
+  FROM tok t LEFT JOIN topv v USING (token) CROSS JOIN unk u
+  GROUP BY t.doc_id
+), th AS (
+  SELECT unnest([3.0, 4.0, 5.0, 6.0, 7.0, 8.0])::DOUBLE AS max_xent
+)
+SELECT max_xent,
+       (count(*) FILTER (WHERE xent <= max_xent))::BIGINT AS docs_kept,
+       count(*)::BIGINT AS docs_total,
+       coalesce(sum(n_tokens) FILTER (WHERE xent <= max_xent),
+                0)::BIGINT AS tokens_kept,
+       round((count(*) FILTER (WHERE xent <= max_xent))::DOUBLE
+             / greatest(count(*), 1)::DOUBLE, 4) AS doc_retention,
+       round(coalesce(sum(n_tokens) FILTER (WHERE xent <= max_xent),
+                      0)::DOUBLE
+             / greatest(sum(n_tokens), 1)::DOUBLE, 4) AS token_retention
+FROM scored CROSS JOIN th
+GROUP BY max_xent
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -12464,6 +12775,11 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "shard_balance": (q_shard_balance, ORACLE_SHARD_BALANCE),
     "embedding_norm_profile": (
         q_embedding_norm_profile, ORACLE_EMBEDDING_NORM_PROFILE,
+    ),
+    "embedding_dim_stats": (q_embedding_dim_stats, ORACLE_EMBEDDING_DIM_STATS),
+    "centroid_confusion": (q_centroid_confusion, ORACLE_CENTROID_CONFUSION),
+    "perplexity_prune_sweep": (
+        q_perplexity_prune_sweep, ORACLE_PERPLEXITY_PRUNE_SWEEP,
     ),
 }
 

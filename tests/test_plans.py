@@ -1150,3 +1150,38 @@ def test_embedding_norm_profile_no_dim_explode(spark, registry):
     assert final.count("Scan parquet") == 1
     assert "Generate" not in final
     assert "SortMergeJoin" not in final
+
+
+def test_embedding_dim_stats_no_corpus_explode(spark, registry):
+    """Per-dim moments ride partition partials (one array row per
+    partition); the only Generate is the posexplode of the single
+    reduced row — the plan reads parquet once and never SMJs."""
+    df = registry["embedding_dim_stats"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in final
+
+
+def test_centroid_confusion_broadcast_gemm_no_join(spark, registry):
+    """Centroids collect driver-side (k rows) and broadcast into the
+    scoring GEMM — the returned plan is scan → mapInPandas → one
+    (label, assigned) groupBy: no join, no n×k fan-out."""
+    df = registry["centroid_confusion"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Generate" not in final
+
+
+def test_perplexity_prune_sweep_model_broadcast_tiny_grid(spark, registry):
+    """doc_perplexity's two passes + the 6-row threshold grid: the
+    model side joins back as a broadcast literal, scoring is a per-row
+    fold, and the sweep aggregate reduces to 6 groups."""
+    df = registry["perplexity_prune_sweep"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert 1 <= final.count("Scan parquet") <= 2
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final

@@ -2,7 +2,10 @@
 independent Python computations (not just the DuckDB oracles the contract
 suite replays): token_budget_plan (epoch allocation under a budget with
 the 4-epoch repeat cap), shard_balance (token balance of the 64-way hash
-sharding), embedding_norm_profile (per-label L2-norm health probe)."""
+sharding), embedding_norm_profile (per-label L2-norm health probe);
+batch 5: embedding_dim_stats (dead/low-variance dimension audit),
+centroid_confusion (nearest-centroid label purity matrix),
+perplexity_prune_sweep (retention grid over unigram-LM cutoffs)."""
 
 from __future__ import annotations
 
@@ -137,3 +140,98 @@ def test_embedding_norm_profile_interpolated(spark, tmp_path):
     r = q_embedding_norm_profile(spark, str(tmp_path)).collect()[0]
     assert (r["p10"], r["p50"], r["p90"]) == (3.1, 3.5, 3.9)
     assert math.isclose(r["mean_norm"], 3.5)
+
+
+# ---------------------------------------------------- embedding_dim_stats
+
+
+def test_embedding_dim_stats_known_moments_and_dead_dim(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_embedding_dim_stats
+
+    # dim1: values [1,2,3,4]; dim2: all zero (dead); dim3: [0,0,1,1]
+    vals = [[1.0, 0.0, 0.0], [2.0, 0.0, 0.0], [3.0, 0.0, 1.0], [4.0, 0.0, 1.0]]
+    _write_embeddings(spark, tmp_path, [(i, v, 0) for i, v in enumerate(vals)])
+    got = {r["dim"]: r for r in
+           q_embedding_dim_stats(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2, 3}
+    d1 = got[1]
+    assert d1["mean_v"] == 2.5
+    assert d1["var_v"] == round((1 + 4 + 9 + 16) / 4 - 2.5**2, 4) == 1.25
+    assert d1["zero_frac"] == 0.0 and not d1["dead"]
+    d2 = got[2]
+    assert (d2["mean_v"], d2["var_v"], d2["zero_frac"]) == (0.0, 0.0, 1.0)
+    assert d2["dead"]
+    d3 = got[3]
+    assert d3["mean_v"] == 0.5 and d3["var_v"] == 0.25
+    assert d3["zero_frac"] == 0.5 and not d3["dead"]
+
+
+# ----------------------------------------------------- centroid_confusion
+
+
+def test_centroid_confusion_separated_clusters_with_mislabel(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_centroid_confusion
+
+    # label 0 lives on axis x, label 1 on axis y; vec 99 is labeled 0
+    # but sits on axis y -> assigned 1.  vec 50 is all-zero: excluded.
+    rows = [(i, [1.0 + 0.01 * i, 0.0], 0) for i in range(4)]
+    rows += [(10 + i, [0.0, 2.0 + 0.01 * i], 1) for i in range(4)]
+    rows += [(99, [0.0, 5.0], 0), (50, [0.0, 0.0], 1)]
+    _write_embeddings(spark, tmp_path, rows)
+    got = {(r["label"], r["assigned"]): (r["n_vecs"], r["label_share"])
+           for r in q_centroid_confusion(spark, str(tmp_path)).collect()}
+    # label 0: 4 on-axis correct, 1 mislabel assigned to centroid 1
+    assert got[(0, 0)] == (4, 0.8)
+    assert got[(0, 1)] == (1, 0.2)
+    # label 1: the zero vector is dropped -> 4 of 4 correct
+    assert got[(1, 1)] == (4, 1.0)
+    assert (1, 0) not in got
+
+
+def test_centroid_confusion_tie_breaks_to_lowest_label(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_centroid_confusion
+
+    # two labels with IDENTICAL centroids -> every cosine ties at 1.0
+    # after round(6); the winner must be the lowest label for all rows.
+    rows = [(1, [1.0, 1.0], 3), (2, [2.0, 2.0], 3),
+            (3, [1.0, 1.0], 5), (4, [2.0, 2.0], 5)]
+    _write_embeddings(spark, tmp_path, rows)
+    got = {(r["label"], r["assigned"]): r["n_vecs"]
+           for r in q_centroid_confusion(spark, str(tmp_path)).collect()}
+    assert got == {(3, 3): 2, (5, 3): 2}
+
+
+# ------------------------------------------------- perplexity_prune_sweep
+
+
+def test_perplexity_prune_sweep_hand_unigram_lm(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_perplexity_prune_sweep
+
+    # tiny corpus, vocab << 1000 so every token is in-model
+    docs = [(1, "aa aa aa aa", "en", "s"),      # common token -> low xent
+            (2, "aa aa bb cc", "en", "s"),
+            (3, "dd ee ff gg", "en", "s")]      # all-rare -> high xent
+    _write_documents(spark, tmp_path, docs)
+    counts = {}
+    for _, text, _, _ in docs:
+        for t in _toks(text):
+            counts[t] = counts.get(t, 0) + 1
+    nn = sum(counts.values())
+    xent = {}
+    for did, text, _, _ in docs:
+        toks = _toks(text)
+        xent[did] = round(
+            sum(-math.log(counts[t] / nn) for t in toks) / len(toks), 4)
+    out = q_perplexity_prune_sweep(spark, str(tmp_path)).collect()
+    assert {r["max_xent"] for r in out} == {3.0, 4.0, 5.0, 6.0, 7.0, 8.0}
+    tok_n = {1: 4, 2: 4, 3: 4}
+    for r in out:
+        kept = [d for d in xent if xent[d] <= r["max_xent"]]
+        assert r["docs_kept"] == len(kept)
+        assert r["docs_total"] == 3
+        assert r["tokens_kept"] == sum(tok_n[d] for d in kept)
+        assert r["doc_retention"] == round(len(kept) / 3, 4)
+        assert r["token_retention"] == round(
+            sum(tok_n[d] for d in kept) / 12, 4)
+    # sanity: the sweep is not degenerate — some threshold separates docs
+    assert min(xent.values()) < 2.0 < max(xent.values())
