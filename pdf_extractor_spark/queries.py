@@ -12527,6 +12527,187 @@ GROUP BY max_xent
 """
 
 
+def q_embedding_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact-duplicate audit of the embedding table: vectors
+    that are bit-identical across rows (the dup_group_report convention
+    — a clean corpus yields an all-zero row, never an empty one).
+    Exact embedding dups are a distinct failure from text dups: they
+    flag re-encoded copies, a stuck encoder emitting a constant vector,
+    or an upsert bug double-writing rows — and they silently distort
+    every centroid, IVF cell, and `semantic_dedup` threshold fitted on
+    the table.  `max_labels_in_group` > 1 is the labeling-inconsistency
+    alarm (the same vector filed under two labels).
+
+    Scale shape: one GROUP BY over the vector value (here the raw
+    array; at corpus scale pre-digest the little-endian bytes so the
+    shuffle key is 16 bytes, same plan shape), then a one-row fold over
+    the group table."""
+    return _sql(
+        spark, sf_dir, ["embeddings"],
+        """
+        WITH g AS (
+          SELECT embedding, cast(count(*) as bigint) AS n,
+                 cast(count(DISTINCT label) as bigint) AS n_labels
+          FROM embeddings
+          GROUP BY embedding
+        )
+        SELECT cast(sum(n) as bigint) AS n_vecs,
+               cast(count(*) as bigint) AS n_distinct,
+               cast(count(*) FILTER (WHERE n > 1) as bigint)
+                 AS n_dup_groups,
+               cast(sum(n) - count(*) as bigint) AS n_extra_copies,
+               cast(max(n) as bigint) AS max_group,
+               cast(max(n_labels) as bigint) AS max_labels_in_group
+        FROM g
+        """,
+    )
+
+
+ORACLE_EMBEDDING_DUP_STATS = """
+WITH g AS (
+  SELECT embedding, count(*)::BIGINT AS n,
+         count(DISTINCT label)::BIGINT AS n_labels
+  FROM embeddings
+  GROUP BY embedding
+)
+SELECT sum(n)::BIGINT AS n_vecs,
+       count(*)::BIGINT AS n_distinct,
+       (count(*) FILTER (WHERE n > 1))::BIGINT AS n_dup_groups,
+       (sum(n) - count(*))::BIGINT AS n_extra_copies,
+       max(n)::BIGINT AS max_group,
+       max(n_labels)::BIGINT AS max_labels_in_group
+FROM g
+"""
+
+
+_CANARY_PHRASES = (
+    "as an ai language model",
+    "lorem ipsum",
+    "all rights reserved",
+    "click here",
+    "terms of service",
+)
+
+
+def q_canary_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/synthetic-contamination canary scan: for each phrase
+    in a curated watchlist (model-refusal tells, filler text, license
+    and nav boilerplate), how many documents contain it and how many
+    times it occurs corpus-wide.  A rising "as an ai language model"
+    share means model output is leaking back into the crawl; "lorem
+    ipsum" and nav phrases mean the HTML extractor is keeping chrome —
+    each phrase is a cheap standing monitor that fires BEFORE quality
+    scores drift (`quality_trend`'s targeted companion).
+
+    Scale shape: substring counting is pure per-row string math
+    (length-difference / replace — no regex, no tokenize); the 5-row
+    phrase grid cross-joins map-side and the aggregate reduces to 5
+    groups with map-side combine."""
+    phrases = ", ".join(f"'{p}'" for p in _CANARY_PHRASES)
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH ph AS (
+          SELECT explode(array({phrases})) AS phrase
+        ), hits AS (
+          SELECT phrase,
+                 cast((length(lower(coalesce(text, '')))
+                       - length(replace(lower(coalesce(text, '')),
+                                        phrase, '')))
+                      / length(phrase) as bigint) AS occ
+          FROM documents CROSS JOIN ph
+        )
+        SELECT phrase,
+               cast(count(*) FILTER (WHERE occ > 0) as bigint) AS n_docs,
+               cast(sum(occ) as bigint) AS n_occurrences,
+               round(cast(count(*) FILTER (WHERE occ > 0) as double)
+                     / cast(greatest(count(*), 1) as double), 4)
+                 AS doc_share
+        FROM hits
+        GROUP BY phrase
+        """,
+    )
+
+
+ORACLE_CANARY_PHRASES = f"""
+WITH ph AS (
+  SELECT unnest([{", ".join(f"'{p}'" for p in _CANARY_PHRASES)}]) AS phrase
+), hits AS (
+  SELECT phrase,
+         ((length(lower(coalesce(text, '')))
+           - length(replace(lower(coalesce(text, '')), phrase, '')))
+          / length(phrase))::BIGINT AS occ
+  FROM documents CROSS JOIN ph
+)
+SELECT phrase,
+       (count(*) FILTER (WHERE occ > 0))::BIGINT AS n_docs,
+       sum(occ)::BIGINT AS n_occurrences,
+       round((count(*) FILTER (WHERE occ > 0))::DOUBLE
+             / greatest(count(*), 1)::DOUBLE, 4) AS doc_share
+FROM hits
+GROUP BY phrase
+"""
+
+
+def q_inter_event_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival profile: the gap (whole seconds, the
+    unix_timestamp()/floor(epoch()) parity convention) between each
+    event and the SAME USER's previous event of any type, attributed to
+    the later event's type and summarized as p50/p90/p99/max.  A type
+    whose p99 collapses toward zero is firing in machine-speed bursts
+    (retry storm, instrumentation bug); one whose median stretches means
+    the funnel stage went cold — the per-type companion to `sessionize`
+    (which picks ONE global gap) and `burstiness`.
+
+    Scale shape: one user-keyed exchange for the lag window (the
+    sessionize shuffle — salting caveat for a mega-user), then an exact
+    grouped percentile over |types| keys; at corpus scale swap
+    percentile() for approx_percentile, same plan."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH g AS (
+          SELECT event_type,
+                 unix_timestamp(ts)
+                   - unix_timestamp(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+          FROM events
+        )
+        SELECT event_type,
+               cast(count(gap) as bigint) AS n_gaps,
+               round(percentile(gap, 0.5D), 2) AS p50_sec,
+               round(percentile(gap, 0.9D), 2) AS p90_sec,
+               round(percentile(gap, 0.99D), 2) AS p99_sec,
+               cast(max(gap) as bigint) AS max_sec,
+               round(avg(gap), 2) AS mean_sec
+        FROM g
+        WHERE gap IS NOT NULL
+        GROUP BY event_type
+        """,
+    )
+
+
+ORACLE_INTER_EVENT_GAP_PROFILE = """
+WITH g AS (
+  SELECT event_type,
+         floor(epoch(ts))
+           - floor(epoch(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id))) AS gap
+  FROM events
+)
+SELECT event_type,
+       count(gap)::BIGINT AS n_gaps,
+       round(quantile_cont(gap, 0.5), 2) AS p50_sec,
+       round(quantile_cont(gap, 0.9), 2) AS p90_sec,
+       round(quantile_cont(gap, 0.99), 2) AS p99_sec,
+       max(gap)::BIGINT AS max_sec,
+       round(avg(gap), 2) AS mean_sec
+FROM g
+WHERE gap IS NOT NULL
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -12780,6 +12961,11 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "centroid_confusion": (q_centroid_confusion, ORACLE_CENTROID_CONFUSION),
     "perplexity_prune_sweep": (
         q_perplexity_prune_sweep, ORACLE_PERPLEXITY_PRUNE_SWEEP,
+    ),
+    "embedding_dup_stats": (q_embedding_dup_stats, ORACLE_EMBEDDING_DUP_STATS),
+    "canary_phrases": (q_canary_phrases, ORACLE_CANARY_PHRASES),
+    "inter_event_gap_profile": (
+        q_inter_event_gap_profile, ORACLE_INTER_EVENT_GAP_PROFILE,
     ),
 }
 

@@ -1185,3 +1185,37 @@ def test_perplexity_prune_sweep_model_broadcast_tiny_grid(spark, registry):
     assert 1 <= final.count("Scan parquet") <= 2
     assert "SortMergeJoin" not in final
     assert "CartesianProduct" not in final
+
+
+def test_embedding_dup_stats_single_scan_group_fold(spark, registry):
+    """One GROUP BY over the vector value, one-row fold on top — no
+    join, no explode of the embedding array."""
+    df = registry["embedding_dup_stats"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Generate" not in final
+    assert "SortMergeJoin" not in final
+
+
+def test_canary_phrases_mapside_grid_no_regex_udf(spark, registry):
+    """The 5-row phrase grid expands map-side (broadcast nested loop
+    against a tiny exploded literal); counting is native string math —
+    no Python stage, no SMJ."""
+    df = registry["canary_phrases"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in final
+    assert "Python" not in final  # native path only
+
+
+def test_inter_event_gap_profile_one_window_one_agg(spark, registry):
+    """One user-keyed window exchange feeds the |types|-key percentile
+    aggregate — no join anywhere."""
+    df = registry["inter_event_gap_profile"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Window" in final

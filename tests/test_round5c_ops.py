@@ -5,7 +5,10 @@ the 4-epoch repeat cap), shard_balance (token balance of the 64-way hash
 sharding), embedding_norm_profile (per-label L2-norm health probe);
 batch 5: embedding_dim_stats (dead/low-variance dimension audit),
 centroid_confusion (nearest-centroid label purity matrix),
-perplexity_prune_sweep (retention grid over unigram-LM cutoffs)."""
+perplexity_prune_sweep (retention grid over unigram-LM cutoffs);
+batch 6: embedding_dup_stats (bit-identical vector audit), canary_phrases
+(boilerplate/model-leak watchlist scan), inter_event_gap_profile
+(per-type inter-arrival percentiles)."""
 
 from __future__ import annotations
 
@@ -235,3 +238,92 @@ def test_perplexity_prune_sweep_hand_unigram_lm(spark, tmp_path):
             sum(tok_n[d] for d in kept) / 12, 4)
     # sanity: the sweep is not degenerate — some threshold separates docs
     assert min(xent.values()) < 2.0 < max(xent.values())
+
+
+# ---------------------------------------------------- embedding_dup_stats
+
+
+def test_embedding_dup_stats_counts_and_label_split(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_embedding_dup_stats
+
+    # 3 copies of v1 (labels 0,0,1 -> label-inconsistency), 2 of v2, 1 of v3
+    rows = [(1, [1.0, 2.0], 0), (2, [1.0, 2.0], 0), (3, [1.0, 2.0], 1),
+            (4, [3.0, 0.0], 2), (5, [3.0, 0.0], 2), (6, [9.0, 9.0], 3)]
+    _write_embeddings(spark, tmp_path, rows)
+    r = q_embedding_dup_stats(spark, str(tmp_path)).collect()[0]
+    assert r["n_vecs"] == 6 and r["n_distinct"] == 3
+    assert r["n_dup_groups"] == 2 and r["n_extra_copies"] == 3
+    assert r["max_group"] == 3 and r["max_labels_in_group"] == 2
+
+
+def test_embedding_dup_stats_clean_corpus_all_zero_row(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_embedding_dup_stats
+
+    rows = [(i, [float(i), 1.0], 0) for i in range(5)]
+    _write_embeddings(spark, tmp_path, rows)
+    r = q_embedding_dup_stats(spark, str(tmp_path)).collect()[0]
+    assert (r["n_vecs"], r["n_distinct"]) == (5, 5)
+    assert r["n_dup_groups"] == 0 and r["n_extra_copies"] == 0
+    assert r["max_group"] == 1 and r["max_labels_in_group"] == 1
+
+
+# --------------------------------------------------------- canary_phrases
+
+
+def test_canary_phrases_counts_and_share(spark, tmp_path):
+    from pdf_extractor_spark.queries import _CANARY_PHRASES, q_canary_phrases
+
+    docs = [
+        (1, "Lorem ipsum dolor. lorem ipsum again", "en", "s"),
+        (2, "As an AI language model I cannot", "en", "s"),
+        (3, "plain text with nothing suspicious", "en", "s"),
+        (4, "Click here! click here. CLICK HERE", "en", "s"),
+    ]
+    _write_documents(spark, tmp_path, docs)
+    got = {r["phrase"]: r for r in
+           q_canary_phrases(spark, str(tmp_path)).collect()}
+    assert set(got) == set(_CANARY_PHRASES)
+    assert got["lorem ipsum"]["n_docs"] == 1
+    assert got["lorem ipsum"]["n_occurrences"] == 2
+    assert got["lorem ipsum"]["doc_share"] == 0.25
+    assert got["as an ai language model"]["n_docs"] == 1
+    assert got["click here"]["n_occurrences"] == 3
+    assert got["terms of service"]["n_docs"] == 0
+    assert got["terms of service"]["n_occurrences"] == 0
+    assert got["terms of service"]["doc_share"] == 0.0
+
+
+# ------------------------------------------------- inter_event_gap_profile
+
+
+def test_inter_event_gap_profile_hand_gaps(spark, tmp_path):
+    import datetime as dt
+
+    from pdf_extractor_spark.queries import q_inter_event_gap_profile
+
+    t0 = dt.datetime(2024, 1, 1)
+    # user 1: view @0s, click @10s, click @40s -> gaps: click 10, click 30
+    # user 2: view @0s, error @100s -> gap: error 100
+    rows = [
+        (1, t0, 1, "view", 0.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=10), 1, "click", 0.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=40), 1, "click", 0.0, "{}"),
+        (4, t0, 2, "view", 0.0, "{}"),
+        (5, t0 + dt.timedelta(seconds=100), 2, "error", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {r["event_type"]: r for r in
+           q_inter_event_gap_profile(spark, str(tmp_path)).collect()}
+    # first event per user has no gap -> 'view' never appears
+    assert set(got) == {"click", "error"}
+    c = got["click"]
+    assert c["n_gaps"] == 2 and c["max_sec"] == 30
+    assert c["p50_sec"] == 20.0  # interpolated between 10 and 30
+    assert c["mean_sec"] == 20.0
+    assert c["p90_sec"] == 28.0  # pos 0.9 -> 10 + 0.9*20
+    e = got["error"]
+    assert e["n_gaps"] == 1 and e["p50_sec"] == 100.0 and e["max_sec"] == 100
