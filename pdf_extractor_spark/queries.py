@@ -12708,6 +12708,276 @@ GROUP BY event_type
 """
 
 
+def q_split_ngram_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-level train/val leakage: after the standard 90/10 doc-hash
+    split, what share of the validation set's distinct 8-gram shingles
+    also appear in train?  `split_leakage_check` proves no DOCUMENT
+    straddles the split; this measures the finer leak eval-decontam
+    actually worries about — phrases memorized from train inflating val
+    (the GPT-3/PaLM 8-13-gram decontamination window, applied to our own
+    split instead of an external benchmark).  Docs shorter than the
+    window contribute their whole text as one shingle.
+
+    Scale shape: shingles hash to bigints BEFORE anything shuffles (the
+    ngram_novelty lesson — 8-byte keys, never strings); train collapses
+    to DISTINCT hashes and the leak test is one digest-keyed LEFT JOIN
+    of the val side (both sides already distinct-reduced, so the join
+    carries vocabulary cardinality, not token volume); doc counts fold
+    on the same pass."""
+    g8 = _SPARK_MD5INT.format(
+        x="concat_ws(' ', element_at(t,i), element_at(t,i+1),"
+          " element_at(t,i+2), element_at(t,i+3), element_at(t,i+4),"
+          " element_at(t,i+5), element_at(t,i+6), element_at(t,i+7))"
+    )
+    whole = _SPARK_MD5INT.format(x="concat_ws(' ', t)")
+    split = _SPARK_MD5INT.format(x="concat(cast(doc_id as string), ':split')")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH toks AS (
+          SELECT doc_id, {_SPARK_TOKENS.format(x='text')} AS t
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, {split} % 10 < 9 AS is_train,
+                 CASE WHEN size(t) >= 8
+                      THEN transform(sequence(1, size(t)-7), i -> {g8})
+                      ELSE array({whole}) END AS hs
+          FROM toks WHERE size(t) > 0
+        ), pairs AS (
+          SELECT doc_id, is_train, h
+          FROM sh LATERAL VIEW explode(hs) AS h
+        ), tr AS (
+          SELECT DISTINCT h FROM pairs WHERE is_train
+        ), va AS (
+          SELECT DISTINCT doc_id, h FROM pairs WHERE NOT is_train
+        ), j AS (
+          SELECT va.doc_id, va.h, tr.h IS NOT NULL AS hit
+          FROM va LEFT JOIN tr ON va.h = tr.h
+        ), docs AS (
+          SELECT cast(count(DISTINCT CASE WHEN is_train THEN doc_id END)
+                      as bigint) AS n_train_docs,
+                 cast(count(DISTINCT CASE WHEN NOT is_train THEN doc_id END)
+                      as bigint) AS n_val_docs
+          FROM sh
+        ), leak AS (
+          SELECT cast(count(DISTINCT h) as bigint) AS n_val_shingles,
+                 cast(count(DISTINCT CASE WHEN hit THEN h END) as bigint)
+                   AS n_leaked_shingles,
+                 cast(count(DISTINCT CASE WHEN hit THEN doc_id END)
+                      as bigint) AS n_val_docs_leaked
+          FROM j
+        )
+        SELECT n_train_docs, n_val_docs, n_val_shingles, n_leaked_shingles,
+               round(n_leaked_shingles
+                     / cast(greatest(n_val_shingles, 1) as double), 4)
+                 AS shingle_leak_rate,
+               n_val_docs_leaked,
+               round(n_val_docs_leaked
+                     / cast(greatest(n_val_docs, 1) as double), 4)
+                 AS val_doc_leak_rate
+        FROM docs CROSS JOIN leak
+        """,
+    )
+
+
+_DUCK_G8 = _DUCK_MD5INT.format(
+    x="t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||"
+      " t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]"
+)
+
+ORACLE_SPLIT_NGRAM_LEAKAGE = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(x='text')} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         {_DUCK_MD5INT.format(x="doc_id::VARCHAR || ':split'")} % 10 < 9
+           AS is_train,
+         CASE WHEN len(t) >= 8
+              THEN [{_DUCK_G8} FOR i IN range(1, len(t)-6)]
+              ELSE [{_DUCK_MD5INT.format(x="array_to_string(t, ' ')")}]
+         END AS hs
+  FROM toks WHERE len(t) > 0
+), pairs AS (
+  SELECT doc_id, is_train, unnest(hs) AS h FROM sh
+), tr AS (
+  SELECT DISTINCT h FROM pairs WHERE is_train
+), va AS (
+  SELECT DISTINCT doc_id, h FROM pairs WHERE NOT is_train
+), j AS (
+  SELECT va.doc_id, va.h, tr.h IS NOT NULL AS hit
+  FROM va LEFT JOIN tr ON va.h = tr.h
+), docs AS (
+  SELECT count(DISTINCT CASE WHEN is_train THEN doc_id END)::BIGINT
+           AS n_train_docs,
+         count(DISTINCT CASE WHEN NOT is_train THEN doc_id END)::BIGINT
+           AS n_val_docs
+  FROM sh
+), leak AS (
+  SELECT count(DISTINCT h)::BIGINT AS n_val_shingles,
+         count(DISTINCT CASE WHEN hit THEN h END)::BIGINT
+           AS n_leaked_shingles,
+         count(DISTINCT CASE WHEN hit THEN doc_id END)::BIGINT
+           AS n_val_docs_leaked
+  FROM j
+)
+SELECT n_train_docs, n_val_docs, n_val_shingles, n_leaked_shingles,
+       round(n_leaked_shingles / greatest(n_val_shingles, 1)::DOUBLE, 4)
+         AS shingle_leak_rate,
+       n_val_docs_leaked,
+       round(n_val_docs_leaked / greatest(n_val_docs, 1)::DOUBLE, 4)
+         AS val_doc_leak_rate
+FROM docs CROSS JOIN leak
+"""
+
+
+def q_filter_lang_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fairness audit of the cheap curation gate: per-language pass rate
+    vs the corpus rate (relative rate < 1 = the filter under-selects
+    that language).  Length bands and ENGLISH stopword lists — the
+    Gopher/C4 heuristics — are known to discriminate against
+    non-English and non-prose text; this measures that bias on OUR gate
+    (`quality_trend`'s gate, sliced by lang instead of arrival decile)
+    before the filter silently reshapes the language mix that
+    `conv_lang_mix`/`source_mix` were balanced on.
+
+    Scale shape: one scan computes the per-row flag; the fold is a
+    |langs|-key aggregate and the corpus-rate normalization is a window
+    over that tiny table."""
+    toks = _SPARK_TOKENS.format(x="coalesce(text, '')")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH flagged AS (
+          SELECT lang,
+                 (n_chars >= 100 AND n_chars <= 20000
+                  AND coalesce(arrays_overlap({toks},
+                        array({_STOPWORDS})), false)) AS pass
+          FROM documents
+        ), per AS (
+          SELECT lang, cast(count(*) as bigint) AS n_docs,
+                 cast(sum(CASE WHEN pass THEN 1 ELSE 0 END) as bigint)
+                   AS n_pass
+          FROM flagged GROUP BY lang
+        )
+        SELECT lang, n_docs, n_pass,
+               round(n_pass / cast(greatest(n_docs, 1) as double), 4)
+                 AS pass_rate,
+               round(sum(n_pass) OVER ()
+                     / cast(greatest(sum(n_docs) OVER (), 1) as double), 4)
+                 AS corpus_rate,
+               round((n_pass / cast(greatest(n_docs, 1) as double))
+                     / (sum(n_pass) OVER ()
+                        / cast(greatest(sum(n_docs) OVER (), 1)
+                               as double)), 4) AS relative_rate
+        FROM per
+        """,
+    )
+
+
+ORACLE_FILTER_LANG_BIAS = f"""
+WITH flagged AS (
+  SELECT lang,
+         (n_chars >= 100 AND n_chars <= 20000
+          AND coalesce(len(list_intersect(
+                {_DUCK_TOKENS.format(x="coalesce(text, '')")},
+                [{_STOPWORDS}])) > 0, false)) AS pass
+  FROM documents
+), per AS (
+  SELECT lang, count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS n_pass
+  FROM flagged GROUP BY lang
+)
+SELECT lang, n_docs, n_pass,
+       round(n_pass / greatest(n_docs, 1)::DOUBLE, 4) AS pass_rate,
+       round(sum(n_pass) OVER ()
+             / greatest(sum(n_docs) OVER (), 1)::DOUBLE, 4) AS corpus_rate,
+       round((n_pass / greatest(n_docs, 1)::DOUBLE)
+             / (sum(n_pass) OVER ()
+                / greatest(sum(n_docs) OVER (), 1)::DOUBLE), 4)
+         AS relative_rate
+FROM per
+"""
+
+
+def q_lsh_band_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-size audit per band: bucket count, max and p99 bucket
+    size, singleton share, the estimated verify workload Σ n(n-1)/2
+    over in-cap buckets, and how many buckets the `_LSH_BUCKET_CAP`
+    super-bucket guard would drop.  est_pairs IS the cost model for
+    `near_dup_verified`'s candidate stage — a band whose p99 bucket
+    grows round-over-round means boilerplate is fusing buckets and the
+    banding (or the cap) needs retuning BEFORE the verify join blows up
+    (`partition_skew_sweep`'s domain-specific sibling).
+
+    Scale shape: the signature subtree (one tokenize+hash scan) feeds
+    one (band, bucket) aggregate — bucket sizes, ~4n rows reduced with
+    map-side combine — and the report is a 4-group fold with an exact
+    percentile over each band's bucket-size list (swap approx_percentile
+    at corpus scale, same plan)."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", F.col(f"mh{i}"), F.col(f"mh{j}")).alias("bucket"),
+            )
+            for b, (i, j) in enumerate(_BAND_DEFS)
+        ]
+    )
+    sizes = (
+        sig.select("doc_id", F.explode(band_structs).alias("bb"))
+        .select("doc_id", "bb.band", "bb.bucket")
+        .groupBy("band", "bucket")
+        .agg(F.expr("cast(count(*) as bigint)").alias("n"))
+    )
+    return sizes.groupBy("band").agg(
+        F.expr("cast(count(*) as bigint)").alias("n_buckets"),
+        F.expr("cast(sum(n) as bigint)").alias("n_docs"),
+        F.expr("cast(max(n) as bigint)").alias("max_bucket"),
+        F.expr("round(percentile(n, 0.99D), 2)").alias("p99_bucket"),
+        F.expr(
+            "round(count(*) FILTER (WHERE n = 1)"
+            " / cast(greatest(count(*), 1) as double), 4)"
+        ).alias("singleton_share"),
+        F.expr(
+            f"cast(sum(CASE WHEN n BETWEEN 2 AND {_LSH_BUCKET_CAP}"
+            " THEN n * (n - 1) div 2 ELSE 0 END) as bigint)"
+        ).alias("est_pairs"),
+        F.expr(
+            f"cast(count(*) FILTER (WHERE n > {_LSH_BUCKET_CAP}) as bigint)"
+        ).alias("over_cap_buckets"),
+    ).selectExpr(
+        "cast(band as int) AS band", "n_buckets", "n_docs", "max_bucket",
+        "p99_bucket", "singleton_share", "est_pairs", "over_cap_buckets",
+    )
+
+
+ORACLE_LSH_BAND_BALANCE = (
+    _DUCK_SHINGLES.replace("WITH toks", "WITH sig AS (WITH toks")
+    .rstrip()
+    + _DUCK_HASHED
+    + f"SELECT doc_id,\n{_duck_mh_cols()}\nFROM hashed),\n"
+    + f"bands AS ({_duck_band_sql()}),\n"
+    + f"""sizes AS (
+  SELECT band, bucket, count(*)::BIGINT AS n FROM bands GROUP BY band, bucket
+)
+SELECT band::INT AS band,
+       count(*)::BIGINT AS n_buckets,
+       sum(n)::BIGINT AS n_docs,
+       max(n)::BIGINT AS max_bucket,
+       round(quantile_cont(n, 0.99), 2) AS p99_bucket,
+       round((count(*) FILTER (WHERE n = 1))
+             / greatest(count(*), 1)::DOUBLE, 4) AS singleton_share,
+       sum(CASE WHEN n BETWEEN 2 AND {_LSH_BUCKET_CAP}
+                THEN n * (n - 1) // 2 ELSE 0 END)::BIGINT AS est_pairs,
+       (count(*) FILTER (WHERE n > {_LSH_BUCKET_CAP}))::BIGINT
+         AS over_cap_buckets
+FROM sizes
+GROUP BY band
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -12967,6 +13237,9 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "inter_event_gap_profile": (
         q_inter_event_gap_profile, ORACLE_INTER_EVENT_GAP_PROFILE,
     ),
+    "split_ngram_leakage": (q_split_ngram_leakage, ORACLE_SPLIT_NGRAM_LEAKAGE),
+    "filter_lang_bias": (q_filter_lang_bias, ORACLE_FILTER_LANG_BIAS),
+    "lsh_band_balance": (q_lsh_band_balance, ORACLE_LSH_BAND_BALANCE),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

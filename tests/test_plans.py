@@ -1219,3 +1219,33 @@ def test_inter_event_gap_profile_one_window_one_agg(spark, registry):
     assert final.count("Scan parquet") == 1
     assert "Join" not in final
     assert "Window" in final
+
+
+def test_split_ngram_leakage_hashed_before_shuffle_no_smj(spark, registry):
+    """Shingles become bigints map-side; train/val reduce to DISTINCT
+    digest sets before the one leak join — no string keys shuffle and
+    no sort-merge join (both distinct sides hash-join)."""
+    df = registry["split_ngram_leakage"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final or "BroadcastNestedLoop" in final
+    assert "Python" not in final
+
+
+def test_filter_lang_bias_single_scan_tiny_window(spark, registry):
+    df = registry["filter_lang_bias"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in final
+    assert "Generate" not in final
+
+
+def test_lsh_band_balance_one_signature_pass(spark, registry):
+    """One tokenize+hash scan feeds the (band, bucket) aggregate; the
+    band report is a 4-group fold — no join, no pair expansion."""
+    df = registry["lsh_band_balance"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final

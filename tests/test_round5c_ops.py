@@ -8,7 +8,9 @@ centroid_confusion (nearest-centroid label purity matrix),
 perplexity_prune_sweep (retention grid over unigram-LM cutoffs);
 batch 6: embedding_dup_stats (bit-identical vector audit), canary_phrases
 (boilerplate/model-leak watchlist scan), inter_event_gap_profile
-(per-type inter-arrival percentiles)."""
+(per-type inter-arrival percentiles); batch 7: split_ngram_leakage
+(8-gram train/val leak rate), filter_lang_bias (curation-gate fairness
+by language), lsh_band_balance (bucket-size audit / verify cost model)."""
 
 from __future__ import annotations
 
@@ -327,3 +329,125 @@ def test_inter_event_gap_profile_hand_gaps(spark, tmp_path):
     assert c["p90_sec"] == 28.0  # pos 0.9 -> 10 + 0.9*20
     e = got["error"]
     assert e["n_gaps"] == 1 and e["p50_sec"] == 100.0 and e["max_sec"] == 100
+
+
+# ------------------------------------------------------ split_ngram_leakage
+
+
+def _split_is_train(doc_id):
+    return _md5int(f"{doc_id}:split") % 10 < 9
+
+
+def _shingle8(text):
+    t = _toks(text)
+    if len(t) >= 8:
+        return {_md5int(" ".join(t[i:i + 8])) for i in range(len(t) - 7)}
+    return {_md5int(" ".join(t))}
+
+
+def test_split_ngram_leakage_hand_split_and_overlap(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_split_ngram_leakage
+
+    # find one val id and several train ids under the real split hash
+    ids = list(range(200))
+    val_ids = [i for i in ids if not _split_is_train(i)][:2]
+    train_ids = [i for i in ids if _split_is_train(i)][:3]
+    assert len(val_ids) == 2 and len(train_ids) == 3
+    shared = "one two three four five six seven eight nine ten"
+    unique = "alpha beta gamma delta epsilon zeta eta theta iota"
+    docs = [(train_ids[0], shared, "en", "s"),
+            (train_ids[1], "filler words only here", "en", "s"),
+            (train_ids[2], "more filler text rows", "en", "s"),
+            (val_ids[0], shared, "en", "s"),     # fully leaked from train
+            (val_ids[1], unique, "en", "s")]     # no overlap
+    _write_documents(spark, tmp_path, docs)
+    r = q_split_ngram_leakage(spark, str(tmp_path)).collect()[0]
+    text_by_id = {d[0]: d[1] for d in docs}
+    tr_sh = set().union(*[_shingle8(text_by_id[i]) for i in train_ids])
+    va_sh = {i: _shingle8(text_by_id[i]) for i in val_ids}
+    all_val = set().union(*va_sh.values())
+    leaked = all_val & tr_sh
+    assert r["n_train_docs"] == 3 and r["n_val_docs"] == 2
+    assert r["n_val_shingles"] == len(all_val)
+    assert r["n_leaked_shingles"] == len(leaked)
+    assert r["shingle_leak_rate"] == round(len(leaked) / len(all_val), 4)
+    docs_leaked = sum(1 for i in val_ids if va_sh[i] & tr_sh)
+    assert r["n_val_docs_leaked"] == docs_leaked == 1
+    assert r["val_doc_leak_rate"] == 0.5
+
+
+# --------------------------------------------------------- filter_lang_bias
+
+
+def test_filter_lang_bias_relative_rates(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_filter_lang_bias
+
+    passing = "the quick brown fox jumps over the lazy dog " * 4  # has 'the'
+    failing = "wort satz zeile buch " * 10                        # no stopword
+    rows = [(i, passing, "en", "s") for i in range(4)]
+    rows += [(10 + i, failing, "de", "s") for i in range(3)]
+    rows += [(20, passing, "de", "s")]   # one german doc passes
+    _write_documents(spark, tmp_path, rows)
+    got = {r["lang"]: r for r in
+           q_filter_lang_bias(spark, str(tmp_path)).collect()}
+    corpus = 5 / 8
+    en = got["en"]
+    assert en["n_docs"] == 4 and en["n_pass"] == 4
+    assert en["pass_rate"] == 1.0 and en["corpus_rate"] == round(corpus, 4)
+    assert en["relative_rate"] == round(1.0 / corpus, 4)
+    de = got["de"]
+    assert de["n_docs"] == 4 and de["n_pass"] == 1
+    assert de["pass_rate"] == 0.25
+    assert de["relative_rate"] == round(0.25 / corpus, 4)
+
+
+# --------------------------------------------------------- lsh_band_balance
+
+
+def test_lsh_band_balance_python_replication(spark, tmp_path):
+    from pdf_extractor_spark.queries import (
+        _BAND_DEFS,
+        _LSH_BUCKET_CAP,
+        _MH_COEFFS,
+        _MH_PRIME,
+        q_lsh_band_balance,
+    )
+
+    base = "zero one two three four five six seven eight nine"
+    docs = [(i, base, "en", "s") for i in range(3)]          # 3 identical
+    docs += [(10, base + " extra tail words", "en", "s")]    # near-dup
+    docs += [(20, "totally different words entirely here now", "en", "s")]
+    _write_documents(spark, tmp_path, docs)
+
+    def shingles3(text):
+        t = _toks(text)
+        if len(t) >= 3:
+            return [" ".join(t[i:i + 3]) for i in range(len(t) - 2)]
+        return [" ".join(t)]
+
+    buckets = {}
+    for did, text, _, _ in docs:
+        hs = [_md5int(s) for s in shingles3(text)]
+        mh = [min((a * h + b) % _MH_PRIME for h in hs)
+              for a, b in _MH_COEFFS]
+        for band, (i, j) in enumerate(_BAND_DEFS):
+            key = (band, f"{mh[i]}_{mh[j]}")
+            buckets[key] = buckets.get(key, 0) + 1
+    exp = {}
+    for (band, _), n in buckets.items():
+        exp.setdefault(band, []).append(n)
+    got = {r["band"]: r for r in
+           q_lsh_band_balance(spark, str(tmp_path)).collect()}
+    assert set(got) == set(exp)
+    for band, ns in exp.items():
+        r = got[band]
+        assert r["n_buckets"] == len(ns)
+        assert r["n_docs"] == sum(ns) == 5
+        assert r["max_bucket"] == max(ns)
+        assert r["singleton_share"] == round(
+            sum(1 for n in ns if n == 1) / len(ns), 4)
+        assert r["est_pairs"] == sum(
+            n * (n - 1) // 2 for n in ns if 2 <= n <= _LSH_BUCKET_CAP)
+        assert r["over_cap_buckets"] == 0
+    # the three identical docs share every band bucket
+    assert all(got[b]["max_bucket"] >= 3 for b in got)
