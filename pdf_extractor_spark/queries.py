@@ -12978,6 +12978,201 @@ GROUP BY band
 )
 
 
+def q_turn_length_progression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-length curve over conversation depth: token stats per
+    within-conversation position decile (ntile over turn order), across
+    all conversations in the synthetic view.  Chat transcripts usually
+    LENGTHEN with depth (context accumulates, answers elaborate); a
+    curve that flattens or collapses at late deciles means truncated
+    captures — and the curve is exactly what sizes `_CTX_BUDGETS` for
+    `context_truncation_sweep` (which prices a budget; this explains
+    WHERE in the conversation the cost lands).
+
+    Scale shape: one scan, one (conv, turn-order) window — the
+    extraction pipeline's existing conv-hash exchange — then a 10-group
+    fold with an exact percentile (approx_percentile at corpus scale,
+    same plan)."""
+    toks = _SPARK_TOKENS.format(x="coalesce(text, '')")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH turns AS (
+          SELECT doc_id % {_CONV_MOD} AS conv, doc_id,
+                 cast(size({toks}) as bigint) AS n_tok
+          FROM documents
+        ), tiled AS (
+          SELECT ntile(10) OVER (PARTITION BY conv ORDER BY doc_id)
+                   AS pos_decile,
+                 n_tok
+          FROM turns
+        )
+        SELECT cast(pos_decile as int) AS pos_decile,
+               cast(count(*) as bigint) AS n_turns,
+               round(avg(n_tok), 2) AS mean_tok,
+               round(percentile(n_tok, 0.5D), 2) AS p50_tok,
+               round(percentile(n_tok, 0.9D), 2) AS p90_tok,
+               cast(max(n_tok) as bigint) AS max_tok
+        FROM tiled
+        GROUP BY pos_decile
+        """,
+    )
+
+
+ORACLE_TURN_LENGTH_PROGRESSION = f"""
+WITH turns AS (
+  SELECT doc_id % {_CONV_MOD} AS conv, doc_id,
+         len({_DUCK_TOKENS.format(x="coalesce(text, '')")})::BIGINT AS n_tok
+  FROM documents
+), tiled AS (
+  SELECT ntile(10) OVER (PARTITION BY conv ORDER BY doc_id) AS pos_decile,
+         n_tok
+  FROM turns
+)
+SELECT pos_decile::INT AS pos_decile,
+       count(*)::BIGINT AS n_turns,
+       round(avg(n_tok), 2) AS mean_tok,
+       round(quantile_cont(n_tok, 0.5), 2) AS p50_tok,
+       round(quantile_cont(n_tok, 0.9), 2) AS p90_tok,
+       max(n_tok)::BIGINT AS max_tok
+FROM tiled
+GROUP BY pos_decile
+"""
+
+
+def q_conv_repeated_openers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry-loop detection over the synthetic conversation view: per
+    conversation, how many USER turns reopen with an opener (first 3
+    tokens) already used by an earlier user turn in the same
+    conversation.  Users repeating themselves is the classic
+    failed-interaction signal — heavy-retry conversations teach a model
+    its own failure mode and belong behind a quality gate, not in the
+    mix (`turn_alternation_audit`'s semantic sibling: that op checks
+    protocol shape, this checks content looping).
+
+    Scale shape: one scan derives (conv, opener) for user turns; one
+    (conv, opener)-keyed fold then a conv-keyed fold — both ride the
+    pipeline's conv-hash partitioning; output is conversation-sized."""
+    toks = _SPARK_TOKENS.format(x="coalesce(text, '')")
+    role = _SPARK_MD5INT.format(x="cast(doc_id as string)")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH u AS (
+          SELECT doc_id % {_CONV_MOD} AS conv,
+                 concat_ws(' ', slice({toks}, 1, 3)) AS opener
+          FROM documents
+          WHERE {role} % 2 = 0 AND size({toks}) > 0
+        ), per AS (
+          SELECT conv, opener, cast(count(*) as bigint) AS n
+          FROM u GROUP BY conv, opener
+        )
+        SELECT cast(conv as bigint) AS conv,
+               cast(sum(n) as bigint) AS n_user_turns,
+               cast(count(*) as bigint) AS n_openers,
+               cast(sum(n) - count(*) as bigint) AS n_repeat_turns,
+               cast(max(n) as bigint) AS max_opener_repeats,
+               max(n) >= 2 AS has_retry_loop,
+               round((sum(n) - count(*))
+                     / cast(greatest(sum(n), 1) as double), 4)
+                 AS repeat_share
+        FROM per
+        GROUP BY conv
+        """,
+    )
+
+
+ORACLE_CONV_REPEATED_OPENERS = f"""
+WITH u AS (
+  SELECT doc_id % {_CONV_MOD} AS conv,
+         array_to_string(
+           {_DUCK_TOKENS.format(x="coalesce(text, '')")}[1:3], ' ')
+           AS opener
+  FROM documents
+  WHERE {_DUCK_MD5INT.format(x="cast(doc_id as varchar)")} % 2 = 0
+    AND len({_DUCK_TOKENS.format(x="coalesce(text, '')")}) > 0
+), per AS (
+  SELECT conv, opener, count(*)::BIGINT AS n FROM u GROUP BY conv, opener
+)
+SELECT conv::BIGINT AS conv,
+       sum(n)::BIGINT AS n_user_turns,
+       count(*)::BIGINT AS n_openers,
+       (sum(n) - count(*))::BIGINT AS n_repeat_turns,
+       max(n)::BIGINT AS max_opener_repeats,
+       max(n) >= 2 AS has_retry_loop,
+       round((sum(n) - count(*)) / greatest(sum(n), 1)::DOUBLE, 4)
+         AS repeat_share
+FROM per
+GROUP BY conv
+"""
+
+
+def q_turn_token_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paste-bomb detection: per conversation, turns whose token count
+    exceeds mean + 3·σ of that conversation's own turns (σ = population
+    stddev).  A 50-token chat with one 8,000-token turn is a user
+    pasting a log/document — that turn needs different handling
+    (truncate, summarize, or route to the long-context mix) and it
+    wrecks `sequence_pack` bins sized on the conversation median.
+    Thresholds compare the integer count against the 6dp-rounded bound
+    so both engines flag identical turns.
+
+    Scale shape: one scan; mean/σ come from a window over the same
+    (conv)-partition the fold then groups by — a single conv-hash
+    exchange end-to-end, conversation-sized output."""
+    toks = _SPARK_TOKENS.format(x="coalesce(text, '')")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH turns AS (
+          SELECT doc_id % {_CONV_MOD} AS conv,
+                 cast(size({toks}) as bigint) AS n_tok
+          FROM documents
+        ), w AS (
+          SELECT conv, n_tok,
+                 avg(n_tok) OVER (PARTITION BY conv) AS m,
+                 stddev_pop(n_tok) OVER (PARTITION BY conv) AS sd
+          FROM turns
+        )
+        SELECT cast(conv as bigint) AS conv,
+               cast(count(*) as bigint) AS n_turns,
+               round(max(m), 2) AS mean_tok,
+               round(max(sd), 2) AS sd_tok,
+               cast(max(n_tok) as bigint) AS max_tok,
+               cast(sum(CASE WHEN n_tok > round(m + 3 * sd, 6)
+                             THEN 1 ELSE 0 END) as bigint) AS n_outliers,
+               sum(CASE WHEN n_tok > round(m + 3 * sd, 6)
+                        THEN 1 ELSE 0 END) > 0 AS has_paste_bomb
+        FROM w
+        GROUP BY conv
+        """,
+    )
+
+
+ORACLE_TURN_TOKEN_OUTLIERS = f"""
+WITH turns AS (
+  SELECT doc_id % {_CONV_MOD} AS conv,
+         len({_DUCK_TOKENS.format(x="coalesce(text, '')")})::BIGINT AS n_tok
+  FROM documents
+), w AS (
+  SELECT conv, n_tok,
+         avg(n_tok) OVER (PARTITION BY conv) AS m,
+         stddev_pop(n_tok) OVER (PARTITION BY conv) AS sd
+  FROM turns
+)
+SELECT conv::BIGINT AS conv,
+       count(*)::BIGINT AS n_turns,
+       round(max(m), 2) AS mean_tok,
+       round(max(sd), 2) AS sd_tok,
+       max(n_tok)::BIGINT AS max_tok,
+       sum(CASE WHEN n_tok > round(m + 3 * sd, 6)
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       sum(CASE WHEN n_tok > round(m + 3 * sd, 6) THEN 1 ELSE 0 END) > 0
+         AS has_paste_bomb
+FROM w
+GROUP BY conv
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -13240,6 +13435,13 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "split_ngram_leakage": (q_split_ngram_leakage, ORACLE_SPLIT_NGRAM_LEAKAGE),
     "filter_lang_bias": (q_filter_lang_bias, ORACLE_FILTER_LANG_BIAS),
     "lsh_band_balance": (q_lsh_band_balance, ORACLE_LSH_BAND_BALANCE),
+    "turn_length_progression": (
+        q_turn_length_progression, ORACLE_TURN_LENGTH_PROGRESSION,
+    ),
+    "conv_repeated_openers": (
+        q_conv_repeated_openers, ORACLE_CONV_REPEATED_OPENERS,
+    ),
+    "turn_token_outliers": (q_turn_token_outliers, ORACLE_TURN_TOKEN_OUTLIERS),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

@@ -1249,3 +1249,30 @@ def test_lsh_band_balance_one_signature_pass(spark, registry):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1
     assert "Join" not in final
+
+
+def test_turn_length_progression_one_conv_window(spark, registry):
+    df = registry["turn_length_progression"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Window" in final
+
+
+def test_conv_repeated_openers_conv_keyed_folds_only(spark, registry):
+    df = registry["conv_repeated_openers"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Generate" not in final
+
+
+def test_turn_token_outliers_single_exchange(spark, registry):
+    df = registry["turn_token_outliers"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Window" in final

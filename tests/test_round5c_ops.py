@@ -10,7 +10,10 @@ batch 6: embedding_dup_stats (bit-identical vector audit), canary_phrases
 (boilerplate/model-leak watchlist scan), inter_event_gap_profile
 (per-type inter-arrival percentiles); batch 7: split_ngram_leakage
 (8-gram train/val leak rate), filter_lang_bias (curation-gate fairness
-by language), lsh_band_balance (bucket-size audit / verify cost model)."""
+by language), lsh_band_balance (bucket-size audit / verify cost model);
+batch 8: turn_length_progression (token curve over conversation depth),
+conv_repeated_openers (retry-loop detection), turn_token_outliers
+(paste-bomb detection via per-conv 3σ)."""
 
 from __future__ import annotations
 
@@ -451,3 +454,108 @@ def test_lsh_band_balance_python_replication(spark, tmp_path):
         assert r["over_cap_buckets"] == 0
     # the three identical docs share every band bucket
     assert all(got[b]["max_bucket"] >= 3 for b in got)
+
+
+# ------------------------------------------------- turn_length_progression
+
+
+def _ntile(n_rows, buckets=10):
+    base, rem = divmod(n_rows, buckets)
+    out = []
+    for b in range(1, buckets + 1):
+        out.extend([b] * (base + (1 if b <= rem else 0)))
+    return out
+
+
+def test_turn_length_progression_growth_curve(spark, tmp_path):
+    from pdf_extractor_spark.queries import (
+        _CONV_MOD,
+        q_turn_length_progression,
+    )
+
+    # one conversation (all doc_ids ≡ 1 mod 53), 20 turns whose token
+    # count equals the turn index -> clean monotone decile curve
+    ids = [1 + _CONV_MOD * k for k in range(20)]
+    rows = [(did, "w " * (k + 1), "en", "s") for k, did in enumerate(ids)]
+    _write_documents(spark, tmp_path, rows)
+    tiles = _ntile(20)
+    exp = {}
+    for k, t in enumerate(tiles):
+        exp.setdefault(t, []).append(k + 1)
+    got = {r["pos_decile"]: r for r in
+           q_turn_length_progression(spark, str(tmp_path)).collect()}
+    assert set(got) == set(exp)
+    for d, toks in exp.items():
+        r = got[d]
+        assert r["n_turns"] == len(toks)
+        assert r["mean_tok"] == round(sum(toks) / len(toks), 2)
+        assert r["max_tok"] == max(toks)
+        # each decile holds 2 consecutive ints -> p50 is their midpoint
+        assert r["p50_tok"] == round(sum(toks) / 2, 2)
+    assert got[1]["mean_tok"] < got[10]["mean_tok"]
+
+
+# --------------------------------------------------- conv_repeated_openers
+
+
+def test_conv_repeated_openers_detects_retry_loop(spark, tmp_path):
+    from pdf_extractor_spark.queries import (
+        _CONV_MOD,
+        q_conv_repeated_openers,
+    )
+
+    # collect doc_ids in conv 0 whose md5-derived role is 'user'
+    user_ids = [i for i in range(0, _CONV_MOD * 12, _CONV_MOD)
+                if _md5int(str(i)) % 2 == 0][:4]
+    assert len(user_ids) == 4
+    texts = ["please fix the bug in my code",
+             "please fix the bug again now",     # same opener
+             "please fix the issue once more",   # same opener
+             "how do i install this package"]
+    rows = [(did, texts[k], "en", "s") for k, did in enumerate(user_ids)]
+    # add assistant turns in the same conv — must be ignored
+    asst_ids = [i for i in range(0, _CONV_MOD * 30, _CONV_MOD)
+                if _md5int(str(i)) % 2 == 1][:2]
+    rows += [(did, "please fix sure here is the answer", "en", "s")
+             for did in asst_ids]
+    _write_documents(spark, tmp_path, rows)
+    out = q_conv_repeated_openers(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["conv"] == 0
+    assert r["n_user_turns"] == 4 and r["n_openers"] == 2
+    assert r["n_repeat_turns"] == 2 and r["max_opener_repeats"] == 3
+    assert r["has_retry_loop"] and r["repeat_share"] == 0.5
+
+
+# ----------------------------------------------------- turn_token_outliers
+
+
+def test_turn_token_outliers_paste_bomb(spark, tmp_path):
+    import statistics
+
+    from pdf_extractor_spark.queries import _CONV_MOD, q_turn_token_outliers
+
+    # conv 0: thirty 10-token turns + one 500-token paste bomb.  (A
+    # single outlier among n turns can reach at most sqrt(n-1)·σ, so a
+    # 3σ flag needs n > 10 — with n=31 the bomb sits at ~5.5σ.)
+    ids = [_CONV_MOD * k for k in range(31)]
+    toks = [10] * 30 + [500]
+    rows = [(did, "w " * toks[k], "en", "s") for k, did in enumerate(ids)]
+    # conv 1: uniform turns, no outliers
+    ids1 = [1 + _CONV_MOD * k for k in range(5)]
+    rows += [(did, "w " * 20, "en", "s") for did in ids1]
+    _write_documents(spark, tmp_path, rows)
+    got = {r["conv"]: r for r in
+           q_turn_token_outliers(spark, str(tmp_path)).collect()}
+    m = statistics.mean(toks)
+    sd = statistics.pstdev(toks)
+    r0 = got[0]
+    assert r0["n_turns"] == 31 and r0["max_tok"] == 500
+    assert r0["mean_tok"] == round(m, 2) and r0["sd_tok"] == round(sd, 2)
+    exp_outliers = sum(1 for t in toks if t > round(m + 3 * sd, 6))
+    assert r0["n_outliers"] == exp_outliers == 1
+    assert r0["has_paste_bomb"]
+    r1 = got[1]
+    assert r1["n_outliers"] == 0 and not r1["has_paste_bomb"]
+    assert r1["sd_tok"] == 0.0
