@@ -13173,6 +13173,197 @@ GROUP BY conv
 """
 
 
+def q_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between label centroids — the separability map
+    behind `centroid_confusion`'s diagnosis: a pair above ~0.95 is one
+    cluster wearing two names (merge candidates for IVF routing and
+    stratified semantic dedup), and the matrix's max off-diagonal value
+    is the single number that predicts confusion-matrix bleed before
+    running the full assignment pass.
+
+    Scale shape: centroids come from the partial-sum tree (one
+    |labels|-key reduce); the pair grid is a broadcast self-join of the
+    k-row centroid table (k² ≤ 100 rows) with per-pair cosines as array
+    folds — the corpus is scanned exactly once regardless of k."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out = {"label": [], "s": [], "n": []}
+            for lab, sub in pdf.groupby("label"):
+                m = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+                out["label"].append(int(lab))
+                out["s"].append(m.sum(axis=0).tolist())
+                out["n"].append(int(len(m)))
+            yield pd.DataFrame(out)
+
+    def reduce_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        s = np.sum([np.asarray(v, dtype=np.float64) for v in pdf["s"]], axis=0)
+        n = int(pdf["n"].sum())
+        return pd.DataFrame({"label": [int(key[0])], "mean": [(s / n).tolist()]})
+
+    means = (
+        emb.mapInPandas(partials, "label int, s array<double>, n bigint")
+        .groupBy("label")
+        .applyInPandas(reduce_group, "label int, mean array<double>")
+    )
+    a = means.selectExpr("label AS label_a", "mean AS ma")
+    b = means.selectExpr("label AS label_b", "mean AS mb")
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .selectExpr(
+            "cast(label_a as int) AS label_a",
+            "cast(label_b as int) AS label_b",
+            "round(aggregate(zip_with(ma, mb, (x, y) -> x * y), 0D,"
+            " (acc, v) -> acc + v)"
+            " / nullif(sqrt(aggregate(ma, 0D, (acc, x) -> acc + x * x))"
+            " * sqrt(aggregate(mb, 0D, (acc, x) -> acc + x * x)), 0D), 4)"
+            " AS centroid_cosine",
+        )
+        .selectExpr(
+            "label_a", "label_b", "centroid_cosine",
+            "centroid_cosine > 0.95D AS confusable",
+        )
+    )
+
+
+ORACLE_CENTROID_SEPARATION = """
+WITH x AS (
+  SELECT label, unnest(embedding)::DOUBLE AS v,
+         unnest(range(1, len(embedding) + 1)) AS dim
+  FROM embeddings
+), c AS (
+  SELECT label, dim, avg(v) AS cv FROM x GROUP BY label, dim
+), n AS (
+  SELECT label, sqrt(sum(cv * cv)) AS nrm FROM c GROUP BY label
+), dots AS (
+  SELECT a.label AS label_a, b.label AS label_b, sum(a.cv * b.cv) AS dot
+  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT d.label_a::INT AS label_a, d.label_b::INT AS label_b,
+       round(d.dot / nullif(na.nrm * nb.nrm, 0), 4) AS centroid_cosine,
+       round(d.dot / nullif(na.nrm * nb.nrm, 0), 4) > 0.95 AS confusable
+FROM dots d
+JOIN n na ON na.label = d.label_a
+JOIN n nb ON nb.label = d.label_b
+"""
+
+
+def q_shuffle_run_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-source run lengths inside `epoch_shuffle`'s deterministic
+    order: within each of the 64 hash shards, consecutive same-source
+    stretches in md5-rank order (gaps-and-islands), aggregated per
+    source.  A good shuffle keeps runs near 1/(1−share); long runs mean
+    the model sees one source in blocks — gradient correlation the
+    shuffle was supposed to kill — so max_run is the acceptance test for
+    any "we don't need a global sort" shuffle scheme (ours included).
+
+    Scale shape: everything is per-shard — two row_number windows over
+    the SAME (shard, rank) exchange, an islands groupBy, a source-keyed
+    fold; no global sort anywhere, which is exactly the property being
+    audited."""
+    shard = _SPARK_MD5INT.format(x="concat(cast(doc_id as string), ':shard')")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH r AS (
+          SELECT source, {shard} % {_N_SHARDS} AS shard,
+                 md5(concat(cast(doc_id as string), ':rank')) AS rk
+          FROM documents
+        ), o AS (
+          SELECT source, shard,
+                 row_number() OVER (PARTITION BY shard ORDER BY rk) AS pos,
+                 row_number() OVER (PARTITION BY shard, source
+                                    ORDER BY rk) AS pos_s
+          FROM r
+        ), runs AS (
+          SELECT source, shard, pos - pos_s AS grp,
+                 cast(count(*) as bigint) AS run_len
+          FROM o GROUP BY source, shard, pos - pos_s
+        )
+        SELECT source,
+               cast(sum(run_len) as bigint) AS n_docs,
+               cast(count(*) as bigint) AS n_runs,
+               cast(max(run_len) as bigint) AS max_run,
+               round(avg(run_len), 2) AS mean_run
+        FROM runs
+        GROUP BY source
+        """,
+    )
+
+
+ORACLE_SHUFFLE_RUN_AUDIT = f"""
+WITH r AS (
+  SELECT source,
+         {_DUCK_MD5INT.format(x="doc_id::VARCHAR || ':shard'")}
+           % {_N_SHARDS} AS shard,
+         md5(doc_id::VARCHAR || ':rank') AS rk
+  FROM documents
+), o AS (
+  SELECT source, shard,
+         row_number() OVER (PARTITION BY shard ORDER BY rk) AS pos,
+         row_number() OVER (PARTITION BY shard, source ORDER BY rk) AS pos_s
+  FROM r
+), runs AS (
+  SELECT source, shard, pos - pos_s AS grp, count(*)::BIGINT AS run_len
+  FROM o GROUP BY source, shard, pos - pos_s
+)
+SELECT source,
+       sum(run_len)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_runs,
+       max(run_len)::BIGINT AS max_run,
+       round(avg(run_len), 2) AS mean_run
+FROM runs
+GROUP BY source
+"""
+
+
+def q_source_lang_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source × language census: doc count per (source, lang) cell with
+    the cell's share inside its source and of the corpus — the
+    composition table `mix_weights` and `filter_lang_bias` both
+    implicitly assume, made explicit.  A source whose language profile
+    shifts between snapshots changed its upstream (crawler locale,
+    feed swap) even if its volume didn't.
+
+    Scale shape: one scan, one (source, lang) fold — metadata
+    cardinality — and two windows over that tiny grid."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH cells AS (
+          SELECT source, lang, cast(count(*) as bigint) AS n_docs
+          FROM documents GROUP BY source, lang
+        )
+        SELECT source, lang, n_docs,
+               round(n_docs / cast(sum(n_docs)
+                     OVER (PARTITION BY source) as double), 4)
+                 AS lang_share_in_source,
+               round(n_docs / cast(sum(n_docs) OVER () as double), 4)
+                 AS corpus_share
+        FROM cells
+        """,
+    )
+
+
+ORACLE_SOURCE_LANG_MATRIX = """
+WITH cells AS (
+  SELECT source, lang, count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs,
+       round(n_docs / (sum(n_docs) OVER (PARTITION BY source))::DOUBLE, 4)
+         AS lang_share_in_source,
+       round(n_docs / (sum(n_docs) OVER ())::DOUBLE, 4) AS corpus_share
+FROM cells
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -13442,6 +13633,9 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
         q_conv_repeated_openers, ORACLE_CONV_REPEATED_OPENERS,
     ),
     "turn_token_outliers": (q_turn_token_outliers, ORACLE_TURN_TOKEN_OUTLIERS),
+    "centroid_separation": (q_centroid_separation, ORACLE_CENTROID_SEPARATION),
+    "shuffle_run_audit": (q_shuffle_run_audit, ORACLE_SHUFFLE_RUN_AUDIT),
+    "source_lang_matrix": (q_source_lang_matrix, ORACLE_SOURCE_LANG_MATRIX),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

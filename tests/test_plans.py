@@ -1276,3 +1276,34 @@ def test_turn_token_outliers_single_exchange(spark, registry):
     assert final.count("Scan parquet") == 1
     assert "Join" not in final
     assert "Window" in final
+
+
+def test_centroid_separation_broadcast_pair_grid(spark, registry):
+    """One corpus scan builds centroids; the k² pair grid is a
+    broadcast join of the k-row table — no SMJ, no second scan."""
+    df = registry["centroid_separation"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+
+
+def test_shuffle_run_audit_no_global_sort(spark, registry):
+    """Both row_number windows partition by shard — the plan contains
+    no global (single-partition) sort and no join."""
+    df = registry["shuffle_run_audit"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    # a global sort would appear as Exchange SinglePartition
+    assert "SinglePartition" not in final
+
+
+def test_source_lang_matrix_metadata_fold(spark, registry):
+    df = registry["source_lang_matrix"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final

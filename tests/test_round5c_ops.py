@@ -13,7 +13,9 @@ batch 6: embedding_dup_stats (bit-identical vector audit), canary_phrases
 by language), lsh_band_balance (bucket-size audit / verify cost model);
 batch 8: turn_length_progression (token curve over conversation depth),
 conv_repeated_openers (retry-loop detection), turn_token_outliers
-(paste-bomb detection via per-conv 3σ)."""
+(paste-bomb detection via per-conv 3σ); batch 9: centroid_separation
+(pairwise label-centroid cosine), shuffle_run_audit (same-source islands
+in the shuffled order), source_lang_matrix (composition census)."""
 
 from __future__ import annotations
 
@@ -559,3 +561,85 @@ def test_turn_token_outliers_paste_bomb(spark, tmp_path):
     r1 = got[1]
     assert r1["n_outliers"] == 0 and not r1["has_paste_bomb"]
     assert r1["sd_tok"] == 0.0
+
+
+# ---------------------------------------------------- centroid_separation
+
+
+def test_centroid_separation_known_angles(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_centroid_separation
+
+    # centroids: label 0 -> (1,0); label 1 -> (0,1); label 2 -> (1,1)/|.|
+    rows = [(1, [2.0, 0.0], 0), (2, [4.0, 0.0], 0),
+            (3, [0.0, 1.0], 1), (4, [0.0, 3.0], 1),
+            (5, [1.0, 1.0], 2), (6, [3.0, 3.0], 2)]
+    _write_embeddings(spark, tmp_path, rows)
+    got = {(r["label_a"], r["label_b"]): r for r in
+           q_centroid_separation(spark, str(tmp_path)).collect()}
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}
+    assert got[(0, 1)]["centroid_cosine"] == 0.0
+    assert got[(0, 2)]["centroid_cosine"] == round(1 / math.sqrt(2), 4)
+    assert got[(1, 2)]["centroid_cosine"] == round(1 / math.sqrt(2), 4)
+    assert not any(r["confusable"] for r in got.values())
+
+
+def test_centroid_separation_flags_near_identical(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_centroid_separation
+
+    rows = [(1, [1.0, 0.01], 0), (2, [1.0, 0.0], 1)]
+    _write_embeddings(spark, tmp_path, rows)
+    r = q_centroid_separation(spark, str(tmp_path)).collect()[0]
+    assert r["confusable"] and r["centroid_cosine"] > 0.99
+
+
+# ------------------------------------------------------ shuffle_run_audit
+
+
+def test_shuffle_run_audit_python_islands(spark, tmp_path):
+    from pdf_extractor_spark.queries import _N_SHARDS, q_shuffle_run_audit
+
+    rows = [(i, "txt", "en", "a" if i % 3 else "b") for i in range(60)]
+    _write_documents(spark, tmp_path, rows)
+    shards = {}
+    for i, _, _, src in rows:
+        sh = _md5int(f"{i}:shard") % _N_SHARDS
+        rk = hashlib.md5(f"{i}:rank".encode()).hexdigest()
+        shards.setdefault(sh, []).append((rk, src))
+    runs = {}
+    for sh, items in shards.items():
+        items.sort()
+        prev = None
+        for _, src in items:
+            if src == prev:
+                runs[src][-1] += 1
+            else:
+                runs.setdefault(src, []).append(1)
+            prev = src
+    got = {r["source"]: r for r in
+           q_shuffle_run_audit(spark, str(tmp_path)).collect()}
+    assert set(got) == set(runs)
+    for src, lens in runs.items():
+        r = got[src]
+        assert r["n_docs"] == sum(lens)
+        assert r["n_runs"] == len(lens)
+        assert r["max_run"] == max(lens)
+        assert r["mean_run"] == round(sum(lens) / len(lens), 2)
+
+
+# ----------------------------------------------------- source_lang_matrix
+
+
+def test_source_lang_matrix_shares(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_source_lang_matrix
+
+    rows = [(1, "x", "en", "s0"), (2, "x", "en", "s0"), (3, "x", "de", "s0"),
+            (4, "x", "zh", "s1")]
+    _write_documents(spark, tmp_path, rows)
+    got = {(r["source"], r["lang"]): r for r in
+           q_source_lang_matrix(spark, str(tmp_path)).collect()}
+    assert got[("s0", "en")]["n_docs"] == 2
+    assert got[("s0", "en")]["lang_share_in_source"] == round(2 / 3, 4)
+    assert got[("s0", "de")]["lang_share_in_source"] == round(1 / 3, 4)
+    assert got[("s1", "zh")]["lang_share_in_source"] == 1.0
+    assert got[("s1", "zh")]["corpus_share"] == 0.25
+    assert got[("s0", "en")]["corpus_share"] == 0.5
