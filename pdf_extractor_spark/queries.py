@@ -13364,6 +13364,124 @@ FROM cells
 """
 
 
+def q_corpus_health_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus scorecard — the numbers an ingest on-call reads
+    first: volume (docs, tokens, mean doc length), exact-duplicate share,
+    cheap-gate pass share, language entropy (bits — collapsing entropy
+    means one language is flooding), and the top source's share
+    (concentration risk).  Every column is a headline of a deeper
+    catalog op (`dup_group_report`, `filter_lang_bias`, `source_mix`);
+    this is the five-second dashboard row in front of them.
+
+    Scale shape: ONE corpus scan — GROUPING SETS ((lang), (source), ())
+    computes the per-lang table, the per-source table, and the global
+    totals (including the distinct-digest count) in a single Expand+
+    aggregate pass; the final fold runs over the ~(|langs|+|sources|+1)-
+    row grouped table with one window for the entropy normalizer.  No
+    CTE is referenced twice (Spark re-expands shared CTEs — the
+    psi_drift lesson), so the plan reads parquet exactly once."""
+    toks = _SPARK_TOKENS.format(x="coalesce(text, '')")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH base AS (
+          SELECT lang, source, md5(coalesce(text, '')) AS dg,
+                 cast(size({toks}) as bigint) AS tk,
+                 CASE WHEN n_chars >= 100 AND n_chars <= 20000
+                       AND coalesce(arrays_overlap({toks},
+                             array({_STOPWORDS})), false)
+                      THEN 1 ELSE 0 END AS pass
+          FROM documents
+        ), g AS (
+          SELECT lang, source,
+                 cast(count(*) as bigint) AS n,
+                 cast(sum(tk) as bigint) AS tk,
+                 cast(count(DISTINCT dg) as bigint) AS nd,
+                 cast(sum(pass) as bigint) AS np,
+                 grouping(lang) AS gl, grouping(source) AS gs
+          FROM base
+          GROUP BY GROUPING SETS ((lang), (source), ())
+        ), w AS (
+          SELECT *,
+                 max(CASE WHEN gl = 1 AND gs = 1 THEN n END) OVER ()
+                   AS total_docs
+          FROM g
+        )
+        SELECT max(CASE WHEN gl = 1 AND gs = 1 THEN n END) AS n_docs,
+               max(CASE WHEN gl = 1 AND gs = 1 THEN tk END) AS n_tokens,
+               max(CASE WHEN gl = 1 AND gs = 1 THEN nd END)
+                 AS n_distinct_texts,
+               round(1 - max(CASE WHEN gl = 1 AND gs = 1 THEN nd END)
+                     / cast(greatest(max(CASE WHEN gl = 1 AND gs = 1
+                                              THEN n END), 1) as double), 4)
+                 AS exact_dup_share,
+               round(max(CASE WHEN gl = 1 AND gs = 1 THEN np END)
+                     / cast(greatest(max(CASE WHEN gl = 1 AND gs = 1
+                                              THEN n END), 1) as double), 4)
+                 AS gate_pass_share,
+               round(-sum(CASE WHEN gl = 0 AND gs = 1 THEN
+                       (n / cast(total_docs as double))
+                       * log2(n / cast(total_docs as double)) END), 4)
+                 AS lang_entropy_bits,
+               round(max(CASE WHEN gl = 1 AND gs = 0 THEN n END)
+                     / cast(greatest(max(CASE WHEN gl = 1 AND gs = 1
+                                              THEN n END), 1) as double), 4)
+                 AS top_source_share,
+               round(max(CASE WHEN gl = 1 AND gs = 1 THEN tk END)
+                     / cast(greatest(max(CASE WHEN gl = 1 AND gs = 1
+                                              THEN n END), 1) as double), 2)
+                 AS mean_doc_tokens
+        FROM w
+        """,
+    )
+
+
+ORACLE_CORPUS_HEALTH_SCORECARD = f"""
+WITH base AS (
+  SELECT lang, source, md5(coalesce(text, '')) AS dg,
+         len({_DUCK_TOKENS.format(x="coalesce(text, '')")})::BIGINT AS tk,
+         CASE WHEN n_chars >= 100 AND n_chars <= 20000
+               AND coalesce(len(list_intersect(
+                     {_DUCK_TOKENS.format(x="coalesce(text, '')")},
+                     [{_STOPWORDS}])) > 0, false)
+              THEN 1 ELSE 0 END AS pass
+  FROM documents
+), g AS (
+  SELECT lang, source,
+         count(*)::BIGINT AS n,
+         sum(tk)::BIGINT AS tk,
+         count(DISTINCT dg)::BIGINT AS nd,
+         sum(pass)::BIGINT AS np,
+         grouping(lang) AS gl, grouping(source) AS gs
+  FROM base
+  GROUP BY GROUPING SETS ((lang), (source), ())
+), w AS (
+  SELECT *,
+         max(CASE WHEN gl = 1 AND gs = 1 THEN n END) OVER () AS total_docs
+  FROM g
+)
+SELECT max(CASE WHEN gl = 1 AND gs = 1 THEN n END) AS n_docs,
+       max(CASE WHEN gl = 1 AND gs = 1 THEN tk END) AS n_tokens,
+       max(CASE WHEN gl = 1 AND gs = 1 THEN nd END) AS n_distinct_texts,
+       round(1 - max(CASE WHEN gl = 1 AND gs = 1 THEN nd END)
+             / greatest(max(CASE WHEN gl = 1 AND gs = 1 THEN n END),
+                        1)::DOUBLE, 4) AS exact_dup_share,
+       round(max(CASE WHEN gl = 1 AND gs = 1 THEN np END)
+             / greatest(max(CASE WHEN gl = 1 AND gs = 1 THEN n END),
+                        1)::DOUBLE, 4) AS gate_pass_share,
+       round(-sum(CASE WHEN gl = 0 AND gs = 1 THEN
+               (n / total_docs::DOUBLE) * log2(n / total_docs::DOUBLE)
+             END), 4) AS lang_entropy_bits,
+       round(max(CASE WHEN gl = 1 AND gs = 0 THEN n END)
+             / greatest(max(CASE WHEN gl = 1 AND gs = 1 THEN n END),
+                        1)::DOUBLE, 4) AS top_source_share,
+       round(max(CASE WHEN gl = 1 AND gs = 1 THEN tk END)
+             / greatest(max(CASE WHEN gl = 1 AND gs = 1 THEN n END),
+                        1)::DOUBLE, 2) AS mean_doc_tokens
+FROM w
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -13636,6 +13754,9 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "centroid_separation": (q_centroid_separation, ORACLE_CENTROID_SEPARATION),
     "shuffle_run_audit": (q_shuffle_run_audit, ORACLE_SHUFFLE_RUN_AUDIT),
     "source_lang_matrix": (q_source_lang_matrix, ORACLE_SOURCE_LANG_MATRIX),
+    "corpus_health_scorecard": (
+        q_corpus_health_scorecard, ORACLE_CORPUS_HEALTH_SCORECARD,
+    ),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

@@ -1307,3 +1307,15 @@ def test_source_lang_matrix_metadata_fold(spark, registry):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1
     assert "Join" not in final
+
+
+def test_corpus_health_scorecard_single_scan_grouping_sets(spark, registry):
+    """GROUPING SETS folds the lang table, the source table, and the
+    global totals (incl. distinct digests) in ONE Expand+aggregate pass
+    — the plan reads parquet exactly once and contains no join."""
+    df = registry["corpus_health_scorecard"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Expand" in final

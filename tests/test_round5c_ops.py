@@ -15,7 +15,8 @@ batch 8: turn_length_progression (token curve over conversation depth),
 conv_repeated_openers (retry-loop detection), turn_token_outliers
 (paste-bomb detection via per-conv 3σ); batch 9: centroid_separation
 (pairwise label-centroid cosine), shuffle_run_audit (same-source islands
-in the shuffled order), source_lang_matrix (composition census)."""
+in the shuffled order), source_lang_matrix (composition census);
+batch 10: corpus_health_scorecard (one-scan GROUPING SETS dashboard)."""
 
 from __future__ import annotations
 
@@ -643,3 +644,39 @@ def test_source_lang_matrix_shares(spark, tmp_path):
     assert got[("s1", "zh")]["lang_share_in_source"] == 1.0
     assert got[("s1", "zh")]["corpus_share"] == 0.25
     assert got[("s0", "en")]["corpus_share"] == 0.5
+
+
+# ------------------------------------------------ corpus_health_scorecard
+
+
+def test_corpus_health_scorecard_hand_computed(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_corpus_health_scorecard
+
+    passing = "the quick brown fox jumps over the lazy dog " * 4  # 180 chars
+    rows = [(1, passing, "en", "s0"), (2, passing, "en", "s0"),  # exact dups
+            (3, "short", "en", "s0"),                            # gate fail
+            (4, passing + "x", "de", "s1")]
+    _write_documents(spark, tmp_path, rows)
+    r = q_corpus_health_scorecard(spark, str(tmp_path)).collect()[0]
+    n_tok = sum(len(_toks(t)) for _, t, _, _ in rows)
+    assert r["n_docs"] == 4 and r["n_tokens"] == n_tok
+    assert r["n_distinct_texts"] == 3
+    assert r["exact_dup_share"] == 0.25
+    assert r["gate_pass_share"] == 0.75   # doc 3 fails the length band
+    # langs: en 3/4, de 1/4
+    ent = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert r["lang_entropy_bits"] == round(ent, 4)
+    assert r["top_source_share"] == 0.75  # s0 has 3 of 4
+    assert r["mean_doc_tokens"] == round(n_tok / 4, 2)
+
+
+def test_corpus_health_scorecard_single_lang_zero_entropy(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_corpus_health_scorecard
+
+    rows = [(i, f"unique text number {i} with words", "en", f"s{i}")
+            for i in range(4)]
+    _write_documents(spark, tmp_path, rows)
+    r = q_corpus_health_scorecard(spark, str(tmp_path)).collect()[0]
+    assert r["exact_dup_share"] == 0.0
+    assert r["lang_entropy_bits"] == 0.0   # -1*log2(1) = 0
+    assert r["top_source_share"] == 0.25
