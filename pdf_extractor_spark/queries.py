@@ -13482,6 +13482,170 @@ FROM w
 """
 
 
+def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding PRECISION — the partner number to `lsh_recall`'s catch
+    rate: of the candidate pairs LSH proposes, how many survive exact
+    3-gram Jaccard verification, with the mean score on each side of
+    the verdict.  Precision prices the verify stage (low precision =
+    the bucket-join wastes its Jaccard work on noise → add band rows);
+    recall prices missed dups.  Tuning on either alone overfits the
+    banding; this keeps both measured per run (−1.0 marks an empty
+    verdict class so the row stays total on degenerate corpora).
+
+    Scale shape: everything rides `near_dup_verified`'s plan (shared
+    shingle checkpoint, broadcast-pinned candidate joins); this adds
+    one fold over the candidate-pair table, which is bucket-capped
+    O(Σ bucket²) — never corpus-sized."""
+    v = q_near_dup_verified(spark, sf_dir)
+    return v.selectExpr(
+        "cast(count(*) as bigint) AS n_candidates",
+        "cast(sum(CASE WHEN verified THEN 1 ELSE 0 END) as bigint)"
+        " AS n_verified",
+        "round(sum(CASE WHEN verified THEN 1 ELSE 0 END)"
+        " / cast(greatest(count(*), 1) as double), 4) AS precision",
+        "coalesce(round(avg(jaccard) FILTER (WHERE verified), 4), -1.0D)"
+        " AS mean_jaccard_verified",
+        "coalesce(round(avg(jaccard) FILTER (WHERE NOT verified), 4), -1.0D)"
+        " AS mean_jaccard_rejected",
+    )
+
+
+ORACLE_LSH_PRECISION = f"""
+WITH v AS ({ORACLE_NEAR_DUP_VERIFIED})
+SELECT count(*)::BIGINT AS n_candidates,
+       sum(CASE WHEN verified THEN 1 ELSE 0 END)::BIGINT AS n_verified,
+       round(sum(CASE WHEN verified THEN 1 ELSE 0 END)
+             / greatest(count(*), 1)::DOUBLE, 4) AS precision,
+       coalesce(round(avg(jaccard) FILTER (WHERE verified), 4), -1.0)
+         AS mean_jaccard_verified,
+       coalesce(round(avg(jaccard) FILTER (WHERE NOT verified), 4), -1.0)
+         AS mean_jaccard_rejected
+FROM v
+"""
+
+
+def q_dup_arrival_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How far apart exact-duplicate copies ARRIVE (doc_id span per
+    digest group, doc_id as the arrival proxy): tight spans mean
+    re-submission bursts that a short-TTL dedup cache kills before the
+    corpus shuffle; wide spans mean persistent mirrors that only the
+    full `dedup_exact` pass catches — the one-row measurement that says
+    whether an ingest-side cache is worth its memory.  −1 sentinels
+    keep the row total on a clean corpus (the dup_group_report
+    convention).
+
+    Scale shape: one digest-keyed fold (16-byte keys) to dup groups,
+    then a one-row summary over the group table."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH g AS (
+          SELECT md5(coalesce(text, '')) AS h,
+                 cast(count(*) as bigint) AS n,
+                 cast(max(doc_id) - min(doc_id) as bigint) AS span
+          FROM documents
+          GROUP BY md5(coalesce(text, ''))
+          HAVING count(*) > 1
+        )
+        SELECT cast(count(*) as bigint) AS n_dup_groups,
+               cast(coalesce(sum(n), 0) as bigint) AS n_dup_docs,
+               round(coalesce(avg(span), -1), 2) AS mean_span,
+               cast(coalesce(max(span), -1) as bigint) AS max_span,
+               cast(coalesce(min(span), -1) as bigint) AS min_span
+        FROM g
+        """,
+    )
+
+
+ORACLE_DUP_ARRIVAL_SPAN = """
+WITH g AS (
+  SELECT md5(coalesce(text, '')) AS h,
+         count(*)::BIGINT AS n,
+         (max(doc_id) - min(doc_id))::BIGINT AS span
+  FROM documents
+  GROUP BY md5(coalesce(text, ''))
+  HAVING count(*) > 1
+)
+SELECT count(*)::BIGINT AS n_dup_groups,
+       coalesce(sum(n), 0)::BIGINT AS n_dup_docs,
+       round(coalesce(avg(span), -1), 2) AS mean_span,
+       coalesce(max(span), -1)::BIGINT AS max_span,
+       coalesce(min(span), -1)::BIGINT AS min_span
+FROM g
+"""
+
+
+def q_vocab_prune_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-document-frequency pruning sweep: for each candidate df floor,
+    how many vocabulary TYPES survive and what share of the corpus's
+    token INSTANCES they cover.  The long tail of df=1 types is mostly
+    typos/IDs/OCR noise — huge in types, negligible in mass — and this
+    table shows exactly how much tokenizer/feature-hash budget each
+    floor buys back (the df-axis complement to `vocab_coverage_curve`'s
+    rank-axis cut and `hapax_rate`'s single point).
+
+    Scale shape: ONE token-keyed shuffle builds (count, doc-frequency)
+    per type; the 5-row floor grid cross-joins over the vocab-sized
+    table, never re-touching the corpus."""
+    toks = _SPARK_TOKENS.format(x="coalesce(text, '')")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH tok AS (
+          SELECT doc_id, token
+          FROM (SELECT doc_id, {toks} AS t FROM documents)
+          LATERAL VIEW explode(t) AS token
+        ), v AS (
+          SELECT token, cast(count(*) as bigint) AS n,
+                 cast(count(DISTINCT doc_id) as bigint) AS df
+          FROM tok GROUP BY token
+        ), th AS (
+          SELECT explode(array(1, 2, 3, 5, 10)) AS min_df
+        )
+        SELECT cast(min_df as int) AS min_df,
+               cast(count(*) FILTER (WHERE df >= min_df) as bigint)
+                 AS vocab_kept,
+               cast(count(*) as bigint) AS vocab_total,
+               round(count(*) FILTER (WHERE df >= min_df)
+                     / cast(greatest(count(*), 1) as double), 4)
+                 AS vocab_share,
+               cast(coalesce(sum(n) FILTER (WHERE df >= min_df), 0)
+                    as bigint) AS tokens_kept,
+               round(coalesce(sum(n) FILTER (WHERE df >= min_df), 0)
+                     / cast(greatest(sum(n), 1) as double), 4)
+                 AS token_share
+        FROM v CROSS JOIN th
+        GROUP BY min_df
+        """,
+    )
+
+
+ORACLE_VOCAB_PRUNE_PLAN = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest({_DUCK_TOKENS.format(x="coalesce(text, '')")}) AS token
+  FROM documents
+), v AS (
+  SELECT token, count(*)::BIGINT AS n,
+         count(DISTINCT doc_id)::BIGINT AS df
+  FROM tok GROUP BY token
+), th AS (
+  SELECT unnest([1, 2, 3, 5, 10]) AS min_df
+)
+SELECT min_df::INT AS min_df,
+       (count(*) FILTER (WHERE df >= min_df))::BIGINT AS vocab_kept,
+       count(*)::BIGINT AS vocab_total,
+       round((count(*) FILTER (WHERE df >= min_df))
+             / greatest(count(*), 1)::DOUBLE, 4) AS vocab_share,
+       coalesce(sum(n) FILTER (WHERE df >= min_df), 0)::BIGINT
+         AS tokens_kept,
+       round(coalesce(sum(n) FILTER (WHERE df >= min_df), 0)
+             / greatest(sum(n), 1)::DOUBLE, 4) AS token_share
+FROM v CROSS JOIN th
+GROUP BY min_df
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -13757,6 +13921,9 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "corpus_health_scorecard": (
         q_corpus_health_scorecard, ORACLE_CORPUS_HEALTH_SCORECARD,
     ),
+    "lsh_precision": (q_lsh_precision, ORACLE_LSH_PRECISION),
+    "dup_arrival_span": (q_dup_arrival_span, ORACLE_DUP_ARRIVAL_SPAN),
+    "vocab_prune_plan": (q_vocab_prune_plan, ORACLE_VOCAB_PRUNE_PLAN),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

@@ -1319,3 +1319,31 @@ def test_corpus_health_scorecard_single_scan_grouping_sets(spark, registry):
     assert final.count("Scan parquet") == 1
     assert "Join" not in final
     assert "Expand" in final
+
+
+def test_lsh_precision_rides_verified_plan(spark, registry):
+    """The fold adds no scan: the shingle subtree is the shared
+    localCheckpoint, candidates stay broadcast — the returned plan
+    reads no parquet and contains no SMJ."""
+    df = registry["lsh_precision"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert final.count("Scan parquet") == 0  # checkpointed shingles
+
+
+def test_dup_arrival_span_single_digest_fold(spark, registry):
+    df = registry["dup_arrival_span"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Generate" not in final
+
+
+def test_vocab_prune_plan_one_wordcount_tiny_grid(spark, registry):
+    df = registry["vocab_prune_plan"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in final

@@ -16,7 +16,10 @@ conv_repeated_openers (retry-loop detection), turn_token_outliers
 (paste-bomb detection via per-conv 3σ); batch 9: centroid_separation
 (pairwise label-centroid cosine), shuffle_run_audit (same-source islands
 in the shuffled order), source_lang_matrix (composition census);
-batch 10: corpus_health_scorecard (one-scan GROUPING SETS dashboard)."""
+batch 10: corpus_health_scorecard (one-scan GROUPING SETS dashboard);
+batch 11: lsh_precision (verify-survival rate of LSH candidates),
+dup_arrival_span (dedup-cache TTL evidence), vocab_prune_plan
+(min-df vocabulary pruning sweep)."""
 
 from __future__ import annotations
 
@@ -680,3 +683,78 @@ def test_corpus_health_scorecard_single_lang_zero_entropy(spark, tmp_path):
     assert r["exact_dup_share"] == 0.0
     assert r["lang_entropy_bits"] == 0.0   # -1*log2(1) = 0
     assert r["top_source_share"] == 0.25
+
+
+# ------------------------------------------------------------ lsh_precision
+
+
+def test_lsh_precision_all_candidates_verified(spark, tmp_path):
+    from pdf_extractor_spark.queries import (
+        _VERIFY_JACCARD_MIN,
+        q_lsh_precision,
+    )
+
+    base = "zero one two three four five six seven eight nine ten eleven"
+    # 3 identical docs -> every candidate pair is an exact dup (J=1.0)
+    rows = [(i, base, "en", "s") for i in range(3)]
+    rows += [(20, "entirely different words here now today", "en", "s")]
+    _write_documents(spark, tmp_path, rows)
+    r = q_lsh_precision(spark, str(tmp_path)).collect()[0]
+    assert r["n_candidates"] == 3  # C(3,2)
+    assert r["n_verified"] == 3 and r["precision"] == 1.0
+    assert r["mean_jaccard_verified"] == 1.0
+    assert r["mean_jaccard_rejected"] == -1.0  # empty class sentinel
+    assert 0 < _VERIFY_JACCARD_MIN <= 1
+
+
+# --------------------------------------------------------- dup_arrival_span
+
+
+def test_dup_arrival_span_hand_spans(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_dup_arrival_span
+
+    rows = [(1, "copy a", "en", "s"), (5, "copy a", "en", "s"),      # span 4
+            (10, "copy b", "en", "s"), (100, "copy b", "en", "s"),
+            (400, "copy b", "en", "s"),                              # span 390
+            (7, "unique text", "en", "s")]
+    _write_documents(spark, tmp_path, rows)
+    r = q_dup_arrival_span(spark, str(tmp_path)).collect()[0]
+    assert r["n_dup_groups"] == 2 and r["n_dup_docs"] == 5
+    assert r["mean_span"] == round((4 + 390) / 2, 2)
+    assert r["max_span"] == 390 and r["min_span"] == 4
+
+
+def test_dup_arrival_span_clean_corpus_sentinels(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_dup_arrival_span
+
+    rows = [(i, f"unique {i}", "en", "s") for i in range(5)]
+    _write_documents(spark, tmp_path, rows)
+    r = q_dup_arrival_span(spark, str(tmp_path)).collect()[0]
+    assert r["n_dup_groups"] == 0 and r["n_dup_docs"] == 0
+    assert r["mean_span"] == -1.0
+    assert r["max_span"] == -1 and r["min_span"] == -1
+
+
+# --------------------------------------------------------- vocab_prune_plan
+
+
+def test_vocab_prune_plan_hand_df(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_vocab_prune_plan
+
+    # df: 'aa' in 3 docs (5 tokens), 'bb' in 2 (2), 'cc' in 1 (3)
+    rows = [(1, "aa aa bb cc cc cc", "en", "s"),
+            (2, "aa bb", "en", "s"),
+            (3, "aa aa", "en", "s")]
+    _write_documents(spark, tmp_path, rows)
+    got = {r["min_df"]: r for r in
+           q_vocab_prune_plan(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2, 3, 5, 10}
+    assert got[1]["vocab_kept"] == 3 and got[1]["token_share"] == 1.0
+    assert got[2]["vocab_kept"] == 2        # aa, bb
+    assert got[2]["tokens_kept"] == 7       # 5 + 2
+    assert got[2]["token_share"] == 0.7
+    assert got[3]["vocab_kept"] == 1        # aa only
+    assert got[3]["tokens_kept"] == 5 and got[3]["token_share"] == 0.5
+    assert got[5]["vocab_kept"] == 0 and got[5]["tokens_kept"] == 0
+    assert got[10]["vocab_share"] == 0.0
+    assert all(r["vocab_total"] == 3 for r in got.values())
