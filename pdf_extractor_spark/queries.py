@@ -12047,13 +12047,13 @@ def q_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  cast({_BUDGET_MULT} as double)
                    * sum(n_tokens) OVER () AS budget
           FROM per
+          WHERE n_tokens > 0
         ), alloc AS (
           SELECT source, n_tokens, tshare,
                  tshare * budget / n_tokens AS epochs_needed,
                  least(tshare * budget / n_tokens,
                        cast({_MAX_EPOCHS} as double)) AS epochs_alloc
           FROM shares
-          WHERE n_tokens > 0
         )
         SELECT source, n_tokens,
                round(tshare, 4) AS target_share,
@@ -12082,13 +12082,13 @@ WITH per AS (
          sqrt(n_tokens) / sum(sqrt(n_tokens)) OVER () AS tshare,
          {_BUDGET_MULT}::DOUBLE * sum(n_tokens) OVER () AS budget
   FROM per
+  WHERE n_tokens > 0
 ), alloc AS (
   SELECT source, n_tokens, tshare,
          tshare * budget / n_tokens AS epochs_needed,
          least(tshare * budget / n_tokens, {_MAX_EPOCHS}::DOUBLE)
            AS epochs_alloc
   FROM shares
-  WHERE n_tokens > 0
 )
 SELECT source, n_tokens,
        round(tshare, 4) AS target_share,
@@ -12132,9 +12132,12 @@ def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY 1
         )
         SELECT cast(shard as bigint) AS shard, n_docs, n_tokens,
-               round(n_tokens / avg(n_tokens) OVER () - 1, 4) AS rel_dev,
-               round(max(n_tokens) OVER () / avg(n_tokens) OVER (), 4)
-                 AS straggler_ratio
+               round(n_tokens / greatest(avg(n_tokens) OVER (),
+                                         cast(1 as double)) - 1, 4)
+                 AS rel_dev,
+               round(max(n_tokens) OVER ()
+                     / greatest(avg(n_tokens) OVER (),
+                                cast(1 as double)), 4) AS straggler_ratio
         FROM per
         """,
     )
@@ -12151,8 +12154,10 @@ WITH per AS (
   GROUP BY 1
 )
 SELECT shard::BIGINT AS shard, n_docs, n_tokens,
-       round(n_tokens / avg(n_tokens) OVER () - 1, 4) AS rel_dev,
-       round(max(n_tokens) OVER () / avg(n_tokens) OVER (), 4)
+       round(n_tokens / greatest(avg(n_tokens) OVER (), 1::DOUBLE) - 1, 4)
+         AS rel_dev,
+       round(max(n_tokens) OVER ()
+             / greatest(avg(n_tokens) OVER (), 1::DOUBLE), 4)
          AS straggler_ratio
 FROM per
 """
@@ -12347,6 +12352,16 @@ def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect(),
         key=lambda r: r["label"],
     )
+    # a zero-norm centroid (a label whose vectors are all zero) can't be
+    # a cosine target — drop it in BOTH spellings or NaN poisons argmax
+    cent = [
+        r for r in cent
+        if float(np.dot(np.asarray(r["mean"]), np.asarray(r["mean"]))) > 0.0
+    ]
+    if not cent:
+        return spark.createDataFrame(
+            [], "label int, assigned int, n_vecs bigint, label_share double"
+        )
     labels = np.array([r["label"] for r in cent], dtype=np.int64)
     C = np.stack([np.asarray(r["mean"], dtype=np.float64) for r in cent])
     cn = np.sqrt((C * C).sum(axis=1))
@@ -12404,7 +12419,7 @@ WITH x AS (
            ORDER BY round(d.dot / (v.vn * n.cn), 6) DESC, d.cl) AS rk
   FROM dots d
   JOIN vnorm v USING (vec_id) JOIN cnorm n ON n.cl = d.cl
-  WHERE v.vn > 0
+  WHERE v.vn > 0 AND n.cn > 0
 )
 SELECT label::INT AS label, assigned::INT AS assigned,
        count(*)::BIGINT AS n_vecs,
@@ -12842,7 +12857,9 @@ def q_filter_lang_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one scan computes the per-row flag; the fold is a
     |langs|-key aggregate and the corpus-rate normalization is a window
-    over that tiny table."""
+    over that tiny table.  relative_rate is −1.0 when NOTHING passes
+    corpus-wide (a 0/0 otherwise — the Spark 4 ANSI divide-by-zero the
+    pathological sweep caught)."""
     toks = _SPARK_TOKENS.format(x="coalesce(text, '')")
     return _sql(
         spark, sf_dir, ["documents"],
@@ -12865,10 +12882,12 @@ def q_filter_lang_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(n_pass) OVER ()
                      / cast(greatest(sum(n_docs) OVER (), 1) as double), 4)
                  AS corpus_rate,
-               round((n_pass / cast(greatest(n_docs, 1) as double))
-                     / (sum(n_pass) OVER ()
-                        / cast(greatest(sum(n_docs) OVER (), 1)
-                               as double)), 4) AS relative_rate
+               CASE WHEN sum(n_pass) OVER () = 0 THEN cast(-1.0 as double)
+                    ELSE round((n_pass / cast(greatest(n_docs, 1) as double))
+                               / (sum(n_pass) OVER ()
+                                  / cast(greatest(sum(n_docs) OVER (), 1)
+                                         as double)), 4)
+               END AS relative_rate
         FROM per
         """,
     )
@@ -12891,10 +12910,11 @@ SELECT lang, n_docs, n_pass,
        round(n_pass / greatest(n_docs, 1)::DOUBLE, 4) AS pass_rate,
        round(sum(n_pass) OVER ()
              / greatest(sum(n_docs) OVER (), 1)::DOUBLE, 4) AS corpus_rate,
-       round((n_pass / greatest(n_docs, 1)::DOUBLE)
-             / (sum(n_pass) OVER ()
-                / greatest(sum(n_docs) OVER (), 1)::DOUBLE), 4)
-         AS relative_rate
+       CASE WHEN sum(n_pass) OVER () = 0 THEN -1.0
+            ELSE round((n_pass / greatest(n_docs, 1)::DOUBLE)
+                       / (sum(n_pass) OVER ()
+                          / greatest(sum(n_docs) OVER (), 1)::DOUBLE), 4)
+       END AS relative_rate
 FROM per
 """
 

@@ -758,3 +758,29 @@ def test_vocab_prune_plan_hand_df(spark, tmp_path):
     assert got[5]["vocab_kept"] == 0 and got[5]["tokens_kept"] == 0
     assert got[10]["vocab_share"] == 0.0
     assert all(r["vocab_total"] == 3 for r in got.values())
+
+
+def test_centroid_confusion_zero_norm_centroid_dropped(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_centroid_confusion
+
+    # label 9's vectors are ALL zero -> its centroid is untargetable and
+    # its rows are excluded as queries; label 0 must still self-assign.
+    rows = [(1, [1.0, 0.0], 0), (2, [2.0, 0.0], 0),
+            (3, [0.0, 0.0], 9), (4, [0.0, 0.0], 9)]
+    _write_embeddings(spark, tmp_path, rows)
+    got = {(r["label"], r["assigned"]): r["n_vecs"]
+           for r in q_centroid_confusion(spark, str(tmp_path)).collect()}
+    assert got == {(0, 0): 2}
+
+
+def test_filter_lang_bias_nothing_passes_sentinel(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_filter_lang_bias
+
+    # every doc fails the length band -> corpus rate 0 -> sentinel -1.0
+    rows = [(1, "kurz", "de", "s"), (2, "tiny", "en", "s")]
+    _write_documents(spark, tmp_path, rows)
+    out = q_filter_lang_bias(spark, str(tmp_path)).collect()
+    assert {r["lang"] for r in out} == {"de", "en"}
+    for r in out:
+        assert r["pass_rate"] == 0.0 and r["corpus_rate"] == 0.0
+        assert r["relative_rate"] == -1.0
