@@ -19,7 +19,10 @@ in the shuffled order), source_lang_matrix (composition census);
 batch 10: corpus_health_scorecard (one-scan GROUPING SETS dashboard);
 batch 11: lsh_precision (verify-survival rate of LSH candidates),
 dup_arrival_span (dedup-cache TTL evidence), vocab_prune_plan
-(min-df vocabulary pruning sweep)."""
+(min-df vocabulary pruning sweep); batch 12: asof_join_tolerance
+(merge_asof tolerance semantics vs DuckDB native ASOF),
+canonical_policy_delta (keep-longest vs keep-first ablation),
+window_load_percentiles (capacity envelope of 5-min loads)."""
 
 from __future__ import annotations
 
@@ -784,3 +787,95 @@ def test_filter_lang_bias_nothing_passes_sentinel(spark, tmp_path):
     for r in out:
         assert r["pass_rate"] == 0.0 and r["corpus_rate"] == 0.0
         assert r["relative_rate"] == -1.0
+
+
+# ------------------------------------------------------ asof_join_tolerance
+
+
+def test_asof_join_tolerance_drops_stale_matches(spark, tmp_path):
+    import datetime as dt
+
+    from pdf_extractor_spark.queries import _ASOF_TOL_US, q_asof_join_tolerance
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, sec, uid, etype, val):
+        return (eid, t0 + dt.timedelta(seconds=sec), uid, etype, val, "{}")
+
+    rows = [
+        ev(1, 0, 1, "purchase", 10.0),
+        ev(2, 60, 1, "click", 0.0),          # 60 s after -> matched
+        ev(3, 7200 + 61, 1, "click", 0.0),   # 7261 s after -> stale, dropped
+        ev(4, 0, 2, "purchase", 5.0),
+        ev(5, 7200, 2, "click", 0.0),        # exactly at tolerance -> kept
+        ev(6, 100, 3, "click", 0.0),         # no purchase ever -> dropped
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {r["click_id"]: r for r in
+           q_asof_join_tolerance(spark, str(tmp_path)).collect()}
+    assert set(got) == {2, 5}
+    assert got[2]["purchase_id"] == 1 and got[2]["gap_us"] == 60_000_000
+    assert got[5]["purchase_id"] == 4 and got[5]["gap_us"] == _ASOF_TOL_US
+
+
+# --------------------------------------------------- canonical_policy_delta
+
+
+def test_canonical_policy_delta_longest_vs_first(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_canonical_policy_delta
+
+    base = "zero one two three four five six seven eight nine ten"
+    # cluster: docs 1-3 near-identical; doc 3 is the LONGEST but has the
+    # highest doc_id, so keep-first picks doc 1 (shorter)
+    rows = [(1, base, "en", "s"),
+            (2, base + " tail", "en", "s"),
+            (3, base + " tail words appended here", "en", "s"),
+            (9, "completely unrelated text body now", "en", "s")]
+    _write_documents(spark, tmp_path, rows)
+    r = q_canonical_policy_delta(spark, str(tmp_path)).collect()[0]
+    lens = {d[0]: len(d[1]) for d in rows}
+    assert r["n_multi_clusters"] == 1 and r["docs_in_clusters"] == 3
+    assert r["chars_keep_longest"] == lens[3]
+    assert r["chars_keep_first"] == lens[1]
+    assert r["chars_delta"] == lens[3] - lens[1]
+    assert r["delta_share"] == round((lens[3] - lens[1]) / lens[1], 4)
+
+
+def test_canonical_policy_delta_clean_corpus_zero_row(spark, tmp_path):
+    from pdf_extractor_spark.queries import q_canonical_policy_delta
+
+    rows = [(i, f"totally unique body number {i} distinct words {i}",
+             "en", "s") for i in range(4)]
+    _write_documents(spark, tmp_path, rows)
+    r = q_canonical_policy_delta(spark, str(tmp_path)).collect()[0]
+    assert r["n_multi_clusters"] == 0 and r["docs_in_clusters"] == 0
+    assert r["chars_delta"] == 0 and r["delta_share"] == 0.0
+
+
+# ------------------------------------------------- window_load_percentiles
+
+
+def test_window_load_percentiles_hand_windows(spark, tmp_path):
+    import datetime as dt
+
+    from pdf_extractor_spark.queries import q_window_load_percentiles
+
+    t0 = dt.datetime(2024, 1, 1)
+    # window loads: [1, 2, 4] events in three distinct 5-min windows
+    secs = [10] + [300 + 10, 300 + 20] + [900 + i for i in range(4)]
+    rows = [(i, t0 + dt.timedelta(seconds=s), 1, "view", 0.0, "{}")
+            for i, s in enumerate(secs)]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = q_window_load_percentiles(spark, str(tmp_path)).collect()[0]
+    assert r["n_windows"] == 3 and r["n_events"] == 7
+    assert r["p50_load"] == 2.0 and r["max_load"] == 4
+    assert r["p90_load"] == round(2 + 0.8 * 2, 2)  # pos 1.8 between 2 and 4
+    assert r["peak_to_median"] == 2.0
