@@ -13870,6 +13870,326 @@ FROM w
 """
 
 
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles for each funnel transition (view->
+    click, click->purchase, view->purchase) among users who COMPLETE the
+    transition, under `event_funnel`'s strict ordering (stage k only
+    counts an event after the stage-(k-1) entry).  `event_funnel` gives
+    conversion RATES; this gives the latency envelope — the number that
+    sizes session windows, retry budgets, and attribution horizons.
+
+    Plan shape: identical to event_funnel — ONE user_id exchange, three
+    running-min windows over the same (user_id, ts, event_id) sort, then
+    a 150-row per-user frame aggregated to a single dashboard row; exact
+    percentile() swaps for approx_percentile at corpus scale, same plan."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH w1 AS (
+          SELECT user_id, ts, event_id, event_type,
+                 min(CASE WHEN event_type = 'view' THEN ts END) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS t_view
+          FROM events
+        ), w2 AS (
+          SELECT *,
+                 min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS t_click
+          FROM w1
+        ), w3 AS (
+          SELECT *,
+                 min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS t_purchase
+          FROM w2
+        ), per_user AS (
+          SELECT user_id, min(t_view) AS t_view, min(t_click) AS t_click,
+                 min(t_purchase) AS t_purchase
+          FROM w3 GROUP BY user_id
+        ), lat AS (
+          SELECT cast(unix_timestamp(t_click) - unix_timestamp(t_view)
+                      as bigint) AS s_vc,
+                 cast(unix_timestamp(t_purchase) - unix_timestamp(t_click)
+                      as bigint) AS s_cp,
+                 cast(unix_timestamp(t_purchase) - unix_timestamp(t_view)
+                      as bigint) AS s_vp
+          FROM per_user
+        )
+        SELECT cast(count(s_vc) as bigint) AS n_view_click,
+               round(percentile(s_vc, 0.5D), 2) AS p50_view_click,
+               round(percentile(s_vc, 0.9D), 2) AS p90_view_click,
+               cast(max(s_vc) as bigint) AS max_view_click,
+               cast(count(s_cp) as bigint) AS n_click_purchase,
+               round(percentile(s_cp, 0.5D), 2) AS p50_click_purchase,
+               round(percentile(s_cp, 0.9D), 2) AS p90_click_purchase,
+               cast(max(s_cp) as bigint) AS max_click_purchase,
+               cast(count(s_vp) as bigint) AS n_view_purchase,
+               round(percentile(s_vp, 0.5D), 2) AS p50_view_purchase,
+               round(percentile(s_vp, 0.9D), 2) AS p90_view_purchase,
+               cast(max(s_vp) as bigint) AS max_view_purchase
+        FROM lat
+        """,
+    )
+
+
+ORACLE_FUNNEL_LATENCY = """
+WITH w1 AS (
+  SELECT user_id, ts, event_id, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS t_view
+  FROM events
+), w2 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS t_click
+  FROM w1
+), w3 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS t_purchase
+  FROM w2
+), per_user AS (
+  SELECT user_id, min(t_view) AS t_view, min(t_click) AS t_click,
+         min(t_purchase) AS t_purchase
+  FROM w3 GROUP BY user_id
+), lat AS (
+  SELECT (floor(epoch(t_click)) - floor(epoch(t_view)))::BIGINT AS s_vc,
+         (floor(epoch(t_purchase)) - floor(epoch(t_click)))::BIGINT AS s_cp,
+         (floor(epoch(t_purchase)) - floor(epoch(t_view)))::BIGINT AS s_vp
+  FROM per_user
+)
+SELECT count(s_vc)::BIGINT AS n_view_click,
+       round(quantile_cont(s_vc, 0.5), 2) AS p50_view_click,
+       round(quantile_cont(s_vc, 0.9), 2) AS p90_view_click,
+       max(s_vc)::BIGINT AS max_view_click,
+       count(s_cp)::BIGINT AS n_click_purchase,
+       round(quantile_cont(s_cp, 0.5), 2) AS p50_click_purchase,
+       round(quantile_cont(s_cp, 0.9), 2) AS p90_click_purchase,
+       max(s_cp)::BIGINT AS max_click_purchase,
+       count(s_vp)::BIGINT AS n_view_purchase,
+       round(quantile_cont(s_vp, 0.5), 2) AS p50_view_purchase,
+       round(quantile_cont(s_vp, 0.9), 2) AS p90_view_purchase,
+       max(s_vp)::BIGINT AS max_view_purchase
+FROM lat
+"""
+
+
+_HUB_K = 5
+_HUB_SAMPLE_MOD = 4  # query side = every 4th vector (the audited sample)
+
+
+def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN hubness audit: how often each corpus vector appears in the
+    exact cosine top-5 of a SAMPLED query set (every 4th vector) — the
+    high-dimensional-hubness diagnostic for an embedding space (Radovanović
+    et al., JMLR 2010): a fat in-degree tail means a few "hub" vectors
+    dominate every neighbor list, which silently poisons kNN dedup,
+    retrieval, and semantic decontamination built on that space.  Output
+    is the in-degree histogram (including never-retrieved vectors at
+    in_degree 0) with corpus shares.
+
+    Scale shape: the query SAMPLE (declared, |corpus|/4 here; a fixed-size
+    sample at corpus scale) broadcasts as a numpy matrix; each Arrow batch
+    of the corpus scores against all queries with ONE map-side GEMM and
+    only per-partition top-k survives, so the shuffle carries at most
+    partitions × |sample| × k candidate rows — never |corpus| × |sample|.
+    Scores round to 4dp BEFORE ranking, ties break on vec_id (the
+    cosine_topk_batch determinism contract); in-degree is then one
+    vec_id-keyed count and the histogram is a <=k·|sample|-key aggregate."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qpdf = (
+        emb.where(f"vec_id % {_HUB_SAMPLE_MOD} = 0")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    if len(qpdf) == 0:
+        return spark.createDataFrame(
+            [], "in_degree bigint, n_vectors bigint, share double"
+        )
+    qids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+    qm = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+    bc = spark.sparkContext.broadcast((qids, qm))
+
+    def score_partition(batches):
+        q_ids, q_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            cos = np.round(m @ q_mat.T, 4)  # (batch, Q), rounded pre-rank
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out = []
+            for j, qid in enumerate(q_ids):
+                mask = vec_ids != qid  # a query is never its own neighbor
+                order = np.lexsort((vec_ids[mask], -cos[mask][:, j]))
+                take = order[:_HUB_K]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "nbr": vec_ids[mask][take],
+                            "cos_sim": cos[mask][:, j][take],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        score_partition, "query_id bigint, nbr bigint, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nbr")
+    )
+    top = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _HUB_K)
+        .select("query_id", "nbr")
+    )
+    indeg = (
+        emb.select("vec_id")
+        .join(top, top["nbr"] == F.col("vec_id"), "left")
+        .groupBy("vec_id")
+        .agg(F.count("query_id").alias("in_degree"))
+    )
+    n_total = emb.count()
+    return (
+        indeg.groupBy("in_degree")
+        .agg(F.count("*").cast("bigint").alias("n_vectors"))
+        .select(
+            F.col("in_degree").cast("bigint").alias("in_degree"),
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.lit(float(n_total)), 4).alias(
+                "share"
+            ),
+        )
+        .orderBy("in_degree")
+    )
+
+
+ORACLE_KNN_HUBNESS = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id % {_HUB_SAMPLE_MOD} = 0
+), pairs AS (
+  SELECT q.qid, e.vec_id AS nbr, {_DUCK_COS} AS c
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.qid
+), ranked AS (
+  SELECT qid, nbr,
+         row_number() OVER (PARTITION BY qid ORDER BY c DESC, nbr) AS rk
+  FROM pairs
+), top AS (
+  SELECT qid, nbr FROM ranked WHERE rk <= {_HUB_K}
+), indeg AS (
+  SELECT e.vec_id, count(t.qid)::BIGINT AS in_degree
+  FROM embeddings e LEFT JOIN top t ON t.nbr = e.vec_id
+  GROUP BY e.vec_id
+)
+SELECT in_degree::BIGINT AS in_degree,
+       count(*)::BIGINT AS n_vectors,
+       round(count(*)::DOUBLE / (SELECT count(*) FROM embeddings), 4) AS share
+FROM indeg GROUP BY in_degree ORDER BY in_degree
+"""
+
+
+_LATE_JITTER_MOD = 997  # arrival-replay displacement, > the 32 shard stride
+_LATE_SHARDS = 32
+
+
+def q_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-tuning rehearsal: replay the event stream in a
+    DETERMINISTICALLY jittered arrival order (arrival key = event_id +
+    md5(event_id) % {mod}, sharded {shards} ways like a collector fleet)
+    and measure each event's lateness against its shard's running
+    high-watermark — then report the lateness envelope (p50/p90/p99/max)
+    and the share of events a watermark delay of 60 s / 1 h / 1 d would
+    DROP.  This is the measurement you run before setting
+    ``withWatermark``: the streaming ingest's allowed-lateness knob
+    (streaming/ingest.py) should come from this table, not a guess.
+
+    Plan shape: the high-watermark is a per-shard running max — {shards}
+    independent sort partitions (exactly how Spark's own watermark is
+    tracked per-partition before the global min), so the window
+    parallelizes; no global sort ever happens.  The final roll-up is one
+    row.  Exact percentile() swaps for approx_percentile at scale."""
+    md5 = _SPARK_MD5INT.format(x="cast(event_id as string)")
+    return _sql(
+        spark, sf_dir, ["events"],
+        f"""
+        WITH arr AS (
+          SELECT ts, event_id,
+                 pmod(event_id, {_LATE_SHARDS}) AS shard,
+                 event_id + ({md5} % {_LATE_JITTER_MOD}) AS akey
+          FROM events
+        ), o AS (
+          SELECT ts,
+                 max(ts) OVER (PARTITION BY shard ORDER BY akey, event_id
+                               ROWS UNBOUNDED PRECEDING) AS high_wm
+          FROM arr
+        ), lat AS (
+          SELECT cast(unix_timestamp(high_wm) - unix_timestamp(ts) as bigint)
+                   AS late_s
+          FROM o
+        )
+        SELECT cast(count(*) as bigint) AS n_events,
+               round(avg(late_s), 2) AS avg_late_s,
+               round(percentile(late_s, 0.5D), 2) AS p50_late_s,
+               round(percentile(late_s, 0.9D), 2) AS p90_late_s,
+               round(percentile(late_s, 0.99D), 2) AS p99_late_s,
+               cast(max(late_s) as bigint) AS max_late_s,
+               round(sum(CASE WHEN late_s > 60 THEN 1 ELSE 0 END)
+                     / cast(count(*) as double), 4) AS drop_share_1m,
+               round(sum(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END)
+                     / cast(count(*) as double), 4) AS drop_share_1h,
+               round(sum(CASE WHEN late_s > 86400 THEN 1 ELSE 0 END)
+                     / cast(count(*) as double), 4) AS drop_share_1d
+        FROM lat
+        """,
+    )
+
+
+ORACLE_LATENESS_PROFILE = f"""
+WITH arr AS (
+  SELECT ts, event_id,
+         event_id % {_LATE_SHARDS} AS shard,
+         event_id + ({_DUCK_MD5INT.format(x="cast(event_id as varchar)")}
+                     % {_LATE_JITTER_MOD}) AS akey
+  FROM events
+), o AS (
+  SELECT ts,
+         max(ts) OVER (PARTITION BY shard ORDER BY akey, event_id
+                       ROWS UNBOUNDED PRECEDING) AS high_wm
+  FROM arr
+), lat AS (
+  SELECT (floor(epoch(high_wm)) - floor(epoch(ts)))::BIGINT AS late_s FROM o
+)
+SELECT count(*)::BIGINT AS n_events,
+       round(avg(late_s), 2) AS avg_late_s,
+       round(quantile_cont(late_s, 0.5), 2) AS p50_late_s,
+       round(quantile_cont(late_s, 0.9), 2) AS p90_late_s,
+       round(quantile_cont(late_s, 0.99), 2) AS p99_late_s,
+       max(late_s)::BIGINT AS max_late_s,
+       round(sum(CASE WHEN late_s > 60 THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 4) AS drop_share_1m,
+       round(sum(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 4) AS drop_share_1h,
+       round(sum(CASE WHEN late_s > 86400 THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 4) AS drop_share_1d
+FROM lat
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -14157,6 +14477,9 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "window_load_percentiles": (
         q_window_load_percentiles, ORACLE_WINDOW_LOAD_PERCENTILES,
     ),
+    "funnel_latency": (q_funnel_latency, ORACLE_FUNNEL_LATENCY),
+    "knn_hubness": (q_knn_hubness, ORACLE_KNN_HUBNESS),
+    "lateness_profile": (q_lateness_profile, ORACLE_LATENESS_PROFILE),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04
