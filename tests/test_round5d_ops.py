@@ -200,3 +200,127 @@ def test_lateness_profile_in_order_stream_is_all_zero(spark, tmp_path):
     assert row["n_events"] == 8
     assert row["max_late_s"] == 0
     assert row["drop_share_1m"] == 0.0
+
+
+# --------------------------------------------------------- join_fanout_probe
+
+
+def test_join_fanout_probe_exact_prediction_and_orphans(spark, tmp_path):
+    spark.createDataFrame(
+        [(1,), (2,), (3,)], "o_orderkey bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(1,), (1,), (4,), (4,), (4,)], "l_orderkey bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    from pdf_extractor_spark.queries import q_join_fanout_probe
+
+    row = q_join_fanout_probe(spark, str(tmp_path)).collect()[0]
+    assert row["n_keys_union"] == 4
+    assert row["n_keys_matched"] == 1
+    assert row["n_keys_left_only"] == 2   # orders 2, 3 have no lineitems
+    assert row["n_keys_right_only"] == 1  # lineitem key 4 has no order
+    assert row["n_rows_left"] == 3 and row["n_rows_right"] == 5
+    assert row["predicted_rows"] == 2     # only key 1 joins: 1*2
+    assert row["max_key_fanout"] == 2
+    assert row["p99_fanout"] == 2.0
+    assert row["max_fanout_share"] == 1.0
+
+
+# ---------------------------------------------------- shipping_priority_topk
+
+
+def test_shipping_priority_topk_filters_group_and_round(spark, tmp_path):
+    import datetime as dt
+
+    spark.createDataFrame(
+        [(1, "BUILDING"), (2, "AUTOMOBILE")],
+        "c_custkey bigint, c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/customer.parquet"
+    )
+    d_ok = dt.datetime(1998, 1, 1)
+    d_late = dt.datetime(1998, 7, 1)
+    spark.createDataFrame(
+        [
+            (10, 1, d_ok, "1-URGENT"),     # qualifies
+            (11, 1, d_late, "1-URGENT"),   # order too late
+            (12, 2, d_ok, "1-URGENT"),     # wrong segment
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [
+            (10, 100.0, 0.10, d_late),  # 90.00
+            (10, 50.0, 0.05, d_late),   # 47.50
+            (10, 999.0, 0.0, d_ok),     # shipped too early -> excluded
+            (11, 10.0, 0.0, d_late),
+            (12, 10.0, 0.0, d_late),
+        ],
+        "l_orderkey bigint, l_extendedprice double, l_discount double,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    from pdf_extractor_spark.queries import q_shipping_priority_topk
+
+    rows = q_shipping_priority_topk(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["l_orderkey"] == 10
+    assert r["revenue"] == 137.5
+    assert r["o_orderpriority"] == "1-URGENT"
+
+
+def test_shipping_priority_topk_broadcasts_customer(spark):
+    from pdf_extractor_spark.queries import q_shipping_priority_topk
+
+    plan = q_shipping_priority_topk(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-10 is not a global sort
+
+
+# ------------------------------------------------------- dim_broadcast_audit
+
+
+def test_dim_broadcast_audit_measures_octets(spark, tmp_path):
+    # region: 'é' is 2 UTF-8 octets -> est_bytes must use octets, not chars
+    spark.createDataFrame(
+        [(0, "é"), (1, "abc")], "r_regionkey int, r_name string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/region.parquet")
+    spark.createDataFrame(
+        [(0, "x", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/nation.parquet")
+    spark.createDataFrame(
+        [(0, "s0", 0, 1.0)],
+        "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/supplier.parquet"
+    )
+    spark.createDataFrame(
+        [(0, "cust", "SEG", 1.0, 0)],
+        "c_custkey bigint, c_name string, c_mktsegment string,"
+        " c_acctbal double, c_nationkey int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/customer.parquet"
+    )
+    spark.createDataFrame(
+        [(0, "part", "BR", "TY", 1, 1.0)],
+        "p_partkey bigint, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    from pdf_extractor_spark.queries import q_dim_broadcast_audit
+
+    got = {r["dim_table"]: r for r in
+           q_dim_broadcast_audit(spark, str(tmp_path)).collect()}
+    assert set(got) == {"region", "nation", "supplier", "customer", "part"}
+    # region: octets(é)=2 + octets(abc)=3 + 2 rows * 4 fixed = 13
+    assert got["region"]["est_bytes"] == 13
+    assert got["region"]["n_rows"] == 2
+    # customer: 4 + 3 octets + 1 row * 20 fixed = 27
+    assert got["customer"]["est_bytes"] == 27
+    assert all(r["auto_broadcastable"] for r in got.values())
