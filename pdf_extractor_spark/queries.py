@@ -14375,6 +14375,271 @@ ORACLE_DIM_BROADCAST_AUDIT = " UNION ALL ".join(
 ) + " ORDER BY est_bytes DESC, dim_table"
 
 
+def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy / cross-dimension redundancy audit of the embedding
+    space: the full covariance structure folded to one dashboard row —
+    trace variance, top-dimension variance share, variance participation
+    ratio ((Σλ)²/Σλ² over per-dim variances ≈ how many dimensions carry
+    the signal), and the off-diagonal correlation profile (mean/max |ρ|,
+    pairs with |ρ| > 0.5).  Anisotropic, correlation-heavy spaces hurt
+    cosine retrieval and semantic dedup (Ethayarajh EMNLP'19); this is
+    the one-row check you run before trusting `semantic_dedup` or the
+    IVF index on a new embedding model.
+
+    Scale shape: each Arrow batch folds to ONE d×d partial Gram + sum
+    vector via numpy (map-side; no d²-per-row explode ever hits the
+    shuffle — the relational spelling moves n·d(d+1)/2 rows, this moves
+    partitions × d² doubles), then a single-group reduce computes
+    cov = G/n − m mᵀ and the summary.  Formula parity with the oracle:
+    population covariance avg(xy) − avg(x)avg(y), 1e-30 variance guard."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame({
+                "g": [(m.T @ m).reshape(-1).tolist()],
+                "s": [m.sum(axis=0).tolist()],
+                "n": [int(len(m))],
+            })
+
+    parts = emb.select("embedding").mapInPandas(
+        partials, "g array<double>, s array<double>, n bigint"
+    )
+
+    def reduce_all(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np  # noqa: F811 — worker-side import
+
+        g = np.sum([np.asarray(v, dtype=np.float64) for v in pdf["g"]], axis=0)
+        s = np.sum([np.asarray(v, dtype=np.float64) for v in pdf["s"]], axis=0)
+        n = int(pdf["n"].sum())
+        d = len(s)
+        mean = s / n
+        cov = g.reshape(d, d) / n - np.outer(mean, mean)
+        var = np.diag(cov).copy()
+        trace = float(var.sum())
+        denom = np.sqrt(np.maximum(np.outer(var, var), 0.0))
+        corr = cov / np.maximum(denom, 1e-30)
+        iu = np.triu_indices(d, k=1)
+        off = np.abs(corr[iu])
+        return pd.DataFrame({
+            "n_vecs": [n],
+            "dim": [d],
+            "trace_var": [round(trace, 4)],
+            "top_var_share": [round(float(var.max()) / max(trace, 1e-30), 4)],
+            "var_participation_dims": [
+                round(trace * trace / max(float((var * var).sum()), 1e-30), 2)
+            ],
+            "mean_abs_offdiag_corr": [round(float(off.mean()), 4)],
+            "max_abs_offdiag_corr": [round(float(off.max()), 4)],
+            "high_corr_pairs": [int((off > 0.5).sum())],
+        })
+
+    return parts.groupBy(F.lit(1).alias("k")).applyInPandas(
+        lambda key, pdf: reduce_all(pdf),
+        "n_vecs bigint, dim int, trace_var double, top_var_share double,"
+        " var_participation_dims double, mean_abs_offdiag_corr double,"
+        " max_abs_offdiag_corr double, high_corr_pairs int",
+    )
+
+
+ORACLE_EMBEDDING_ISOTROPY = """
+WITH x AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+), p AS (
+  SELECT a.i AS i, b.i AS j,
+         avg(a.v * b.v) - avg(a.v) * avg(b.v) AS cov
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+), d AS (
+  SELECT i, cov AS var FROM p WHERE i = j
+), c AS (
+  SELECT p.cov / greatest(sqrt(greatest(di.var * dj.var, 0)), 1e-30) AS corr
+  FROM p JOIN d di ON di.i = p.i JOIN d dj ON dj.i = p.j
+  WHERE p.i < p.j
+)
+SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_vecs,
+       (SELECT max(len(embedding)) FROM embeddings)::INT AS dim,
+       round((SELECT sum(var) FROM d), 4) AS trace_var,
+       round((SELECT max(var) FROM d)
+             / greatest((SELECT sum(var) FROM d), 1e-30), 4) AS top_var_share,
+       round((SELECT sum(var) FROM d) * (SELECT sum(var) FROM d)
+             / greatest((SELECT sum(var * var) FROM d), 1e-30), 2)
+         AS var_participation_dims,
+       round((SELECT avg(abs(corr)) FROM c), 4) AS mean_abs_offdiag_corr,
+       round((SELECT max(abs(corr)) FROM c), 4) AS max_abs_offdiag_corr,
+       (SELECT count(*) FROM c WHERE abs(corr) > 0.5)::INT AS high_corr_pairs
+"""
+
+
+def q_mirror_direction_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL duplicate provenance: for every exact-duplicate group,
+    the origin is the earliest doc_id (first ingest wins) and every later
+    copy is attributed as (origin_source → copy_source) — the matrix that
+    says WHICH source mirrors which, so the crawl gets fixed at the
+    mirroring source instead of paying for dedup forever.
+    `dup_group_report` flags THAT groups straddle sources; this says who
+    copied whom and how much.  The diagonal (origin == copy source) is
+    within-source resubmission; off-diagonal mass is cross-source
+    mirroring.
+
+    Scale shape: digest-keyed shuffles only — one groupBy md5(text) with
+    min/min_by partial aggregation, one digest-equi-join back (copies
+    only), and the output is a ≤|sources|² matrix.  Text never shuffles;
+    NULL text coalesces to '' so both spellings agree (the
+    dup_group_report NULL-digest lesson).  On a dup-free corpus a
+    '(none)' sentinel row keeps the parity check non-trivial (the
+    dup_arrival_span convention), selected via a count() OVER () flag so
+    the matrix CTE is evaluated ONCE (the psi_drift re-expansion
+    lesson)."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH g AS (
+          SELECT md5(coalesce(text, '')) AS h, doc_id, source FROM documents
+        ), o AS (
+          SELECT h, min(doc_id) AS origin_id,
+                 min_by(source, doc_id) AS origin_source
+          FROM g GROUP BY h HAVING count(*) > 1
+        ), m AS (
+          SELECT o.origin_source, g.source AS copy_source,
+                 cast(count(*) as bigint) AS n_copies,
+                 cast(count(DISTINCT o.h) as bigint) AS n_groups
+          FROM g JOIN o ON g.h = o.h AND g.doc_id > o.origin_id
+          GROUP BY o.origin_source, g.source
+        ), u AS (
+          SELECT origin_source, copy_source, n_copies, n_groups,
+                 0 AS is_sentinel
+          FROM m
+          UNION ALL
+          SELECT '(none)', '(none)', cast(0 as bigint), cast(0 as bigint), 1
+        ), u2 AS (
+          SELECT *, count(*) OVER () AS n_rows FROM u
+        )
+        SELECT origin_source, copy_source, n_copies, n_groups
+        FROM u2
+        WHERE is_sentinel = 0 OR n_rows = 1
+        ORDER BY n_copies DESC, origin_source, copy_source
+        """,
+    )
+
+
+ORACLE_MIRROR_DIRECTION_MATRIX = """
+WITH g AS (
+  SELECT md5(coalesce(text, '')) AS h, doc_id, source FROM documents
+), o AS (
+  SELECT h, min(doc_id) AS origin_id,
+         arg_min(source, doc_id) AS origin_source
+  FROM g GROUP BY h HAVING count(*) > 1
+), m AS (
+  SELECT o.origin_source, g.source AS copy_source,
+         count(*)::BIGINT AS n_copies,
+         count(DISTINCT o.h)::BIGINT AS n_groups
+  FROM g JOIN o ON g.h = o.h AND g.doc_id > o.origin_id
+  GROUP BY o.origin_source, g.source
+), u AS (
+  SELECT origin_source, copy_source, n_copies, n_groups, 0 AS is_sentinel
+  FROM m
+  UNION ALL
+  SELECT '(none)', '(none)', 0::BIGINT, 0::BIGINT, 1
+), u2 AS (
+  SELECT *, count(*) OVER () AS n_rows FROM u
+)
+SELECT origin_source, copy_source, n_copies, n_groups
+FROM u2
+WHERE is_sentinel = 0 OR n_rows = 1
+ORDER BY n_copies DESC, origin_source, copy_source
+"""
+
+
+def q_langid_cascade_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based cascade routing for the cheap language classifier:
+    docs whose stopword ratio sits within ±margin of `lang_id`'s 0.08
+    decision boundary are UNCERTAIN and routed to the expensive model;
+    confident docs keep the cheap verdict.  Per candidate margin this
+    reports the routed share and the MEASURED accuracy of the confident
+    set against the labeled lang column — pick the margin where routed
+    volume is affordable and confident accuracy is acceptable, instead
+    of guessing.  The cascade pattern every 10^12-doc pipeline uses:
+    the cheap gate runs on everything, the expensive model only on the
+    boundary band.
+
+    Scale shape: ONE scan computes each doc's ratio (zero-shuffle fold);
+    the 3-row margin grid cross-joins as a broadcast literal and the
+    roll-up is 3 rows — the expensive-model cost is |routed| docs, which
+    is exactly the number this table reports before you commit to it."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH tk AS (
+          SELECT lang, {toks} AS toks FROM documents
+        ), t AS (
+          SELECT lang,
+                 size(filter(toks, x -> x IN ({_STOPWORDS}))) /
+                   cast(greatest(size(toks), 1) as double) AS ratio
+          FROM tk
+        ), m AS (
+          SELECT cast(margin as double) AS margin
+          FROM VALUES (0.01), (0.02), (0.04) AS v(margin)
+        )
+        SELECT margin,
+               cast(sum(CASE WHEN abs(ratio - 0.08) >= margin
+                             THEN 1 ELSE 0 END) as bigint) AS n_confident,
+               cast(sum(CASE WHEN abs(ratio - 0.08) < margin
+                             THEN 1 ELSE 0 END) as bigint) AS n_routed,
+               round(sum(CASE WHEN abs(ratio - 0.08) < margin
+                              THEN 1 ELSE 0 END)
+                     / cast(count(*) as double), 4) AS routed_share,
+               round(sum(CASE WHEN abs(ratio - 0.08) >= margin
+                              AND ((ratio >= 0.08) = (lang = 'en'))
+                              THEN 1 ELSE 0 END)
+                     / cast(greatest(sum(CASE WHEN abs(ratio - 0.08) >= margin
+                                              THEN 1 ELSE 0 END), 1)
+                            as double), 4) AS confident_acc
+        FROM t CROSS JOIN m
+        GROUP BY margin
+        ORDER BY margin
+        """,
+    )
+
+
+ORACLE_LANGID_CASCADE_ROUTING = f"""
+WITH tk AS (
+  SELECT lang, {_DUCK_TOKENS.format(x='text')} AS toks FROM documents
+), t AS (
+  SELECT lang,
+         len(list_filter(toks, x -> x IN ({_STOPWORDS}))) /
+           cast(greatest(len(toks), 1) as double) AS ratio
+  FROM tk
+), m AS (
+  SELECT margin::DOUBLE AS margin FROM (VALUES (0.01), (0.02), (0.04)) v(margin)
+)
+SELECT margin,
+       sum(CASE WHEN abs(ratio - 0.08) >= margin THEN 1 ELSE 0 END)::BIGINT
+         AS n_confident,
+       sum(CASE WHEN abs(ratio - 0.08) < margin THEN 1 ELSE 0 END)::BIGINT
+         AS n_routed,
+       round(sum(CASE WHEN abs(ratio - 0.08) < margin THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 4) AS routed_share,
+       round(sum(CASE WHEN abs(ratio - 0.08) >= margin
+                      AND ((ratio >= 0.08) = (lang = 'en'))
+                      THEN 1 ELSE 0 END)
+             / greatest(sum(CASE WHEN abs(ratio - 0.08) >= margin
+                                 THEN 1 ELSE 0 END), 1)::DOUBLE, 4)
+         AS confident_acc
+FROM t CROSS JOIN m
+GROUP BY margin
+ORDER BY margin
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -14671,6 +14936,13 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     ),
     "dim_broadcast_audit": (
         q_dim_broadcast_audit, ORACLE_DIM_BROADCAST_AUDIT,
+    ),
+    "embedding_isotropy": (q_embedding_isotropy, ORACLE_EMBEDDING_ISOTROPY),
+    "mirror_direction_matrix": (
+        q_mirror_direction_matrix, ORACLE_MIRROR_DIRECTION_MATRIX,
+    ),
+    "langid_cascade_routing": (
+        q_langid_cascade_routing, ORACLE_LANGID_CASCADE_ROUTING,
     ),
 }
 

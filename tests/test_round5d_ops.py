@@ -324,3 +324,135 @@ def test_dim_broadcast_audit_measures_octets(spark, tmp_path):
     # customer: 4 + 3 octets + 1 row * 20 fixed = 27
     assert got["customer"]["est_bytes"] == 27
     assert all(r["auto_broadcastable"] for r in got.values())
+
+
+# -------------------------------------------------------- embedding_isotropy
+
+
+def _isotropy_expected(vecs):
+    """Independent replication: population covariance from float32-stored
+    vectors, 1e-30 guards, the op's exact rounding."""
+    m = np.stack(
+        [np.asarray(v, dtype=np.float32).astype(np.float64) for v in vecs]
+    )
+    n, d = m.shape
+    mean = m.mean(axis=0)
+    cov = (m.T @ m) / n - np.outer(mean, mean)
+    var = np.diag(cov).copy()
+    trace = float(var.sum())
+    corr = cov / np.maximum(np.sqrt(np.maximum(np.outer(var, var), 0.0)), 1e-30)
+    off = np.abs(corr[np.triu_indices(d, k=1)])
+    return {
+        "n_vecs": n,
+        "dim": d,
+        "trace_var": round(trace, 4),
+        "top_var_share": round(float(var.max()) / max(trace, 1e-30), 4),
+        "var_participation_dims": round(
+            trace * trace / max(float((var * var).sum()), 1e-30), 2
+        ),
+        "mean_abs_offdiag_corr": round(float(off.mean()), 4),
+        "max_abs_offdiag_corr": round(float(off.max()), 4),
+        "high_corr_pairs": int((off > 0.5).sum()),
+    }
+
+
+def test_embedding_isotropy_matches_independent_numpy(spark, tmp_path):
+    # dim2 = 2*dim1 (perfect correlation), dim3 alternates independently
+    vecs = [[float(i), 2.0 * i, z] for i, z in zip(range(1, 5), (1, -1, 1, -1))]
+    _write_embeddings(spark, tmp_path, [(i, v) for i, v in enumerate(vecs)])
+    from pdf_extractor_spark.queries import q_embedding_isotropy
+
+    row = q_embedding_isotropy(spark, str(tmp_path)).collect()[0]
+    exp = _isotropy_expected(vecs)
+    for k, v in exp.items():
+        assert row[k] == v, (k, row[k], v)
+    # the engineered structure: exactly the dim1-dim2 pair is high-corr
+    assert row["high_corr_pairs"] == 1
+    assert row["max_abs_offdiag_corr"] == 1.0
+
+
+# --------------------------------------------------- mirror_direction_matrix
+
+
+def test_mirror_direction_matrix_attributes_direction(spark, tmp_path):
+    rows = [
+        (1, "xxx", "en", "srcA"),   # origin of group x
+        (2, "xxx", "en", "srcB"),   # copy A -> B
+        (3, "xxx", "en", "srcB"),   # copy A -> B
+        (4, "yyy", "en", "srcA"),   # origin of group y
+        (5, "yyy", "en", "srcC"),   # copy A -> C
+        (6, "zzz", "en", "srcC"),   # unique, no row
+    ]
+    import pandas as pd_
+
+    pdf = pd_.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    spark.createDataFrame(
+        pdf, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    from pdf_extractor_spark.queries import q_mirror_direction_matrix
+
+    got = {(r["origin_source"], r["copy_source"]):
+           (r["n_copies"], r["n_groups"])
+           for r in q_mirror_direction_matrix(spark, str(tmp_path)).collect()}
+    assert got == {("srcA", "srcB"): (2, 1), ("srcA", "srcC"): (1, 1)}
+
+
+def test_mirror_direction_matrix_clean_corpus_sentinel(spark, tmp_path):
+    import pandas as pd_
+
+    pdf = pd_.DataFrame(
+        [(1, "aa", "en", "s"), (2, "bb", "en", "s")],
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    spark.createDataFrame(
+        pdf, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    from pdf_extractor_spark.queries import q_mirror_direction_matrix
+
+    rows = q_mirror_direction_matrix(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0]["origin_source"] == "(none)"
+    assert rows[0]["n_copies"] == 0
+
+
+# --------------------------------------------------- langid_cascade_routing
+
+
+def test_langid_cascade_routing_margins_and_accuracy(spark, tmp_path):
+    import pandas as pd_
+
+    eleven = "the aa bb cc dd ee ff gg hh ii jj"      # ratio 1/11 ~ 0.0909
+    rows = [
+        (1, eleven, "en", "s"),                # confident only at margin .01
+        (2, "the cat", "en", "s"),             # ratio .5: always confident, ok
+        (3, "aa bb cc dd ee", "de", "s"),      # ratio 0: confident, correct
+        (4, "aa bb cc dd ee", "en", "s"),      # ratio 0: confident, WRONG
+    ]
+    pdf = pd_.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    spark.createDataFrame(
+        pdf, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    from pdf_extractor_spark.queries import q_langid_cascade_routing
+
+    got = {r["margin"]: r for r in
+           q_langid_cascade_routing(spark, str(tmp_path)).collect()}
+    assert set(got) == {0.01, 0.02, 0.04}
+    m1, m2, m4 = got[0.01], got[0.02], got[0.04]
+    assert (m1["n_confident"], m1["n_routed"]) == (4, 0)
+    assert m1["confident_acc"] == 0.75
+    assert (m2["n_confident"], m2["n_routed"]) == (3, 1)
+    assert m2["confident_acc"] == round(2 / 3, 4)
+    assert (m4["n_confident"], m4["n_routed"]) == (3, 1)
+    assert m4["routed_share"] == 0.25
