@@ -14489,30 +14489,36 @@ def q_mirror_direction_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-source resubmission; off-diagonal mass is cross-source
     mirroring.
 
-    Scale shape: digest-keyed shuffles only — one groupBy md5(text) with
-    min/min_by partial aggregation, one digest-equi-join back (copies
-    only), and the output is a ≤|sources|² matrix.  Text never shuffles;
-    NULL text coalesces to '' so both spellings agree (the
-    dup_group_report NULL-digest lesson).  On a dup-free corpus a
-    '(none)' sentinel row keeps the parity check non-trivial (the
-    dup_arrival_span convention), selected via a count() OVER () flag so
-    the matrix CTE is evaluated ONCE (the psi_drift re-expansion
-    lesson)."""
+    Scale shape: ONE scan and ONE digest-keyed shuffle — the join-back
+    spelling reads the full text column twice, so origin id/source come
+    from windows over the digest partition instead (the dup_group_report
+    single-scan lesson); the output is a ≤|sources|² matrix.  NULL text
+    coalesces to '' so both spellings agree (the dup_group_report
+    NULL-digest lesson).  On a dup-free corpus a '(none)' sentinel row
+    keeps the parity check non-trivial (the dup_arrival_span
+    convention), selected via a count() OVER () flag so the matrix CTE
+    is evaluated ONCE (the psi_drift re-expansion lesson).  The oracle
+    intentionally KEEPS the join-back spelling, so parity crosses two
+    independent formulations."""
     return _sql(
         spark, sf_dir, ["documents"],
         """
-        WITH g AS (
-          SELECT md5(coalesce(text, '')) AS h, doc_id, source FROM documents
-        ), o AS (
-          SELECT h, min(doc_id) AS origin_id,
-                 min_by(source, doc_id) AS origin_source
-          FROM g GROUP BY h HAVING count(*) > 1
+        WITH w AS (
+          SELECT doc_id, source, h,
+                 min(doc_id) OVER (PARTITION BY h) AS origin_id,
+                 first_value(source) OVER
+                   (PARTITION BY h ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS origin_source
+          FROM (SELECT doc_id, source, md5(coalesce(text, '')) AS h
+                FROM documents)
         ), m AS (
-          SELECT o.origin_source, g.source AS copy_source,
+          SELECT origin_source, source AS copy_source,
                  cast(count(*) as bigint) AS n_copies,
-                 cast(count(DISTINCT o.h) as bigint) AS n_groups
-          FROM g JOIN o ON g.h = o.h AND g.doc_id > o.origin_id
-          GROUP BY o.origin_source, g.source
+                 cast(count(DISTINCT h) as bigint) AS n_groups
+          FROM w
+          WHERE doc_id > origin_id
+          GROUP BY origin_source, source
         ), u AS (
           SELECT origin_source, copy_source, n_copies, n_groups,
                  0 AS is_sentinel

@@ -1377,3 +1377,80 @@ def test_window_load_percentiles_tumbling_fold(spark, registry):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1
     assert "Join" not in final
+
+
+def test_funnel_latency_single_scan_shared_sort(spark, registry):
+    """event_funnel's contract extended: one events scan, three Window
+    operators over one shared user-keyed sort, no joins."""
+    df = registry["funnel_latency"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+
+
+def test_lateness_profile_no_single_partition_window(spark, registry):
+    """The high-watermark windows are per-shard: the plan must exchange
+    on the shard key, never collapse to one partition for the sort."""
+    df = registry["lateness_profile"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    # the only SinglePartition exchange allowed is the final 1-row rollup,
+    # which happens AFTER the window sort; the window itself must be
+    # hash-partitioned on shard
+    assert "hashpartitioning(shard" in final
+
+
+def test_knn_hubness_no_corpus_cross_join(spark, registry):
+    """The GEMM candidate stage is map-side: no cartesian/nested-loop
+    join may appear; the only joins are the in-degree left join."""
+    df = registry["knn_hubness"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "MapInPandas" in final
+
+
+def test_join_fanout_probe_moves_counts_not_facts(spark, registry):
+    """Both fact tables collapse to per-key counts (partial_count before
+    the exchange) and only the count tables join."""
+    df = registry["join_fanout_probe"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 2
+    assert "partial_count" in final
+
+
+def test_embedding_isotropy_single_scan_no_explode(spark, registry):
+    """The Gram fold is map-side: one embeddings scan, no Generate
+    (posexplode) of the d^2 pairs ever reaches the plan."""
+    df = registry["embedding_isotropy"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Generate" not in final
+    assert "Join" not in final
+
+
+def test_mirror_direction_matrix_single_scan(spark, registry):
+    """Digest windows replace the join-back: the full text column is
+    read AT MOST once (on the dup-free sf0.001 fixture AQE's empty-
+    relation propagation prunes the matrix branch entirely, leaving just
+    the sentinel — 0 scans; the join-back spelling would show 2)."""
+    df = registry["mirror_direction_matrix"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") <= 1
+    assert "SortMergeJoin" not in final
+
+
+def test_langid_cascade_routing_broadcast_margin_grid(spark, registry):
+    """The 3-row margin grid joins as a broadcast against the one-scan
+    ratio fold — never a shuffle join."""
+    df = registry["langid_cascade_routing"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in final
