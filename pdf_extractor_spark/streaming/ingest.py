@@ -68,6 +68,57 @@ def extract_stream(transcripts: DataFrame) -> DataFrame:
     return extract_turns(transcripts, with_first_extract=True)
 
 
+OBSERVATION_NAME = "ingest"
+
+
+def observe_ingest(
+    extracted: DataFrame, name: str = OBSERVATION_NAME
+) -> DataFrame:
+    """Attach per-micro-batch observed metrics to the extracted stream —
+    the streaming leg of the pipeline's lineage/counters contract
+    (plans/pipeline.py's totals, but live): ``Dataset.observe`` computes
+    the aggregates inside the SAME job that writes the batch (no second
+    scan, no extra action) and surfaces them on every
+    ``StreamingQueryProgress`` under ``observedMetrics[name]``, where an
+    operator dashboard or alert reads them per batch.  At cluster scale
+    this replaces a side-channel count() per micro-batch — which would
+    re-run stage 1's pandas UDF — with free map-side accumulation."""
+    return extracted.observe(
+        name,
+        F.count(F.lit(1)).alias("turns"),
+        F.sum(F.when(F.col("parse_ok"), 0).otherwise(1)).alias(
+            "parse_failures"
+        ),
+        F.sum(F.when(F.col("rejected_xss"), 1).otherwise(0)).alias(
+            "xss_rejects"
+        ),
+        F.sum("bytes_in").alias("bytes_in"),
+    )
+
+
+def ingest_progress_metrics(query, name: str = OBSERVATION_NAME) -> dict:
+    """Fold a (possibly stopped) streaming query's recentProgress into
+    cumulative ingest counters: batches seen, turns, parse failures, XSS
+    rejects, bytes parsed.  Empty micro-batches report NULL sums — they
+    count as a batch with zero contribution."""
+    totals = {
+        "batches": 0,
+        "turns": 0,
+        "parse_failures": 0,
+        "xss_rejects": 0,
+        "bytes_in": 0,
+    }
+    for p in query.recentProgress:
+        row = (p.observedMetrics or {}).get(name)
+        if row is None:
+            continue
+        totals["batches"] += 1
+        for k in ("turns", "parse_failures", "xss_rejects", "bytes_in"):
+            v = row[k]
+            totals[k] += int(v) if v is not None else 0
+    return totals
+
+
 def _batch_path(root: str, batch_id: int) -> str:
     return os.path.join(root, f"batch_id={batch_id}")
 
@@ -135,7 +186,11 @@ def run_stream(
         process_micro_batch(batch_df, batch_id, output_dir, ledger=ledger)
 
     writer = (
-        extract_stream(stream_transcripts(spark, input_dir, max_files_per_trigger))
+        observe_ingest(
+            extract_stream(
+                stream_transcripts(spark, input_dir, max_files_per_trigger)
+            )
+        )
         .writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
     )

@@ -478,3 +478,44 @@ def test_dedup_stream_vs_corpus_growing_static_side(spark, tmp_path):
     run_once()
     # nothing new lands: the replayed rows are all corpus-known now
     assert spark.read.parquet(out_dir).count() == len(pdf)
+
+
+def test_observed_ingest_metrics_match_batch_counters(spark, tmp_path):
+    """The observe() counters on the stream must equal the same
+    aggregates computed by the batch operator over the same input — and
+    they arrive for free on StreamingQueryProgress, no second scan."""
+    from pdf_extractor_spark.streaming.ingest import ingest_progress_metrics
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    pdf = rows_to_pandas(generate_rows(10, seed=42))
+    spark.createDataFrame(pdf, TRANSCRIPT_DDL).repartition(2).write.parquet(
+        in_dir
+    )
+    q = run_stream(spark, in_dir, out_dir, ckpt, available_now=True)
+    q.awaitTermination(300)
+
+    got = ingest_progress_metrics(q)
+    from pyspark.sql import functions as F
+    from pdf_extractor_spark.operators.extract import extract_turns
+
+    want = (
+        extract_turns(spark.read.parquet(in_dir), with_first_extract=True)
+        .agg(
+            F.count(F.lit(1)).alias("turns"),
+            F.sum(F.when(F.col("parse_ok"), 0).otherwise(1)).alias(
+                "parse_failures"
+            ),
+            F.sum(F.when(F.col("rejected_xss"), 1).otherwise(0)).alias(
+                "xss_rejects"
+            ),
+            F.sum("bytes_in").alias("bytes_in"),
+        )
+        .collect()[0]
+    )
+    assert got["batches"] >= 1
+    assert got["turns"] == want["turns"] > 0
+    assert got["parse_failures"] == want["parse_failures"]
+    assert got["xss_rejects"] == want["xss_rejects"]
+    assert got["bytes_in"] == want["bytes_in"] > 0
