@@ -14646,6 +14646,177 @@ ORDER BY margin
 """
 
 
+def q_big_spender_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — HAVING-filtered aggregate → semi-join back to
+    detail: orders whose total lineitem quantity exceeds 250 (≈p99),
+    re-joined to recover order attributes and ranked by value.  The
+    "find the outliers, then explain them" pattern every curation
+    dashboard uses (same skeleton as turn_token_outliers, on the
+    relational side).
+
+    Plan shape: the HAVING aggregate collapses lineitem to qualifying
+    keys FIRST (map-side partial sum), and that tiny key set joins back
+    as a broadcast — the detail join never shuffles on the unfiltered
+    fact table; top-20 is a TakeOrdered.  2dp-rounded total pre-rank,
+    o_orderkey tiebreak."""
+    return _sql(
+        spark, sf_dir, ["orders", "lineitem"],
+        """
+        WITH big AS (
+          SELECT l_orderkey AS k
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+        )
+        SELECT o_orderkey, o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice,
+               round(sum(l_quantity), 2) AS total_qty,
+               cast(count(*) as bigint) AS n_items
+        FROM orders
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN big ON big.k = o_orderkey
+        GROUP BY o_orderkey, o_orderdate, o_totalprice
+        ORDER BY round(o_totalprice, 2) DESC, o_orderkey LIMIT 20
+        """,
+    )
+
+
+ORACLE_BIG_SPENDER_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey AS k
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+SELECT o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(sum(l_quantity), 2) AS total_qty,
+       count(*)::BIGINT AS n_items
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN big ON big.k = o_orderkey
+GROUP BY o_orderkey, o_orderdate, o_totalprice
+ORDER BY round(o_totalprice, 2) DESC, o_orderkey LIMIT 20
+"""
+
+
+def q_region_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the multi-hop broadcast chain: lineitem ⋈
+    supplier ⋈ nation ⋈ region, revenue rolled up per (region, nation).
+    The fact table takes ONE pass with three successive BroadcastHashJoins
+    (supplier/nation/region all fit under the threshold —
+    `dim_broadcast_audit` is the measurement that says so); no
+    fact-table shuffle happens until the final |nations|-key aggregate,
+    which map-side combines.  The canonical star-schema plan a 100-TB
+    fact table demands."""
+    return _sql(
+        spark, sf_dir, ["lineitem", "supplier", "nation", "region"],
+        """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               cast(count(*) as bigint) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, revenue DESC, n_name
+        """,
+    )
+
+
+ORACLE_REGION_REVENUE_ROLLUP = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, revenue DESC, n_name
+"""
+
+
+def q_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL retention-policy impact sweep at DAY grain: for each candidate
+    TTL (7/14/21 days back from the newest event day), how many events a
+    delete-older-than policy removes, and how many users it erases
+    ENTIRELY (their newest event is already past the horizon — the
+    right-to-be-forgotten / cost-cap planning numbers).  Run this before
+    committing the retention job, not after.
+
+    Scale shape: ONE corpus scan folds events to a (user, day) grid
+    (≤ users × active-days rows, map-side combined) — referenced ONCE
+    (the psi_drift re-expansion lesson): the max-day anchor and per-user
+    last-day come from windows over the tiny grid, the 3-row TTL grid
+    cross-joins as a broadcast literal, and the roll-up is 3 rows — the
+    policy sweep never rescans the corpus."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH g AS (
+          SELECT user_id,
+                 cast(floor(unix_timestamp(ts) / 86400) as bigint) AS day,
+                 cast(count(*) as bigint) AS n
+          FROM events GROUP BY user_id, floor(unix_timestamp(ts) / 86400)
+        ), w AS (
+          SELECT user_id, day, n,
+                 max(day) OVER () AS max_day,
+                 max(day) OVER (PARTITION BY user_id) AS user_last_day
+          FROM g
+        ), ttl AS (
+          SELECT cast(ttl_days as bigint) AS ttl_days
+          FROM VALUES (7), (14), (21) AS v(ttl_days)
+        )
+        SELECT ttl_days,
+               cast(sum(CASE WHEN day < max_day - ttl_days
+                             THEN n ELSE 0 END) as bigint)
+                 AS n_events_dropped,
+               round(sum(CASE WHEN day < max_day - ttl_days
+                              THEN n ELSE 0 END)
+                     / cast(sum(n) as double), 4) AS drop_share,
+               cast(count(DISTINCT CASE
+                      WHEN user_last_day < max_day - ttl_days
+                      THEN user_id END) as bigint) AS n_users_erased,
+               round(count(DISTINCT CASE
+                       WHEN user_last_day < max_day - ttl_days
+                       THEN user_id END)
+                     / cast(count(DISTINCT user_id) as double), 4)
+                 AS users_erased_share
+        FROM w CROSS JOIN ttl
+        GROUP BY ttl_days
+        ORDER BY ttl_days
+        """,
+    )
+
+
+ORACLE_RETENTION_SWEEP = """
+WITH g AS (
+  SELECT user_id,
+         floor(floor(epoch(ts)) / 86400)::BIGINT AS day,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY user_id, floor(floor(epoch(ts)) / 86400)
+), w AS (
+  SELECT user_id, day, n,
+         max(day) OVER () AS max_day,
+         max(day) OVER (PARTITION BY user_id) AS user_last_day
+  FROM g
+), ttl AS (
+  SELECT ttl_days::BIGINT AS ttl_days FROM (VALUES (7), (14), (21)) v(ttl_days)
+)
+SELECT ttl_days,
+       sum(CASE WHEN day < max_day - ttl_days THEN n ELSE 0 END)::BIGINT
+         AS n_events_dropped,
+       round(sum(CASE WHEN day < max_day - ttl_days THEN n ELSE 0 END)
+             / sum(n)::DOUBLE, 4) AS drop_share,
+       count(DISTINCT CASE WHEN user_last_day < max_day - ttl_days
+                           THEN user_id END)::BIGINT AS n_users_erased,
+       round(count(DISTINCT CASE WHEN user_last_day < max_day - ttl_days
+                                 THEN user_id END)
+             / count(DISTINCT user_id)::DOUBLE, 4) AS users_erased_share
+FROM w CROSS JOIN ttl
+GROUP BY ttl_days
+ORDER BY ttl_days
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -14950,6 +15121,11 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "langid_cascade_routing": (
         q_langid_cascade_routing, ORACLE_LANGID_CASCADE_ROUTING,
     ),
+    "big_spender_orders": (q_big_spender_orders, ORACLE_BIG_SPENDER_ORDERS),
+    "region_revenue_rollup": (
+        q_region_revenue_rollup, ORACLE_REGION_REVENUE_ROLLUP,
+    ),
+    "retention_sweep": (q_retention_sweep, ORACLE_RETENTION_SWEEP),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

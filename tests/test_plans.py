@@ -1454,3 +1454,30 @@ def test_langid_cascade_routing_broadcast_margin_grid(spark, registry):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1
     assert "SortMergeJoin" not in final
+
+
+def test_big_spender_orders_takeordered_no_cartesian(spark, registry):
+    df = registry["big_spender_orders"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final
+    assert "CartesianProduct" not in final
+
+
+def test_region_revenue_rollup_all_broadcast_chain(spark, registry):
+    """Three successive broadcast joins; the fact table never shuffles
+    before the final grouped aggregate."""
+    df = registry["region_revenue_rollup"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in final
+
+
+def test_retention_sweep_single_corpus_scan(spark, registry):
+    """The (user, day) grid is built once; TTL sweep and per-user
+    windows run over the grid, never a corpus rescan."""
+    df = registry["retention_sweep"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1

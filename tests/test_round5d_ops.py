@@ -456,3 +456,84 @@ def test_langid_cascade_routing_margins_and_accuracy(spark, tmp_path):
     assert m2["confident_acc"] == round(2 / 3, 4)
     assert (m4["n_confident"], m4["n_routed"]) == (3, 1)
     assert m4["routed_share"] == 0.25
+
+
+# --------------------------------------------------------- big_spender_orders
+
+
+def test_big_spender_orders_having_then_detail(spark, tmp_path):
+    spark.createDataFrame(
+        [(1, T0, 500.0), (2, T0, 900.0)],
+        "o_orderkey bigint, o_orderdate timestamp, o_totalprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(1, 200.0), (1, 100.0), (2, 100.0)],
+        "l_orderkey bigint, l_quantity double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    from pdf_extractor_spark.queries import q_big_spender_orders
+
+    rows = q_big_spender_orders(spark, str(tmp_path)).collect()
+    assert len(rows) == 1  # order 2's 100 < 250 threshold
+    assert rows[0]["o_orderkey"] == 1
+    assert rows[0]["total_qty"] == 300.0
+    assert rows[0]["n_items"] == 2
+
+
+# ------------------------------------------------------ region_revenue_rollup
+
+
+def test_region_revenue_rollup_chain(spark, tmp_path):
+    spark.createDataFrame(
+        [(0, "R0")], "r_regionkey int, r_name string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/region.parquet")
+    spark.createDataFrame(
+        [(0, "N0", 0), (1, "N1", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/nation.parquet")
+    spark.createDataFrame(
+        [(10, "s", 0), (11, "s", 1)],
+        "s_suppkey bigint, s_name string, s_nationkey int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/supplier.parquet"
+    )
+    spark.createDataFrame(
+        [(10, 100.0, 0.1), (10, 50.0, 0.0), (11, 200.0, 0.5)],
+        "l_suppkey bigint, l_extendedprice double, l_discount double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    from pdf_extractor_spark.queries import q_region_revenue_rollup
+
+    got = {(r["r_name"], r["n_name"]): (r["revenue"], r["n_items"])
+           for r in q_region_revenue_rollup(spark, str(tmp_path)).collect()}
+    assert got == {("R0", "N0"): (140.0, 2), ("R0", "N1"): (100.0, 1)}
+
+
+# ------------------------------------------------------------ retention_sweep
+
+
+def test_retention_sweep_day_grain_policies(spark, tmp_path):
+    noon = dt.timedelta(hours=12)  # day-boundary safe under any fixed tz
+    day = lambda d: T0 + dt.timedelta(days=d) + noon  # noqa: E731
+    rows = []
+    eid = 0
+    for _ in range(5):
+        eid += 1; rows.append((eid, day(0), 1, "view"))     # u1 old bulk
+    eid += 1; rows.append((eid, day(30), 1, "view"))        # u1 recent
+    for _ in range(3):
+        eid += 1; rows.append((eid, day(0), 2, "view"))     # u2 gone cold
+    for _ in range(2):
+        eid += 1; rows.append((eid, day(20), 3, "view"))    # u3 mid-age
+    _write_events(spark, tmp_path, rows)
+    from pdf_extractor_spark.queries import q_retention_sweep
+
+    got = {r["ttl_days"]: r for r in
+           q_retention_sweep(spark, str(tmp_path)).collect()}
+    # max day = 30; cutoffs: 23 / 16 / 9
+    assert (got[7]["n_events_dropped"], got[7]["n_users_erased"]) == (10, 2)
+    assert got[7]["drop_share"] == round(10 / 11, 4)
+    assert got[7]["users_erased_share"] == round(2 / 3, 4)
+    assert (got[14]["n_events_dropped"], got[14]["n_users_erased"]) == (8, 1)
+    assert (got[21]["n_events_dropped"], got[21]["n_users_erased"]) == (8, 1)
