@@ -537,3 +537,127 @@ def test_retention_sweep_day_grain_policies(spark, tmp_path):
     assert got[7]["users_erased_share"] == round(2 / 3, 4)
     assert (got[14]["n_events_dropped"], got[14]["n_users_erased"]) == (8, 1)
     assert (got[21]["n_events_dropped"], got[21]["n_users_erased"]) == (8, 1)
+
+
+# -------------------------------------------------------- sketch_error_audit
+
+
+def _sketch_estimate(values, q):
+    """Independent log-linear sketch replication (4 sub-bins/octave)."""
+    bins: dict[int, int] = {}
+    for n in values:
+        k = n.bit_length() - 1
+        sub = (4 * n) // (1 << k) - 4
+        bins[4 * k + sub] = bins.get(4 * k + sub, 0) + 1
+    total = float(sum(bins.values()))
+    cume = 0.0
+    for bin_id in sorted(bins):
+        cnt = bins[bin_id]
+        cume += cnt
+        if cume >= q * total and (cume - cnt) < q * total:
+            k, sub = bin_id // 4, bin_id % 4
+            lo = (1 << k) * (1.0 + sub / 4.0)
+            hi = (1 << k) * (1.0 + (sub + 1) / 4.0)
+            return round(lo + (q * total - (cume - cnt)) / cnt * (hi - lo), 4)
+    raise AssertionError("walk failed")
+
+
+def test_sketch_error_audit_matches_independent_sketch(spark, tmp_path):
+    import pandas as pd_
+
+    values = [4] * 4 + [8] * 3 + [16] * 2 + [100]
+    rows = [(i, "x" * n, "en", "s") for i, n in enumerate(values)]
+    pdf = pd_.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    spark.createDataFrame(
+        pdf, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    from pdf_extractor_spark.queries import q_sketch_error_audit
+
+    got = {r["q"]: r for r in
+           q_sketch_error_audit(spark, str(tmp_path)).collect()}
+    arr = np.asarray(sorted(values), dtype=np.float64)
+    for q in (0.5, 0.9, 0.99):
+        est = _sketch_estimate(values, q)
+        exact = round(float(np.percentile(arr, q * 100)), 4)
+        assert got[q]["estimate"] == est, (q, got[q]["estimate"], est)
+        assert got[q]["exact"] == exact
+        rel = round(abs(est - exact) / max(exact, 1e-30), 4)
+        assert got[q]["rel_err"] == rel
+        assert got[q]["within_bound"] == (abs(est - exact)
+                                          / max(exact, 1e-30) <= 0.25)
+
+
+# --------------------------------------------------------------- rfm_features
+
+
+def test_rfm_features_per_user_columns(spark, tmp_path):
+    day = lambda d: T0 + dt.timedelta(days=d, hours=12)  # noqa: E731
+    rows_raw = [
+        # u1: events days 0 and 10; purchase 25.5 on day 10 -> recent
+        (1, day(0), 1, "view", 0.0),
+        (2, day(10), 1, "purchase", 25.5),
+        # u2: single view day 1 -> cold
+        (3, day(1), 2, "view", 0.0),
+    ]
+    spark.createDataFrame(
+        [(i, ts, u, et, v, "{}") for i, ts, u, et, v in rows_raw],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    from pdf_extractor_spark.queries import q_rfm_features
+
+    got = {r["user_id"]: r for r in
+           q_rfm_features(spark, str(tmp_path)).collect()}
+    u1, u2 = got[1], got[2]
+    assert (u1["recency_days"], u1["frequency"], u1["monetary"],
+            u1["n_purchases"], u1["tenure_days"], u1["active_7d"]) == (
+        0, 2, 25.5, 1, 10, True)
+    assert (u2["recency_days"], u2["frequency"], u2["monetary"],
+            u2["n_purchases"], u2["tenure_days"], u2["active_7d"]) == (
+        9, 1, 0.0, 0, 0, False)
+
+
+# ----------------------------------------------------------------- sq8_recall
+
+
+def _sq8_expected(vecs: dict[int, list[float]], k=5, mod=50):
+    def quant(v):
+        v = np.asarray(v, dtype=np.float32).astype(np.float64)
+        scale = 127.0 / max(float(np.abs(v).max()), 1e-30)
+        codes = np.floor(v * scale + 0.5).astype(np.int64)
+        return v, scale, codes
+
+    qs = {i: quant(v) for i, v in vecs.items()}
+    out = {}
+    for qid in sorted(v for v in vecs if v % mod == 0):
+        qv, qsc, qc = qs[qid]
+        fs, zs = [], []
+        for vid in sorted(vecs):
+            if vid == qid:
+                continue
+            ev, esc, ec = qs[vid]
+            fs.append((round(float(ev @ qv), 4), vid))
+            zs.append((round(float(ec @ qc) / (esc * qsc), 4), vid))
+        fs.sort(key=lambda t: (-t[0], t[1]))
+        zs.sort(key=lambda t: (-t[0], t[1]))
+        ftop = {v for _, v in fs[:k]}
+        ztop = {v for _, v in zs[:k]}
+        n = len(ftop & ztop)
+        out[qid] = (n, round(n / k, 4))
+    return out
+
+
+def test_sq8_recall_matches_independent_quantizer(spark, tmp_path):
+    rng = np.random.RandomState(7)
+    vecs = {i: (rng.randn(8) * (1 + 3 * (i % 3))).tolist() for i in range(9)}
+    _write_embeddings(spark, tmp_path, sorted(vecs.items()))
+    from pdf_extractor_spark.queries import q_sq8_recall
+
+    got = {r["query_id"]: (r["n_overlap"], r["recall_at5"])
+           for r in q_sq8_recall(spark, str(tmp_path)).collect()}
+    assert got == _sq8_expected(vecs)
+    assert set(got) == {0}  # only vec 0 matches the %50 query sample
