@@ -15081,6 +15081,219 @@ ORDER BY a.qid
 )
 
 
+_FK_PAIRS: list[tuple[str, str, str, str, str]] = [
+    # (label, child_table, child_key, parent_table, parent_key)
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+]
+
+
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of every FK edge in the star schema —
+    one row per relationship with child rows/keys, orphan rows/keys
+    (child keys with no parent, NULLs included), and the orphan row
+    share.  Joins silently DROP orphans (inner) or fabricate NULLs
+    (outer); this table is the data-quality gate that says which before
+    any join ships — `join_fanout_probe` for one edge, this for the
+    whole schema.
+
+    Scale shape: each child collapses to per-key counts map-side (the
+    probe never moves child rows), the parent side is a distinct-key
+    projection that BROADCASTS (dims by construction), and the audit is
+    a ≤|edges| row union of tiny aggregates."""
+    blocks = []
+    for label, child, ck, parent, pk in _FK_PAIRS:
+        blocks.append(
+            f"""
+            SELECT '{label}' AS fk,
+                   cast(sum(n) as bigint) AS n_child_rows,
+                   cast(count(*) as bigint) AS n_child_keys,
+                   cast(sum(CASE WHEN pk IS NULL THEN n ELSE 0 END)
+                        as bigint) AS n_orphan_rows,
+                   cast(sum(CASE WHEN pk IS NULL THEN 1 ELSE 0 END)
+                        as bigint) AS n_orphan_keys,
+                   round(sum(CASE WHEN pk IS NULL THEN n ELSE 0 END)
+                         / cast(sum(n) as double), 4) AS orphan_row_share
+            FROM (SELECT {ck} AS k, cast(count(*) as bigint) AS n
+                  FROM {child} GROUP BY {ck}) c
+            LEFT JOIN (SELECT DISTINCT {pk} AS pk FROM {parent}) p
+              ON c.k = p.pk
+            """
+        )
+    tables = sorted({t for _, c, _, p, _ in _FK_PAIRS for t in (c, p)})
+    return _sql(
+        spark, sf_dir, tables,
+        " UNION ALL ".join(blocks) + " ORDER BY fk",
+    )
+
+
+ORACLE_FK_INTEGRITY_AUDIT = " UNION ALL ".join(
+    f"""
+    SELECT '{label}' AS fk,
+           sum(n)::BIGINT AS n_child_rows,
+           count(*)::BIGINT AS n_child_keys,
+           sum(CASE WHEN pk IS NULL THEN n ELSE 0 END)::BIGINT
+             AS n_orphan_rows,
+           sum(CASE WHEN pk IS NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_orphan_keys,
+           round(sum(CASE WHEN pk IS NULL THEN n ELSE 0 END)
+                 / sum(n)::DOUBLE, 4) AS orphan_row_share
+    FROM (SELECT {ck} AS k, count(*)::BIGINT AS n
+          FROM {child} GROUP BY {ck}) c
+    LEFT JOIN (SELECT DISTINCT {pk} AS pk FROM {parent}) p ON c.k = p.pk
+    """
+    for label, child, ck, parent, pk in _FK_PAIRS
+) + " ORDER BY fk"
+
+
+def q_column_bytes_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage/shuffle-width profile of the documents table: measured
+    bytes per column (UTF-8 octets for strings, 8-byte fixed for
+    numerics), each column's share, and bytes/row — the table that says
+    WHAT to prune before a shuffle and what a projection saves (the
+    column-level companion to `dim_broadcast_audit`'s table-level view).
+    When text is 95% of the width, every operator that shuffles anything
+    but digests is paying 20× over the metadata-only plan.
+
+    Scale shape: ONE scan folds to a single totals row;
+    inline(array(named_struct...)) unpivots it to 5 rows WITHOUT
+    re-reading (the psi_drift re-expansion lesson — a UNION-of-selects
+    spelling would scan per column); shares come from a window over the
+    5-row frame.  The oracle uses the UNION spelling over DuckDB's
+    materialized CTE, so parity crosses two formulations."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH a AS (
+          SELECT cast(count(*) as bigint) AS n,
+                 cast(count(*) * 8 as bigint) AS id_b,
+                 cast(sum(coalesce(octet_length(text), 0)) as bigint)
+                   AS text_b,
+                 cast(sum(coalesce(octet_length(lang), 0)) as bigint)
+                   AS lang_b,
+                 cast(sum(coalesce(octet_length(source), 0)) as bigint)
+                   AS source_b,
+                 cast(count(*) * 8 as bigint) AS nchars_b
+          FROM documents
+        ), cols AS (
+          SELECT n, inline(array(
+            named_struct('col', 'doc_id', 'total_bytes', id_b),
+            named_struct('col', 'lang', 'total_bytes', lang_b),
+            named_struct('col', 'n_chars', 'total_bytes', nchars_b),
+            named_struct('col', 'source', 'total_bytes', source_b),
+            named_struct('col', 'text', 'total_bytes', text_b)))
+          FROM a
+        )
+        SELECT col, total_bytes,
+               round(total_bytes
+                     / cast(greatest(sum(total_bytes) OVER (), 1) as double),
+                     4) AS share,
+               round(total_bytes / cast(greatest(n, 1) as double), 2)
+                 AS bytes_per_row
+        FROM cols ORDER BY col
+        """,
+    )
+
+
+ORACLE_COLUMN_BYTES_PROFILE = """
+WITH a AS (
+  SELECT count(*)::BIGINT AS n,
+         (count(*) * 8)::BIGINT AS id_b,
+         sum(coalesce(strlen(text), 0))::BIGINT AS text_b,
+         sum(coalesce(strlen(lang), 0))::BIGINT AS lang_b,
+         sum(coalesce(strlen(source), 0))::BIGINT AS source_b,
+         (count(*) * 8)::BIGINT AS nchars_b
+  FROM documents
+), cols AS (
+  SELECT n, 'doc_id' AS col, id_b AS total_bytes FROM a
+  UNION ALL SELECT n, 'lang', lang_b FROM a
+  UNION ALL SELECT n, 'n_chars', nchars_b FROM a
+  UNION ALL SELECT n, 'source', source_b FROM a
+  UNION ALL SELECT n, 'text', text_b FROM a
+)
+SELECT col, total_bytes,
+       round(total_bytes
+             / greatest(sum(total_bytes) OVER (), 1)::DOUBLE, 4) AS share,
+       round(total_bytes / greatest(n, 1)::DOUBLE, 2) AS bytes_per_row
+FROM cols ORDER BY col
+"""
+
+
+def q_skew_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRESCRIPTION that completes the skew trilogy — `skew_report`
+    diagnoses heavy keys, `salted_join` is the mechanism, this says HOW
+    MUCH salt: per key exceeding the budget (4× the mean per-key count,
+    derived from the data, not hardcoded), the salt factor that brings
+    its largest sub-partition back under budget, and the post-salt
+    residual share.  Feed these factors straight into the salted join's
+    fanout column.
+
+    Scale shape: one map-side-combined count fold; budget and shares are
+    windows over the |keys|-row grouped table; output is the top-10 keys
+    by volume with a needs_salt flag (a uniform corpus shows 10 rows of
+    salt_factor 1 = "no salting needed", still a non-trivial parity
+    check) — prescription-sized, not corpus-sized."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH counts AS (
+          SELECT user_id, cast(count(*) as bigint) AS n
+          FROM events GROUP BY user_id
+        ), w AS (
+          SELECT user_id, n,
+                 cast(ceil(4.0 * sum(n) OVER () / count(*) OVER ())
+                      as bigint) AS budget,
+                 cast(sum(n) OVER () as bigint) AS total
+          FROM counts
+        )
+        SELECT user_id, n, budget, n > budget AS needs_salt,
+               cast(greatest(ceil(n / cast(budget as double)), 1)
+                    as bigint) AS salt_factor,
+               cast(ceil(n / greatest(ceil(n / cast(budget as double)), 1))
+                    as bigint) AS post_salt_max_rows,
+               round(cast(n as double) / total, 4) AS pre_salt_share,
+               round(ceil(n / greatest(ceil(n / cast(budget as double)), 1))
+                     / cast(total as double), 6) AS post_salt_share
+        FROM w
+        ORDER BY n DESC, user_id LIMIT 10
+        """,
+    )
+
+
+ORACLE_SKEW_SALT_PLAN = """
+WITH counts AS (
+  SELECT user_id, count(*)::BIGINT AS n
+  FROM events GROUP BY user_id
+), w AS (
+  SELECT user_id, n,
+         ceil(4.0 * sum(n) OVER () / count(*) OVER ())::BIGINT AS budget,
+         (sum(n) OVER ())::BIGINT AS total
+  FROM counts
+)
+SELECT user_id, n, budget, n > budget AS needs_salt,
+       greatest(ceil(n / budget::DOUBLE), 1)::BIGINT AS salt_factor,
+       ceil(n / greatest(ceil(n / budget::DOUBLE), 1))::BIGINT
+         AS post_salt_max_rows,
+       round(n::DOUBLE / total, 4) AS pre_salt_share,
+       round(ceil(n / greatest(ceil(n / budget::DOUBLE), 1)) / total::DOUBLE,
+             6) AS post_salt_share
+FROM w
+ORDER BY n DESC, user_id LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -15393,6 +15606,11 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "sketch_error_audit": (q_sketch_error_audit, ORACLE_SKETCH_ERROR_AUDIT),
     "rfm_features": (q_rfm_features, ORACLE_RFM_FEATURES),
     "sq8_recall": (q_sq8_recall, ORACLE_SQ8_RECALL),
+    "fk_integrity_audit": (q_fk_integrity_audit, ORACLE_FK_INTEGRITY_AUDIT),
+    "column_bytes_profile": (
+        q_column_bytes_profile, ORACLE_COLUMN_BYTES_PROFILE,
+    ),
+    "skew_salt_plan": (q_skew_salt_plan, ORACLE_SKEW_SALT_PLAN),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

@@ -661,3 +661,121 @@ def test_sq8_recall_matches_independent_quantizer(spark, tmp_path):
            for r in q_sq8_recall(spark, str(tmp_path)).collect()}
     assert got == _sq8_expected(vecs)
     assert set(got) == {0}  # only vec 0 matches the %50 query sample
+
+
+# --------------------------------------------------------- fk_integrity_audit
+
+
+def test_fk_integrity_audit_counts_orphans(spark, tmp_path):
+    # minimal star: nation 0 exists, customer rows point at 0 (ok) and 9
+    # (orphan); the other 6 edges are empty-child or clean
+    spark.createDataFrame(
+        [(0, "R")], "r_regionkey int, r_name string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/region.parquet")
+    spark.createDataFrame(
+        [(0, "N", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/nation.parquet")
+    spark.createDataFrame(
+        [(1, "c", 0), (2, "c", 9), (3, "c", 9)],
+        "c_custkey bigint, c_name string, c_nationkey int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/customer.parquet"
+    )
+    spark.createDataFrame(
+        [(10, 1)], "o_orderkey bigint, o_custkey bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(10, 100, 200)],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    spark.createDataFrame(
+        [(100, "p")], "p_partkey bigint, p_name string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    spark.createDataFrame(
+        [(200, "s", 0)], "s_suppkey bigint, s_name string, s_nationkey int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/supplier.parquet"
+    )
+    from pdf_extractor_spark.queries import q_fk_integrity_audit
+
+    got = {r["fk"]: r for r in
+           q_fk_integrity_audit(spark, str(tmp_path)).collect()}
+    c = got["customer.c_nationkey->nation"]
+    assert (c["n_child_rows"], c["n_child_keys"]) == (3, 2)
+    assert (c["n_orphan_rows"], c["n_orphan_keys"]) == (2, 1)
+    assert c["orphan_row_share"] == round(2 / 3, 4)
+    for clean in ("lineitem.l_orderkey->orders", "lineitem.l_partkey->part",
+                  "lineitem.l_suppkey->supplier", "nation.n_regionkey->region",
+                  "orders.o_custkey->customer", "supplier.s_nationkey->nation"):
+        assert got[clean]["n_orphan_rows"] == 0, clean
+
+
+# ------------------------------------------------------- column_bytes_profile
+
+
+def test_column_bytes_profile_measures_octets(spark, tmp_path):
+    import pandas as pd_
+
+    # 'é' = 2 octets; totals: text 5+2=7, lang 2*2=4, source 1*2=2... rows=2
+    pdf = pd_.DataFrame(
+        [(1, "héllo", "en", "a"), (2, "x", "de", "b")],
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    spark.createDataFrame(
+        pdf, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    from pdf_extractor_spark.queries import q_column_bytes_profile
+
+    got = {r["col"]: r for r in
+           q_column_bytes_profile(spark, str(tmp_path)).collect()}
+    assert got["text"]["total_bytes"] == 7   # héllo = 6 octets + x = 1
+    assert got["lang"]["total_bytes"] == 4
+    assert got["source"]["total_bytes"] == 2
+    assert got["doc_id"]["total_bytes"] == 16
+    assert got["n_chars"]["total_bytes"] == 16
+    total = sum(r["total_bytes"] for r in got.values())
+    assert got["text"]["share"] == round(7 / total, 4)
+    assert got["text"]["bytes_per_row"] == 3.5
+
+
+# -------------------------------------------------------------- skew_salt_plan
+
+
+def test_skew_salt_plan_prescribes_factors(spark, tmp_path):
+    # 3 keys: 100, 10, 10 events -> mean 40, budget = ceil(4*40) = 160?
+    # budget = ceil(4 * total/keys) = ceil(4*120/3) = 160 -> nothing heavy.
+    # Use: 1000, 10, 10 -> mean 340, budget 1360 -> still 1? Make one key
+    # dominate: 1000, 10, 10 => budget=1360 > 1000: uniform... budget is
+    # 4x mean, so a single key must exceed 4x mean: 3 keys with
+    # 2000, 100, 100 -> mean 733.3, budget ceil(2933.33)=2934 > 2000. The
+    # mean includes the heavy key; use MANY small keys + one giant:
+    # 20 keys of 10 + one of 2000 -> mean = 2200/21 = 104.76, budget 420,
+    # giant needs salt_factor ceil(2000/420) = 5.
+    rows = []
+    eid = 0
+    for u in range(20):
+        for _ in range(10):
+            eid += 1
+            rows.append((eid, T0 + dt.timedelta(seconds=eid), 100 + u, "view"))
+    for _ in range(2000):
+        eid += 1
+        rows.append((eid, T0 + dt.timedelta(seconds=eid), 999, "view"))
+    _write_events(spark, tmp_path, rows)
+    from pdf_extractor_spark.queries import q_skew_salt_plan
+
+    plan = q_skew_salt_plan(spark, str(tmp_path)).collect()
+    assert len(plan) == 10  # top-10 keys always emitted
+    top = plan[0]
+    assert top["user_id"] == 999 and top["n"] == 2000
+    assert top["budget"] == 420
+    assert top["needs_salt"] is True
+    assert top["salt_factor"] == 5
+    assert top["post_salt_max_rows"] == 400
+    assert not any(r["needs_salt"] for r in plan[1:])
+    assert all(r["salt_factor"] == 1 for r in plan[1:])
