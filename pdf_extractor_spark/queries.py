@@ -15294,6 +15294,198 @@ ORDER BY n DESC, user_id LIMIT 10
 """
 
 
+
+
+def q_state_size_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state-store sizing plan: for candidate tumbling-window
+    widths (1 m / 5 m / 1 h), the MEASURED active-key load per window
+    (avg and max distinct users) and the state-row estimate under a 1-h
+    allowed lateness (open windows = ceil(lateness/width)+1, times the
+    max active keys) — the number that decides whether the windowed agg
+    state fits executor memory BEFORE the stream ships, from the same
+    corpus the stream will see.  Pairs with `lateness_profile` (which
+    picks the lateness those open windows must cover).
+
+    Scale shape: ONE scan; inline(array(named_struct...)) fans each event
+    into its 3 (width, bucket) keys engine-side (an Expand, not a CTE
+    re-read), one distinct-fold + one grouped fold over the
+    (width, bucket) grid, 3-row output."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH e AS (
+          SELECT user_id, inline(array(
+            named_struct('w', 60, 'b',
+                         cast(floor(unix_timestamp(ts) / 60) as bigint)),
+            named_struct('w', 300, 'b',
+                         cast(floor(unix_timestamp(ts) / 300) as bigint)),
+            named_struct('w', 3600, 'b',
+                         cast(floor(unix_timestamp(ts) / 3600) as bigint))))
+          FROM events
+        ), a AS (
+          SELECT w, b, cast(count(DISTINCT user_id) as bigint) AS active
+          FROM e GROUP BY w, b
+        )
+        SELECT cast(w as bigint) AS window_s,
+               cast(count(*) as bigint) AS n_windows,
+               round(avg(active), 2) AS avg_active_keys,
+               cast(max(active) as bigint) AS max_active_keys,
+               cast(ceil(3600.0 / w) + 1 as bigint) AS open_windows_1h,
+               cast(max(active) * (ceil(3600.0 / w) + 1) as bigint)
+                 AS est_state_rows
+        FROM a GROUP BY w ORDER BY window_s
+        """,
+    )
+
+
+ORACLE_STATE_SIZE_PLAN = """
+WITH b AS (
+  SELECT user_id,
+         floor(floor(epoch(ts)) / 60)::BIGINT AS b60,
+         floor(floor(epoch(ts)) / 300)::BIGINT AS b300,
+         floor(floor(epoch(ts)) / 3600)::BIGINT AS b3600
+  FROM events
+), e AS (
+  SELECT 60 AS w, b60 AS bkt, user_id FROM b
+  UNION ALL SELECT 300, b300, user_id FROM b
+  UNION ALL SELECT 3600, b3600, user_id FROM b
+), a AS (
+  SELECT w, bkt, count(DISTINCT user_id)::BIGINT AS active
+  FROM e GROUP BY w, bkt
+)
+SELECT w::BIGINT AS window_s,
+       count(*)::BIGINT AS n_windows,
+       round(avg(active), 2) AS avg_active_keys,
+       max(active)::BIGINT AS max_active_keys,
+       (ceil(3600.0 / w) + 1)::BIGINT AS open_windows_1h,
+       (max(active) * (ceil(3600.0 / w) + 1))::BIGINT AS est_state_rows
+FROM a GROUP BY w ORDER BY window_s
+"""
+
+
+def q_shingle_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-width tuning sweep for the minhash/LSH family: per
+    candidate k (2/3/5 word shingles), total and DISTINCT shingle
+    volume, the duplicate mass, and the share of distinct shingles that
+    appear in MORE THAN ONE document — the discriminativeness number:
+    small k repeats across unrelated docs (LSH candidates explode, low
+    precision), large k is nearly unique (high precision, recall dies).
+    The catalog's minhash ops fix k=3; this is the measurement that
+    justifies it, alongside `minhash_perm_sweep` (permutation axis) and
+    `lsh_band_balance` (banding axis).
+
+    Scale shape: one scan tokenizes once; each k's shingle stream folds
+    through ONE token-keyed shuffle with map-side combine (count +
+    distinct-doc count per shingle), and the sweep output is 3 rows."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH toks AS (
+          SELECT * FROM (SELECT doc_id, {toks} AS t FROM documents)
+          WHERE size(t) > 0
+        ), sh AS (
+          SELECT 2 AS k, explode(CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t)-1), i -> concat_ws(' ', element_at(t,i+0), element_at(t,i+1))) ELSE array(concat_ws(' ', t)) END) AS s, doc_id FROM toks
+          UNION ALL
+          SELECT 3 AS k, explode(CASE WHEN size(t) >= 3 THEN transform(sequence(1, size(t)-2), i -> concat_ws(' ', element_at(t,i+0), element_at(t,i+1), element_at(t,i+2))) ELSE array(concat_ws(' ', t)) END) AS s, doc_id FROM toks
+          UNION ALL
+          SELECT 5 AS k, explode(CASE WHEN size(t) >= 5 THEN transform(sequence(1, size(t)-4), i -> concat_ws(' ', element_at(t,i+0), element_at(t,i+1), element_at(t,i+2), element_at(t,i+3), element_at(t,i+4))) ELSE array(concat_ws(' ', t)) END) AS s, doc_id FROM toks
+        ), df AS (
+          SELECT k, s, cast(count(*) as bigint) AS n,
+                 cast(count(DISTINCT doc_id) as bigint) AS df
+          FROM sh GROUP BY k, s
+        )
+        SELECT cast(k as int) AS k,
+               cast(sum(n) as bigint) AS total_shingles,
+               cast(count(*) as bigint) AS distinct_shingles,
+               round(1.0 - count(*) / cast(sum(n) as double), 4)
+                 AS dup_mass,
+               cast(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) as bigint)
+                 AS multi_doc_shingles,
+               round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)
+                     / cast(count(*) as double), 4) AS multi_doc_share
+        FROM df GROUP BY k ORDER BY k
+        """,
+    )
+
+
+ORACLE_SHINGLE_SIZE_SWEEP = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(x='text')} AS t FROM documents
+  WHERE len({_DUCK_TOKENS.format(x='text')}) > 0
+), sh AS (
+  SELECT 2 AS k, unnest(CASE WHEN len(t) >= 2 THEN [t[i+0] || ' ' || t[i+1] FOR i IN range(1, len(t)-0)] ELSE [array_to_string(t, ' ')] END) AS s, doc_id FROM toks
+  UNION ALL
+  SELECT 3 AS k, unnest(CASE WHEN len(t) >= 3 THEN [t[i+0] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(t)-1)] ELSE [array_to_string(t, ' ')] END) AS s, doc_id FROM toks
+  UNION ALL
+  SELECT 5 AS k, unnest(CASE WHEN len(t) >= 5 THEN [t[i+0] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] FOR i IN range(1, len(t)-3)] ELSE [array_to_string(t, ' ')] END) AS s, doc_id FROM toks
+), df AS (
+  SELECT k, s, count(*)::BIGINT AS n,
+         count(DISTINCT doc_id)::BIGINT AS df
+  FROM sh GROUP BY k, s
+)
+SELECT k::INT AS k,
+       sum(n)::BIGINT AS total_shingles,
+       count(*)::BIGINT AS distinct_shingles,
+       round(1.0 - count(*) / sum(n)::DOUBLE, 4) AS dup_mass,
+       sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::BIGINT AS multi_doc_shingles,
+       round(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 4)
+         AS multi_doc_share
+FROM df GROUP BY k ORDER BY k
+"""
+
+
+def q_revenue_growth_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue trend over orders: revenue, order count,
+    month-over-month delta and growth rate, and the 3-month moving
+    average — the load-bearing OLAP time-series every warehouse reports,
+    here as the oracled window-function shape (lag + bounded moving
+    frame over a months-sized grouped table).
+
+    Scale shape: one grouped fold to |months| keys (map-side combined);
+    every window runs over the months table.  Deltas/MA compute from the
+    2dp-rounded revenue so both engines rank and subtract identical
+    values."""
+    return _sql(
+        spark, sf_dir, ["orders"],
+        """
+        WITH m AS (
+          SELECT date_trunc('month', o_orderdate) AS month,
+                 round(sum(o_totalprice), 2) AS revenue,
+                 cast(count(*) as bigint) AS n_orders
+          FROM orders GROUP BY date_trunc('month', o_orderdate)
+        )
+        SELECT month, revenue, n_orders,
+               round(revenue - lag(revenue) OVER (ORDER BY month), 2)
+                 AS mom_delta,
+               round((revenue - lag(revenue) OVER (ORDER BY month))
+                     / lag(revenue) OVER (ORDER BY month), 4) AS mom_growth,
+               round(avg(revenue) OVER (ORDER BY month
+                                        ROWS BETWEEN 2 PRECEDING
+                                        AND CURRENT ROW), 2) AS ma3
+        FROM m ORDER BY month
+        """,
+    )
+
+
+ORACLE_REVENUE_GROWTH_TREND = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         round(sum(o_totalprice), 2) AS revenue,
+         count(*)::BIGINT AS n_orders
+  FROM orders GROUP BY date_trunc('month', o_orderdate)
+)
+SELECT month, revenue, n_orders,
+       round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS mom_delta,
+       round((revenue - lag(revenue) OVER (ORDER BY month))
+             / lag(revenue) OVER (ORDER BY month), 4) AS mom_growth,
+       round(avg(revenue) OVER (ORDER BY month
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             2) AS ma3
+FROM m ORDER BY month
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -15611,6 +15803,11 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
         q_column_bytes_profile, ORACLE_COLUMN_BYTES_PROFILE,
     ),
     "skew_salt_plan": (q_skew_salt_plan, ORACLE_SKEW_SALT_PLAN),
+    "state_size_plan": (q_state_size_plan, ORACLE_STATE_SIZE_PLAN),
+    "shingle_size_sweep": (q_shingle_size_sweep, ORACLE_SHINGLE_SIZE_SWEEP),
+    "revenue_growth_trend": (
+        q_revenue_growth_trend, ORACLE_REVENUE_GROWTH_TREND,
+    ),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

@@ -779,3 +779,84 @@ def test_skew_salt_plan_prescribes_factors(spark, tmp_path):
     assert top["post_salt_max_rows"] == 400
     assert not any(r["needs_salt"] for r in plan[1:])
     assert all(r["salt_factor"] == 1 for r in plan[1:])
+
+
+# -------------------------------------------------------------- state_size_plan
+
+
+def test_state_size_plan_measured_active_keys(spark, tmp_path):
+    rows = [
+        (1, T0, 1, "view"),
+        (2, T0 + dt.timedelta(seconds=30), 2, "view"),   # same minute
+        (3, T0 + dt.timedelta(seconds=90), 1, "view"),   # next minute
+    ]
+    _write_events(spark, tmp_path, rows)
+    from pdf_extractor_spark.queries import q_state_size_plan
+
+    got = {r["window_s"]: r for r in
+           q_state_size_plan(spark, str(tmp_path)).collect()}
+    w60, w300, w3600 = got[60], got[300], got[3600]
+    assert (w60["n_windows"], w60["max_active_keys"]) == (2, 2)
+    assert w60["avg_active_keys"] == 1.5
+    assert (w60["open_windows_1h"], w60["est_state_rows"]) == (61, 122)
+    assert (w300["n_windows"], w300["max_active_keys"]) == (1, 2)
+    assert (w300["open_windows_1h"], w300["est_state_rows"]) == (13, 26)
+    assert (w3600["n_windows"], w3600["est_state_rows"]) == (1, 4)
+
+
+# ---------------------------------------------------------- shingle_size_sweep
+
+
+def test_shingle_size_sweep_discriminativeness(spark, tmp_path):
+    import pandas as pd_
+
+    pdf = pd_.DataFrame(
+        [(1, "a b c", "en", "s"), (2, "a b d", "en", "s")],
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    pdf["n_chars"] = pdf["text"].str.len().astype("int64")
+    spark.createDataFrame(
+        pdf, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    from pdf_extractor_spark.queries import q_shingle_size_sweep
+
+    got = {r["k"]: r for r in
+           q_shingle_size_sweep(spark, str(tmp_path)).collect()}
+    k2 = got[2]
+    # doc1: "a b","b c"; doc2: "a b","b d" -> 4 total, 3 distinct
+    assert (k2["total_shingles"], k2["distinct_shingles"]) == (4, 3)
+    assert k2["dup_mass"] == 0.25
+    assert (k2["multi_doc_shingles"], k2["multi_doc_share"]) == (
+        1, round(1 / 3, 4))
+    k3 = got[3]
+    assert (k3["total_shingles"], k3["distinct_shingles"]) == (2, 2)
+    assert k3["multi_doc_shingles"] == 0
+    k5 = got[5]  # short docs fall back to one whole-doc shingle
+    assert (k5["total_shingles"], k5["distinct_shingles"]) == (2, 2)
+
+
+# -------------------------------------------------------- revenue_growth_trend
+
+
+def test_revenue_growth_trend_windows(spark, tmp_path):
+    mk = lambda y, m, d: dt.datetime(y, m, d)  # noqa: E731
+    spark.createDataFrame(
+        [
+            (1, mk(2024, 1, 5), 100.0),
+            (2, mk(2024, 1, 20), 100.0),
+            (3, mk(2024, 2, 5), 300.0),
+            (4, mk(2024, 3, 5), 150.0),
+        ],
+        "o_orderkey bigint, o_orderdate timestamp, o_totalprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    from pdf_extractor_spark.queries import q_revenue_growth_trend
+
+    rows = q_revenue_growth_trend(spark, str(tmp_path)).collect()
+    assert [r["revenue"] for r in rows] == [200.0, 300.0, 150.0]
+    assert rows[0]["mom_delta"] is None and rows[0]["mom_growth"] is None
+    assert rows[1]["mom_delta"] == 100.0 and rows[1]["mom_growth"] == 0.5
+    assert rows[2]["mom_delta"] == -150.0 and rows[2]["mom_growth"] == -0.5
+    assert rows[2]["ma3"] == round((200 + 300 + 150) / 3, 2)
