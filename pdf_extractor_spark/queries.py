@@ -15486,6 +15486,216 @@ FROM m ORDER BY month
 """
 
 
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly engagement roll-up: MAU, average DAU, and stickiness
+    (avg DAU / MAU) per calendar month — the growth metric trio; a
+    stickiness collapse with stable MAU means the user base is going
+    casual long before raw counts say so.  Complements
+    `sliding_active_users` (a 7-day sliding window) with the calendar
+    fixed-window spelling every dashboard uses.
+
+    Scale shape: ONE scan folds to the distinct (month, day, user) grid
+    (map-side partial distinct), DAU and MAU both derive from that grid
+    — the month-level distinct re-aggregates the grid, not the corpus —
+    and output is |months| rows."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH g AS (
+          SELECT DISTINCT date_trunc('month', ts) AS month,
+                 cast(floor(unix_timestamp(ts) / 86400) as bigint) AS day,
+                 user_id
+          FROM events
+        ), dau AS (
+          SELECT month, day, cast(count(*) as bigint) AS dau
+          FROM g GROUP BY month, day
+        ), mau AS (
+          SELECT month, cast(count(DISTINCT user_id) as bigint) AS mau
+          FROM g GROUP BY month
+        )
+        SELECT dau.month,
+               max(mau.mau) AS mau,
+               round(avg(dau.dau), 2) AS avg_dau,
+               round(avg(dau.dau) / max(mau.mau), 4) AS stickiness,
+               cast(count(*) as bigint) AS active_days
+        FROM dau JOIN mau ON dau.month = mau.month
+        GROUP BY dau.month
+        ORDER BY dau.month
+        """,
+    )
+
+
+ORACLE_DAU_MAU_STICKINESS = """
+WITH g AS (
+  SELECT DISTINCT date_trunc('month', ts) AS month,
+         floor(floor(epoch(ts)) / 86400)::BIGINT AS day,
+         user_id
+  FROM events
+), dau AS (
+  SELECT month, day, count(*)::BIGINT AS dau
+  FROM g GROUP BY month, day
+), mau AS (
+  SELECT month, count(DISTINCT user_id)::BIGINT AS mau
+  FROM g GROUP BY month
+)
+SELECT dau.month,
+       max(mau.mau) AS mau,
+       round(avg(dau.dau), 2) AS avg_dau,
+       round(avg(dau.dau) / max(mau.mau), 4) AS stickiness,
+       count(*)::BIGINT AS active_days
+FROM dau JOIN mau ON dau.month = mau.month
+GROUP BY dau.month
+ORDER BY dau.month
+"""
+
+
+def q_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment SLA by priority: days from order date to FIRST
+    lineitem shipment, summarized per o_orderpriority (p50/p90/max and
+    the share shipped within 30 days) — the operational latency table
+    that says whether '1-URGENT' actually ships faster.  The relational
+    twin of `funnel_latency` (events axis).
+
+    Scale shape: lineitem collapses to min(l_shipdate) per order key
+    map-side BEFORE the join (the join moves one row per order, not per
+    lineitem), the join shuffles on the order key once, and percentiles
+    run per |priorities| group.  Day math in whole days via the epoch
+    convention."""
+    return _sql(
+        spark, sf_dir, ["orders", "lineitem"],
+        """
+        WITH first_ship AS (
+          SELECT l_orderkey, min(l_shipdate) AS first_ship
+          FROM lineitem GROUP BY l_orderkey
+        ), lat AS (
+          SELECT o_orderpriority,
+                 cast(floor(unix_timestamp(first_ship) / 86400)
+                      - floor(unix_timestamp(o_orderdate) / 86400)
+                      as bigint) AS days_to_ship
+          FROM orders JOIN first_ship ON l_orderkey = o_orderkey
+        )
+        SELECT o_orderpriority,
+               cast(count(*) as bigint) AS n_orders,
+               round(percentile(days_to_ship, 0.5D), 2) AS p50_days,
+               round(percentile(days_to_ship, 0.9D), 2) AS p90_days,
+               cast(max(days_to_ship) as bigint) AS max_days,
+               round(sum(CASE WHEN days_to_ship <= 30 THEN 1 ELSE 0 END)
+                     / cast(count(*) as double), 4) AS within_30d_share
+        FROM lat
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+    )
+
+
+ORACLE_FULFILLMENT_SLA = """
+WITH first_ship AS (
+  SELECT l_orderkey, min(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY l_orderkey
+), lat AS (
+  SELECT o_orderpriority,
+         (floor(floor(epoch(first_ship)) / 86400)
+          - floor(floor(epoch(o_orderdate)) / 86400))::BIGINT AS days_to_ship
+  FROM orders JOIN first_ship ON l_orderkey = o_orderkey
+)
+SELECT o_orderpriority,
+       count(*)::BIGINT AS n_orders,
+       round(quantile_cont(days_to_ship, 0.5), 2) AS p50_days,
+       round(quantile_cont(days_to_ship, 0.9), 2) AS p90_days,
+       max(days_to_ship)::BIGINT AS max_days,
+       round(sum(CASE WHEN days_to_ship <= 30 THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 4) AS within_30d_share
+FROM lat
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+_KNN_AGREE_K = 5
+_KNN_AGREE_MOD = 4  # the knn_hubness query-sample convention
+
+
+def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-consistency audit: for a sampled query set (every 4th
+    vector), does the MAJORITY label of its exact cosine top-5 agree
+    with its own label?  Summarized per label: queries, agreements,
+    agreement rate.  The LOCAL complement to `centroid_confusion`'s
+    global-centroid purity — a label can be globally separable yet
+    locally noisy (mislabeled pockets), and it is the local structure
+    that kNN dedup/retrieval actually sees.
+
+    Determinism: 4dp pre-rank cosine, vec_id ties (the cosine_topk_batch
+    contract); majority ties break toward the SMALLEST label.  The
+    relational all-pairs is the audit spelling on a declared sample —
+    production scoring is the broadcast-GEMM path."""
+    return _sql(
+        spark, sf_dir, ["embeddings"],
+        f"""
+        WITH q AS (
+          SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+          FROM embeddings WHERE vec_id % {_KNN_AGREE_MOD} = 0
+        ), scored AS (
+          SELECT q.qid, q.qlabel, e.label AS nlabel,
+                 row_number() OVER (PARTITION BY q.qid
+                                    ORDER BY {_SPARK_COS} DESC, e.vec_id)
+                   AS rk
+          FROM embeddings e JOIN q ON e.vec_id != q.qid
+        ), votes AS (
+          SELECT qid, qlabel, nlabel, cast(count(*) as bigint) AS v
+          FROM scored WHERE rk <= {_KNN_AGREE_K}
+          GROUP BY qid, qlabel, nlabel
+        ), winner AS (
+          SELECT qid, qlabel, nlabel AS knn_label
+          FROM (SELECT *, row_number() OVER
+                  (PARTITION BY qid ORDER BY v DESC, nlabel) AS wr
+                FROM votes)
+          WHERE wr = 1
+        )
+        SELECT qlabel AS label,
+               cast(count(*) as bigint) AS n_queries,
+               cast(sum(CASE WHEN knn_label = qlabel THEN 1 ELSE 0 END)
+                    as bigint) AS n_agree,
+               round(sum(CASE WHEN knn_label = qlabel THEN 1 ELSE 0 END)
+                     / cast(count(*) as double), 4) AS agreement_rate
+        FROM winner
+        GROUP BY qlabel
+        ORDER BY qlabel
+        """,
+    )
+
+
+ORACLE_KNN_LABEL_AGREEMENT = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id % {_KNN_AGREE_MOD} = 0
+), scored AS (
+  SELECT q.qid, q.qlabel, e.label AS nlabel,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY {_DUCK_COS} DESC, e.vec_id) AS rk
+  FROM embeddings e JOIN q ON e.vec_id != q.qid
+), votes AS (
+  SELECT qid, qlabel, nlabel, count(*)::BIGINT AS v
+  FROM scored WHERE rk <= {_KNN_AGREE_K}
+  GROUP BY qid, qlabel, nlabel
+), winner AS (
+  SELECT qid, qlabel, nlabel AS knn_label
+  FROM (SELECT *, row_number() OVER
+          (PARTITION BY qid ORDER BY v DESC, nlabel) AS wr
+        FROM votes)
+  WHERE wr = 1
+)
+SELECT qlabel AS label,
+       count(*)::BIGINT AS n_queries,
+       sum(CASE WHEN knn_label = qlabel THEN 1 ELSE 0 END)::BIGINT
+         AS n_agree,
+       round(sum(CASE WHEN knn_label = qlabel THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 4) AS agreement_rate
+FROM winner
+GROUP BY qlabel
+ORDER BY qlabel
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -15807,6 +16017,11 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "shingle_size_sweep": (q_shingle_size_sweep, ORACLE_SHINGLE_SIZE_SWEEP),
     "revenue_growth_trend": (
         q_revenue_growth_trend, ORACLE_REVENUE_GROWTH_TREND,
+    ),
+    "dau_mau_stickiness": (q_dau_mau_stickiness, ORACLE_DAU_MAU_STICKINESS),
+    "fulfillment_sla": (q_fulfillment_sla, ORACLE_FULFILLMENT_SLA),
+    "knn_label_agreement": (
+        q_knn_label_agreement, ORACLE_KNN_LABEL_AGREEMENT,
     ),
 }
 

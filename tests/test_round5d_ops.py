@@ -860,3 +860,110 @@ def test_revenue_growth_trend_windows(spark, tmp_path):
     assert rows[1]["mom_delta"] == 100.0 and rows[1]["mom_growth"] == 0.5
     assert rows[2]["mom_delta"] == -150.0 and rows[2]["mom_growth"] == -0.5
     assert rows[2]["ma3"] == round((200 + 300 + 150) / 3, 2)
+
+
+# ---------------------------------------------------------- dau_mau_stickiness
+
+
+def test_dau_mau_stickiness_months(spark, tmp_path):
+    d = lambda mo, day: dt.datetime(2024, mo, day, 12)  # noqa: E731
+    rows = [
+        (1, d(1, 1), 1, "view"),
+        (2, d(1, 2), 1, "view"),
+        (3, d(1, 1), 2, "view"),
+        (4, d(2, 5), 3, "view"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    from pdf_extractor_spark.queries import q_dau_mau_stickiness
+
+    rows_out = q_dau_mau_stickiness(spark, str(tmp_path)).collect()
+    assert len(rows_out) == 2
+    jan, feb = rows_out
+    assert (jan["mau"], jan["avg_dau"], jan["stickiness"],
+            jan["active_days"]) == (2, 1.5, 0.75, 2)
+    assert (feb["mau"], feb["avg_dau"], feb["stickiness"]) == (1, 1.0, 1.0)
+
+
+# -------------------------------------------------------------- fulfillment_sla
+
+
+def test_fulfillment_sla_first_ship_latency(spark, tmp_path):
+    mk = lambda day: dt.datetime(2024, 1, day, 12)  # noqa: E731
+    spark.createDataFrame(
+        [(1, mk(1), "1-URGENT"), (2, mk(1), "5-LOW")],
+        "o_orderkey bigint, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        # order 1 ships on day 3 then day 20 -> first ship = +2 days
+        # order 2 ships on day 1 + 40 -> +40 days (outside 30d SLA)
+        [(1, mk(3)), (1, mk(20)), (2, dt.datetime(2024, 2, 10, 12))],
+        "l_orderkey bigint, l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    from pdf_extractor_spark.queries import q_fulfillment_sla
+
+    got = {r["o_orderpriority"]: r for r in
+           q_fulfillment_sla(spark, str(tmp_path)).collect()}
+    u, low = got["1-URGENT"], got["5-LOW"]
+    assert (u["n_orders"], u["p50_days"], u["max_days"],
+            u["within_30d_share"]) == (1, 2.0, 2, 1.0)
+    assert (low["p50_days"], low["within_30d_share"]) == (40.0, 0.0)
+
+
+# --------------------------------------------------------- knn_label_agreement
+
+
+def _knn_agreement_expected(vecs, labels, k=5, mod=4):
+    out_counts: dict[int, list[int]] = {}
+    for qid in sorted(v for v in vecs if v % mod == 0):
+        qv = np.asarray(vecs[qid], dtype=np.float32).astype(np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-30)
+        scored = []
+        for vid in sorted(vecs):
+            if vid == qid:
+                continue
+            ev = np.asarray(vecs[vid], dtype=np.float32).astype(np.float64)
+            en = ev / max(np.linalg.norm(ev), 1e-30)
+            scored.append((round(float(en @ qn), 4), vid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        votes: dict[int, int] = {}
+        for _, vid in scored[:k]:
+            votes[labels[vid]] = votes.get(labels[vid], 0) + 1
+        knn_label = sorted(votes.items(), key=lambda t: (-t[1], t[0]))[0][0]
+        ql = labels[qid]
+        n, a = out_counts.get(ql, [0, 0])
+        out_counts[ql] = [n + 1, a + (1 if knn_label == ql else 0)]
+    return {
+        l: (n, a, round(a / n, 4)) for l, (n, a) in out_counts.items()
+    }
+
+
+def test_knn_label_agreement_matches_independent(spark, tmp_path):
+    # two tight clusters (labels 0, 1) + one mislabeled point inside
+    # cluster 0 carrying label 1 -> its knn majority disagrees
+    vecs, labels = {}, {}
+    for i in range(6):
+        vecs[i] = [10.0 + 0.1 * i, 1.0, 0.0]
+        labels[i] = 0
+    for i in range(6, 11):
+        vecs[i] = [-10.0 - 0.1 * i, 1.0, 0.0]
+        labels[i] = 1
+    vecs[12] = [10.5, 1.0, 0.0]   # sits in cluster 0...
+    labels[12] = 1                # ...labeled 1 (mislabeled, qid 12%4=0)
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], labels[i])
+         for i, v in sorted(vecs.items())],
+        "vec_id bigint, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    from pdf_extractor_spark.queries import q_knn_label_agreement
+
+    got = {r["label"]: (r["n_queries"], r["n_agree"], r["agreement_rate"])
+           for r in q_knn_label_agreement(spark, str(tmp_path)).collect()}
+    exp = _knn_agreement_expected(vecs, labels)
+    assert got == exp
+    # the engineered mislabel: label-1 queries include vec 12, which the
+    # neighborhood outvotes
+    assert got[1][2] < 1.0
