@@ -15450,7 +15450,7 @@ def q_revenue_growth_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, ["orders"],
         """
         WITH m AS (
-          SELECT date_trunc('month', o_orderdate) AS month,
+          SELECT cast(date_trunc('month', o_orderdate) as date) AS month,
                  round(sum(o_totalprice), 2) AS revenue,
                  cast(count(*) as bigint) AS n_orders
           FROM orders GROUP BY date_trunc('month', o_orderdate)
@@ -15470,7 +15470,7 @@ def q_revenue_growth_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_REVENUE_GROWTH_TREND = """
 WITH m AS (
-  SELECT date_trunc('month', o_orderdate) AS month,
+  SELECT date_trunc('month', o_orderdate)::DATE AS month,
          round(sum(o_totalprice), 2) AS revenue,
          count(*)::BIGINT AS n_orders
   FROM orders GROUP BY date_trunc('month', o_orderdate)
@@ -15502,7 +15502,7 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, ["events"],
         """
         WITH g AS (
-          SELECT DISTINCT date_trunc('month', ts) AS month,
+          SELECT DISTINCT cast(date_trunc('month', ts) as date) AS month,
                  cast(floor(unix_timestamp(ts) / 86400) as bigint) AS day,
                  user_id
           FROM events
@@ -15527,7 +15527,7 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DAU_MAU_STICKINESS = """
 WITH g AS (
-  SELECT DISTINCT date_trunc('month', ts) AS month,
+  SELECT DISTINCT date_trunc('month', ts)::DATE AS month,
          floor(floor(epoch(ts)) / 86400)::BIGINT AS day,
          user_id
   FROM events
