@@ -15625,42 +15625,102 @@ def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     that kNN dedup/retrieval actually sees.
 
     Determinism: 4dp pre-rank cosine, vec_id ties (the cosine_topk_batch
-    contract); majority ties break toward the SMALLEST label.  The
-    relational all-pairs is the audit spelling on a declared sample —
-    production scoring is the broadcast-GEMM path."""
-    return _sql(
-        spark, sf_dir, ["embeddings"],
-        f"""
-        WITH q AS (
-          SELECT vec_id AS qid, embedding AS qv, label AS qlabel
-          FROM embeddings WHERE vec_id % {_KNN_AGREE_MOD} = 0
-        ), scored AS (
-          SELECT q.qid, q.qlabel, e.label AS nlabel,
-                 row_number() OVER (PARTITION BY q.qid
-                                    ORDER BY {_SPARK_COS} DESC, e.vec_id)
-                   AS rk
-          FROM embeddings e JOIN q ON e.vec_id != q.qid
-        ), votes AS (
-          SELECT qid, qlabel, nlabel, cast(count(*) as bigint) AS v
-          FROM scored WHERE rk <= {_KNN_AGREE_K}
-          GROUP BY qid, qlabel, nlabel
-        ), winner AS (
-          SELECT qid, qlabel, nlabel AS knn_label
-          FROM (SELECT *, row_number() OVER
-                  (PARTITION BY qid ORDER BY v DESC, nlabel) AS wr
-                FROM votes)
-          WHERE wr = 1
+    contract); majority ties break toward the SMALLEST label.
+
+    Scale shape: the knn_hubness GEMM path — the query sample broadcasts
+    as a numpy matrix, each Arrow batch of the corpus scores against all
+    queries with ONE map-side GEMM and only per-partition top-k
+    candidates (with their labels) survive into the global rank window;
+    the majority vote and per-label roll-up run over the ≤k·|sample|
+    candidate table.  The first spelling of this op scored the pairs
+    with interpreted higher-order-function cosines (no codegen for
+    lambda folds): 25.4 s at sf0.1 vs 2.7 s for the GEMM twin — the
+    measured reason the audit rides numpy, not aggregate(zip_with).
+    The oracle KEEPS the relational all-pairs spelling, so parity
+    crosses two formulations."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qpdf = (
+        emb.where(f"vec_id % {_KNN_AGREE_MOD} = 0")
+        .select("vec_id", "embedding", "label")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    if len(qpdf) == 0:
+        return spark.createDataFrame(
+            [], "label int, n_queries bigint, n_agree bigint,"
+            " agreement_rate double"
         )
-        SELECT qlabel AS label,
-               cast(count(*) as bigint) AS n_queries,
-               cast(sum(CASE WHEN knn_label = qlabel THEN 1 ELSE 0 END)
-                    as bigint) AS n_agree,
-               round(sum(CASE WHEN knn_label = qlabel THEN 1 ELSE 0 END)
-                     / cast(count(*) as double), 4) AS agreement_rate
-        FROM winner
-        GROUP BY qlabel
-        ORDER BY qlabel
-        """,
+    qids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+    qm = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+    bc = spark.sparkContext.broadcast((qids, qm))
+
+    def score_partition(batches):
+        q_ids, q_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            cos = np.round(m @ q_mat.T, 4)
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            labels = pdf["label"].to_numpy(dtype=np.int64)
+            out = []
+            for j, qid in enumerate(q_ids):
+                mask = vec_ids != qid
+                order = np.lexsort((vec_ids[mask], -cos[mask][:, j]))
+                take = order[:_KNN_AGREE_K]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": qid,
+                            "nbr": vec_ids[mask][take],
+                            "nlabel": labels[mask][take],
+                            "cos_sim": cos[mask][:, j][take],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    cand = emb.select("vec_id", "embedding", "label").mapInPandas(
+        score_partition,
+        "qid bigint, nbr bigint, nlabel bigint, cos_sim double",
+    )
+    qlabels = spark.createDataFrame(
+        [(int(i), int(l)) for i, l in zip(qids, qpdf["label"])],
+        "qid bigint, qlabel int",
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nbr"))
+    top = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _KNN_AGREE_K)
+    )
+    votes = top.groupBy("qid", "nlabel").agg(F.count("*").alias("v"))
+    wv = Window.partitionBy("qid").orderBy(F.col("v").desc(), F.col("nlabel"))
+    winner = (
+        votes.withColumn("wr", F.row_number().over(wv))
+        .where(F.col("wr") == 1)
+        .join(F.broadcast(qlabels), "qid")
+    )
+    return (
+        winner.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.sum(
+                F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)
+            ).cast("bigint").alias("n_agree"),
+        )
+        .select(
+            "label", "n_queries", "n_agree",
+            F.round(F.col("n_agree") / F.col("n_queries"), 4).alias(
+                "agreement_rate"
+            ),
+        )
+        .orderBy("label")
     )
 
 

@@ -1481,3 +1481,15 @@ def test_retention_sweep_single_corpus_scan(spark, registry):
     df.collect()
     final = _plan(df).split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1
+
+
+def test_knn_label_agreement_gemm_not_interpreted_cosine(spark, registry):
+    """The scoring stage must be the map-side GEMM (MapInPandas), never
+    the interpreted higher-order-function cosine over all pairs (the
+    first spelling: 25.4 s vs 2.7 s at sf0.1)."""
+    df = registry["knn_label_agreement"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "MapInPandas" in final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "CartesianProduct" not in final
