@@ -15756,6 +15756,361 @@ ORDER BY qlabel
 """
 
 
+def q_customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 shape — outer-join fan-in histogram: how many customers
+    placed 0, 1, 2, … orders.  The LEFT JOIN keeps order-less customers
+    (count(o_orderkey) = 0 for them — count of a NULL column, not
+    count(*)), which is the entire point of the query: the zero bucket
+    is the churn signal an inner join silently deletes.
+
+    Plan shape: one shuffle on c_custkey for the outer join + per-key
+    count, then the second aggregate runs on the ≤|customers| grid keyed
+    by c_count (a handful of distinct values — map-side combine collapses
+    it before the exchange).  At 100 TB the orders side pre-aggregates to
+    (custkey, count) BEFORE the outer join, which is what grouping on
+    c_custkey after the join reduces to under AQE anyway."""
+    return _sql(
+        spark, sf_dir, ["customer", "orders"],
+        """
+        WITH per_cust AS (
+          SELECT c_custkey,
+                 cast(count(o_orderkey) as bigint) AS c_count
+          FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+          GROUP BY c_custkey
+        )
+        SELECT c_count AS n_orders,
+               cast(count(*) as bigint) AS n_customers
+        FROM per_cust
+        GROUP BY c_count
+        ORDER BY n_customers DESC, n_orders DESC
+        """,
+    )
+
+
+ORACLE_CUSTOMER_ORDER_DISTRIBUTION = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count AS n_orders, count(*)::BIGINT AS n_customers
+FROM per_cust
+GROUP BY c_count
+ORDER BY n_customers DESC, n_orders DESC
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery decorrelated into a
+    grouped join: revenue from 'Brand#1' lineitems whose quantity is
+    below half the part's average order quantity (the small-lot /
+    long-tail revenue a procurement planner wants sized).  The textbook
+    spelling is `WHERE l_quantity < (SELECT 0.5*avg(l_quantity) … WHERE
+    l_partkey = p_partkey)`; here the subquery is decorrelated by hand
+    into a per-part aggregate joined back — the exact rewrite Catalyst's
+    DecorrelateInnerQuery performs, made explicit so both engines run
+    the identical plan.
+
+    Cross-engine: the avg threshold is rounded to 4dp BEFORE the
+    comparison (catalog parity rule — an ulp of summation-order
+    difference must not flip a `<`).  Plan shape: one shuffle of
+    (partkey, qty) pairs for the average, re-joined to lineitem on
+    partkey — the brand filter prunes the part side to a broadcast, and
+    the final fold is a single row."""
+    return _sql(
+        spark, sf_dir, ["lineitem", "part"],
+        """
+        WITH pavg AS (
+          SELECT l_partkey AS pk,
+                 round(avg(l_quantity), 4) AS avg_qty
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT cast(count(*) as bigint) AS n_small_lots,
+               round(sum(l_quantity), 2) AS total_qty,
+               round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly_revenue
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN pavg ON pk = l_partkey
+        WHERE p_brand = 'Brand#1' AND l_quantity < 0.5 * avg_qty
+        """,
+    )
+
+
+ORACLE_SMALL_QTY_REVENUE = """
+WITH pavg AS (
+  SELECT l_partkey AS pk, round(avg(l_quantity), 4) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT count(*)::BIGINT AS n_small_lots,
+       round(sum(l_quantity), 2) AS total_qty,
+       round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly_revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pavg ON pk = l_partkey
+WHERE p_brand = 'Brand#1' AND l_quantity < 0.5 * avg_qty
+"""
+
+
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the EXISTS / NOT-EXISTS double-correlation:
+    suppliers who were the ONLY late shipper on a multi-supplier order
+    (late = shipped >60 days after the order date).  The textbook
+    spelling needs one EXISTS (another supplier on the order) and one
+    NOT EXISTS (no OTHER late supplier); both collapse here into
+    per-order window counts over a single (order, supplier, late) grid —
+    `n_supp >= 2 AND n_late = 1 AND late = 1` is exactly the
+    exists/not-exists conjunction, computed in ONE pass instead of three
+    correlated re-scans.
+
+    Plan shape: the fact table shuffles once, keyed (l_orderkey,
+    l_suppkey), to build the grid; the window then shuffles only the
+    ALREADY-COLLAPSED grid on ok (≤ one row per order-supplier pair —
+    orders of magnitude below lineitem), and the final aggregate is
+    |suppliers|-sized.  Supplier name joins in as a broadcast dim at the
+    end, after the grid has collapsed to qualifying rows."""
+    return _sql(
+        spark, sf_dir, ["lineitem", "orders", "supplier"],
+        """
+        WITH ls AS (
+          SELECT l_orderkey AS ok, l_suppkey AS sk,
+                 max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                          THEN 1 ELSE 0 END) AS late
+          FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          GROUP BY l_orderkey, l_suppkey
+        ), w AS (
+          SELECT ok, sk, late,
+                 count(*) OVER (PARTITION BY ok) AS n_supp,
+                 sum(late) OVER (PARTITION BY ok) AS n_late
+          FROM ls
+        )
+        SELECT s_name, cast(count(*) as bigint) AS numwait
+        FROM w JOIN supplier ON s_suppkey = sk
+        WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+        """,
+    )
+
+
+ORACLE_SOLE_LATE_SUPPLIER = """
+WITH ls AS (
+  SELECT l_orderkey AS ok, l_suppkey AS sk,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  GROUP BY l_orderkey, l_suppkey
+), w AS (
+  SELECT ok, sk, late,
+         count(*) OVER (PARTITION BY ok) AS n_supp,
+         sum(late) OVER (PARTITION BY ok) AS n_late
+  FROM ls
+)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM w JOIN supplier ON s_suppkey = sk
+WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — global-scalar threshold + anti-join: customers
+    with above-average positive account balance and NO order in the
+    trailing 180 days (anchored to the newest order date so the cutoff
+    is deterministic, not wall-clock), rolled up per nation — the
+    dormant-capital report.  Two classic decorrelations in one query:
+    the scalar thresholds (balance avg + date anchor) broadcast as 1-row
+    cross joins, never a shuffle, and the NOT EXISTS over recent orders
+    becomes a LEFT ANTI join whose right side is pre-filtered to the
+    recency window BEFORE the join — the anti-join probes a pruned key
+    set, not the full order history.
+
+    Cross-engine: the avg threshold rounds to 4dp before the comparison
+    (same rule as small_qty_revenue).  Plan shape: customer scans once;
+    nation is a broadcast dim; final aggregate is |nations| rows."""
+    return _sql(
+        spark, sf_dir, ["customer", "orders", "nation"],
+        """
+        WITH cavg AS (
+          SELECT round(avg(c_acctbal), 4) AS ab
+          FROM customer WHERE c_acctbal > 0
+        ), anchor AS (
+          SELECT max(o_orderdate) - INTERVAL 180 DAY AS cutoff FROM orders
+        )
+        SELECT n_name,
+               cast(count(*) as bigint) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_balance
+        FROM customer CROSS JOIN cavg CROSS JOIN anchor
+        JOIN nation ON n_nationkey = c_nationkey
+        WHERE c_acctbal > ab
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= cutoff)
+        GROUP BY n_name
+        ORDER BY n_name
+        """,
+    )
+
+
+ORACLE_INACTIVE_RICH_CUSTOMERS = """
+WITH cavg AS (
+  SELECT round(avg(c_acctbal), 4) AS ab
+  FROM customer WHERE c_acctbal > 0
+), anchor AS (
+  SELECT max(o_orderdate) - INTERVAL 180 DAY AS cutoff FROM orders
+)
+SELECT n_name,
+       count(*)::BIGINT AS n_customers,
+       round(sum(c_acctbal), 2) AS total_balance
+FROM customer CROSS JOIN cavg CROSS JOIN anchor
+JOIN nation ON n_nationkey = c_nationkey
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= cutoff)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional-aggregate ratio per month: the share
+    of revenue coming from PROMO-type parts, by ship month.  The classic
+    `100 * sum(CASE …) / sum(…)` spelling — one pass, no self-join, the
+    promo and total sums fold together in the same aggregate buffer.
+
+    Plan shape: lineitem scans once, part joins as a broadcast dim
+    (only p_type is read — column pruning reaches the scan), and the
+    aggregate is |months| rows.  date_trunc months cast to DATE on both
+    engines (catalog parity rule)."""
+    return _sql(
+        spark, sf_dir, ["lineitem", "part"],
+        """
+        SELECT cast(date_trunc('month', l_shipdate) as date) AS ship_month,
+               round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4)
+                 AS promo_share_pct,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                 AS total_revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        GROUP BY date_trunc('month', l_shipdate)
+        ORDER BY ship_month
+        """,
+    )
+
+
+ORACLE_PROMO_REVENUE_SHARE = """
+SELECT date_trunc('month', l_shipdate)::DATE AS ship_month,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY date_trunc('month', l_shipdate)
+ORDER BY ship_month
+"""
+
+
+def q_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — max-of-aggregate decorrelated into a window:
+    suppliers whose total revenue is within 10% of the single best
+    supplier.  The textbook spelling re-computes the revenue view twice
+    (once for max, once to filter); here `max(r) OVER ()` puts the
+    global max on every row of the ALREADY-AGGREGATED |suppliers|-row
+    table — a single-partition window over a tiny frame, never over the
+    fact table (the psi_drift single-scan lesson applied to Q15).
+
+    Cross-engine: revenue rounds to 2dp BEFORE the max/ratio so the
+    tie-set is identical under both engines' summation orders.  Plan
+    shape: one lineitem shuffle on suppkey; everything after is
+    |suppliers|-sized; supplier names broadcast in at the end."""
+    return _sql(
+        spark, sf_dir, ["lineitem", "supplier"],
+        """
+        WITH rev AS (
+          SELECT l_suppkey AS sk,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS r
+          FROM lineitem GROUP BY l_suppkey
+        ), ranked AS (
+          SELECT sk, r, max(r) OVER () AS mr FROM rev
+        )
+        SELECT s_suppkey, s_name,
+               r AS total_revenue,
+               round(r / mr, 4) AS share_of_top
+        FROM ranked JOIN supplier ON s_suppkey = sk
+        WHERE r >= 0.9 * mr
+        ORDER BY total_revenue DESC, s_suppkey
+        """,
+    )
+
+
+ORACLE_TOP_SUPPLIER_SHARE = """
+WITH rev AS (
+  SELECT l_suppkey AS sk,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS r
+  FROM lineitem GROUP BY l_suppkey
+), ranked AS (
+  SELECT sk, r, max(r) OVER () AS mr FROM rev
+)
+SELECT s_suppkey, s_name, r AS total_revenue, round(r / mr, 4) AS share_of_top
+FROM ranked JOIN supplier ON s_suppkey = sk
+WHERE r >= 0.9 * mr
+ORDER BY total_revenue DESC, s_suppkey
+"""
+
+
+def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — multi-dim star join + top-k by computed
+    aggregate: the 20 customers with the most revenue lost to returned
+    items (l_returnflag = 'R'), with nation context.  The returns filter
+    lands on the lineitem scan (PushedFilters), customer and nation join
+    as broadcast dims, and the top-20 is a TakeOrdered over the
+    |qualifying customers| aggregate — never a global sort of the fact
+    table.
+
+    Cross-engine: lost_revenue rounds to 2dp before the rank, c_custkey
+    tiebreak."""
+    return _sql(
+        spark, sf_dir, ["customer", "orders", "lineitem", "nation"],
+        """
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                 AS lost_revenue,
+               cast(count(*) as bigint) AS n_returned_items
+        FROM customer
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON n_nationkey = c_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY lost_revenue DESC, c_custkey
+        LIMIT 20
+        """,
+    )
+
+
+ORACLE_RETURNED_ITEM_REPORT = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS lost_revenue,
+       count(*)::BIGINT AS n_returned_items
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -16082,6 +16437,21 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "fulfillment_sla": (q_fulfillment_sla, ORACLE_FULFILLMENT_SLA),
     "knn_label_agreement": (
         q_knn_label_agreement, ORACLE_KNN_LABEL_AGREEMENT,
+    ),
+    "customer_order_distribution": (
+        q_customer_order_distribution, ORACLE_CUSTOMER_ORDER_DISTRIBUTION,
+    ),
+    "small_qty_revenue": (q_small_qty_revenue, ORACLE_SMALL_QTY_REVENUE),
+    "sole_late_supplier": (q_sole_late_supplier, ORACLE_SOLE_LATE_SUPPLIER),
+    "inactive_rich_customers": (
+        q_inactive_rich_customers, ORACLE_INACTIVE_RICH_CUSTOMERS,
+    ),
+    "promo_revenue_share": (
+        q_promo_revenue_share, ORACLE_PROMO_REVENUE_SHARE,
+    ),
+    "top_supplier_share": (q_top_supplier_share, ORACLE_TOP_SUPPLIER_SHARE),
+    "returned_item_report": (
+        q_returned_item_report, ORACLE_RETURNED_ITEM_REPORT,
     ),
 }
 

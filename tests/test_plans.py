@@ -1493,3 +1493,82 @@ def test_knn_label_agreement_gemm_not_interpreted_cosine(spark, registry):
     assert "MapInPandas" in final
     assert "BroadcastNestedLoopJoin" not in final
     assert "CartesianProduct" not in final
+
+
+def test_customer_order_distribution_outer_join_no_cartesian(spark, registry):
+    """Q13 shape: the LEFT OUTER join survives to the physical plan (the
+    zero-order bucket depends on it) and nothing degenerates to a
+    cartesian product."""
+    df = registry["customer_order_distribution"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "LeftOuter" in final
+    assert "CartesianProduct" not in final
+    assert final.count("Scan parquet") == 2
+
+
+def test_small_qty_revenue_decorrelated_no_cartesian(spark, registry):
+    """Q17 shape: the correlated avg-quantity subquery is decorrelated
+    into joins — no nested-loop re-execution per outer row, and the
+    brand-pruned part side broadcasts."""
+    df = registry["small_qty_revenue"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+
+
+def test_sole_late_supplier_grid_then_window(spark, registry):
+    """Q21 shape: exists/not-exists collapses to window counts over the
+    (order, supplier) grid — no correlated re-scans (3 scans total: fact,
+    orders, supplier dim), top-20 is a TakeOrdered."""
+    df = registry["sole_late_supplier"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 3
+    assert "TakeOrderedAndProject" in final
+    assert "CartesianProduct" not in final
+
+
+def test_inactive_rich_customers_anti_join_scalar_broadcast(spark, registry):
+    """Q22 shape: NOT EXISTS compiles to a broadcast anti-join (never a
+    per-row subquery), and the two scalar thresholds ride 1-row
+    broadcast nested loops, not shuffles."""
+    df = registry["inactive_rich_customers"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "LeftAnti" in final
+    assert "CartesianProduct" not in final
+
+
+def test_promo_revenue_share_single_fact_scan_broadcast_dim(spark, registry):
+    df = registry["promo_revenue_share"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 2
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+
+
+def test_top_supplier_share_window_over_aggregate_only(spark, registry):
+    """Q15 shape: one fact shuffle (the suppkey aggregate); the global
+    max is a window over the |suppliers| frame, never a fact rescan."""
+    df = registry["top_supplier_share"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 2
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+
+
+def test_returned_item_report_filter_pushed_takeordered(spark, registry):
+    """Q10 shape: the returnflag filter reaches the lineitem scan, all
+    three dims broadcast, top-20 is a TakeOrdered."""
+    df = registry["returned_item_report"][0](spark, SF_DIR)
+    fmt = _formatted(df)
+    assert "EqualTo(l_returnflag,R)" in fmt
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") == 3
+    assert "TakeOrderedAndProject" in final
