@@ -16111,6 +16111,412 @@ LIMIT 20
 """
 
 
+def q_tool_call_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-usage profile over the synthetic conversation view — the
+    transcript schema's `tool` column analytics (which tools agent turns
+    invoke, how concentrated usage is per conversation).  Tool calls are
+    synthesized deterministically: assistant turns where a second,
+    independent md5 stream says so carry one of four tool names, so both
+    engines replay identical call sites without a transcripts table in
+    the driver's view set.
+
+    Per tool: call count, distinct conversations touched, calls per
+    conversation, and share of all tool calls.  Scale shape: one scan,
+    one aggregate keyed by tool (4 keys — map-side combine collapses
+    everything), the global total joins back as a 1-row broadcast."""
+    h = _SPARK_MD5INT.format(x="concat('tool', cast(doc_id as string))")
+    role = _SPARK_MD5INT.format(x="cast(doc_id as string)")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH turns AS (
+          SELECT doc_id % {_CONV_MOD} AS conv, doc_id,
+                 CASE WHEN {role} % 2 = 0 THEN 'user' ELSE 'assistant' END
+                   AS role,
+                 {h} AS th
+          FROM documents
+        ), calls AS (
+          SELECT conv,
+                 CASE cast(floor(th / 3) as bigint) % 4
+                      WHEN 0 THEN 'search' WHEN 1 THEN 'python'
+                      WHEN 2 THEN 'browser' ELSE 'fetch' END AS tool
+          FROM turns
+          WHERE role = 'assistant' AND th % 3 = 0
+        ), per_tool AS (
+          SELECT tool, cast(count(*) as bigint) AS n_calls,
+                 cast(count(DISTINCT conv) as bigint) AS n_convs
+          FROM calls GROUP BY tool
+        )
+        SELECT tool, n_calls, n_convs,
+               round(n_calls / cast(n_convs as double), 4)
+                 AS calls_per_conv,
+               round(n_calls / cast(sum(n_calls) OVER () as double), 4)
+                 AS share_of_calls
+        FROM per_tool
+        ORDER BY tool
+        """,
+    )
+
+
+ORACLE_TOOL_CALL_PROFILE = f"""
+WITH turns AS (
+  SELECT doc_id % {_CONV_MOD} AS conv, doc_id,
+         CASE WHEN {_DUCK_MD5INT.format(x="cast(doc_id as varchar)")} % 2 = 0
+              THEN 'user' ELSE 'assistant' END AS role,
+         {_DUCK_MD5INT.format(x="concat('tool', cast(doc_id as varchar))")}
+           AS th
+  FROM documents
+), calls AS (
+  SELECT conv,
+         CASE floor(th / 3)::BIGINT % 4
+              WHEN 0 THEN 'search' WHEN 1 THEN 'python'
+              WHEN 2 THEN 'browser' ELSE 'fetch' END AS tool
+  FROM turns
+  WHERE role = 'assistant' AND th % 3 = 0
+), per_tool AS (
+  SELECT tool, count(*)::BIGINT AS n_calls,
+         count(DISTINCT conv)::BIGINT AS n_convs
+  FROM calls GROUP BY tool
+)
+SELECT tool, n_calls, n_convs,
+       round(n_calls / n_convs::DOUBLE, 4) AS calls_per_conv,
+       round(n_calls / (sum(n_calls) OVER ())::DOUBLE, 4) AS share_of_calls
+FROM per_tool
+ORDER BY tool
+"""
+
+
+def q_turn_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-to-turn response latency by role transition over the
+    synthetic conversation view: each turn gets a deterministic arrival
+    second (per-conv base + 60 s cadence + md5 jitter), and the lag to
+    the previous turn is bucketed by the (prev_role → role) transition —
+    user→assistant is the response-latency row an agent-quality
+    dashboard watches; assistant→assistant exposes the double-turn
+    anomaly `turn_alternation_audit` counts.
+
+    Per transition: gap count, mean / p50 / p90 / max gap seconds.
+    Scale shape: one scan; the lag is one window over the extraction
+    pipeline's (conv, turn-order) partitioning; the roll-up is 4 rows."""
+    role = _SPARK_MD5INT.format(x="cast(doc_id as string)")
+    jit = _SPARK_MD5INT.format(x="concat('ts', cast(doc_id as string))")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH turns AS (
+          SELECT doc_id % {_CONV_MOD} AS conv, doc_id,
+                 CASE WHEN {role} % 2 = 0 THEN 'user' ELSE 'assistant' END
+                   AS role,
+                 {jit} % 45 AS jitter
+          FROM documents
+        ), clocked AS (
+          SELECT conv, doc_id, role,
+                 row_number() OVER (PARTITION BY conv ORDER BY doc_id)
+                   * 60 + jitter AS arrive_sec
+          FROM turns
+        ), gaps AS (
+          SELECT conv,
+                 concat(lag(role) OVER (PARTITION BY conv ORDER BY doc_id),
+                        '>', role) AS transition,
+                 arrive_sec - lag(arrive_sec)
+                     OVER (PARTITION BY conv ORDER BY doc_id) AS gap_sec
+          FROM clocked
+        )
+        SELECT transition,
+               cast(count(*) as bigint) AS n_gaps,
+               round(avg(gap_sec), 2) AS mean_gap_sec,
+               round(percentile(gap_sec, 0.5D), 2) AS p50_gap_sec,
+               round(percentile(gap_sec, 0.9D), 2) AS p90_gap_sec,
+               cast(max(gap_sec) as bigint) AS max_gap_sec
+        FROM gaps WHERE gap_sec IS NOT NULL
+        GROUP BY transition
+        ORDER BY transition
+        """,
+    )
+
+
+ORACLE_TURN_LATENCY_PROFILE = f"""
+WITH turns AS (
+  SELECT doc_id % {_CONV_MOD} AS conv, doc_id,
+         CASE WHEN {_DUCK_MD5INT.format(x="cast(doc_id as varchar)")} % 2 = 0
+              THEN 'user' ELSE 'assistant' END AS role,
+         {_DUCK_MD5INT.format(x="concat('ts', cast(doc_id as varchar))")} % 45
+           AS jitter
+  FROM documents
+), clocked AS (
+  SELECT conv, doc_id, role,
+         row_number() OVER (PARTITION BY conv ORDER BY doc_id) * 60 + jitter
+           AS arrive_sec
+  FROM turns
+), gaps AS (
+  SELECT conv,
+         concat(lag(role) OVER (PARTITION BY conv ORDER BY doc_id),
+                '>', role) AS transition,
+         arrive_sec - lag(arrive_sec)
+             OVER (PARTITION BY conv ORDER BY doc_id) AS gap_sec
+  FROM clocked
+)
+SELECT transition,
+       count(*)::BIGINT AS n_gaps,
+       round(avg(gap_sec), 2) AS mean_gap_sec,
+       round(quantile_cont(gap_sec, 0.5), 2) AS p50_gap_sec,
+       round(quantile_cont(gap_sec, 0.9), 2) AS p90_gap_sec,
+       max(gap_sec)::BIGINT AS max_gap_sec
+FROM gaps WHERE gap_sec IS NOT NULL
+GROUP BY transition
+ORDER BY transition
+"""
+
+
+def q_seasonality_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality test per event type: the chi-square
+    statistic of each type's 24-bin hour histogram against uniform, plus
+    the peak hour and its share.  A type with chi2 far above the ~35
+    critical value (23 dof, p=0.05) has real daily structure — the
+    signal that decides whether a sampling or rate-limit policy needs
+    hour-of-day stratification.
+
+    Empty hour bins are handled WITHOUT a calendar generator: a bin with
+    zero observations contributes (0-e)²/e = e, so chi2 = Σ_observed
+    (obs-e)²/e + (24-k)·e where k is the count of observed hours — the
+    full-grid statistic from the sparse grouped table.  Scale shape: one
+    scan → (type, hour) aggregate (≤ |types|·24 rows) → |types| rows."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH byhour AS (
+          SELECT event_type, extract(HOUR FROM ts) AS hr,
+                 cast(count(*) as bigint) AS obs
+          FROM events GROUP BY event_type, extract(HOUR FROM ts)
+        ), pk AS (
+          SELECT *, max(obs) OVER (PARTITION BY event_type) AS mx
+          FROM byhour
+        ), per_type AS (
+          SELECT event_type,
+                 sum(obs) AS n,
+                 cast(count(*) as bigint) AS k_hours,
+                 max(obs) AS peak_obs,
+                 min(CASE WHEN obs = mx THEN hr END) AS peak_hour,
+                 sum(obs * obs) AS sum_sq
+          FROM pk
+          GROUP BY event_type
+        )
+        SELECT event_type,
+               cast(n as bigint) AS n_events,
+               k_hours AS n_active_hours,
+               cast(peak_hour as int) AS peak_hour,
+               round(peak_obs / cast(n as double), 4) AS peak_share,
+               round(sum_sq / (n / 24.0D) - 2.0D * n + k_hours * (n / 24.0D)
+                     + (24 - k_hours) * (n / 24.0D), 4) AS chi2
+        FROM per_type
+        ORDER BY event_type
+        """,
+    )
+
+
+ORACLE_SEASONALITY_CHI2 = """
+WITH byhour AS (
+  SELECT event_type, extract(hour FROM ts) AS hr, count(*)::BIGINT AS obs
+  FROM events GROUP BY event_type, extract(hour FROM ts)
+), pk AS (
+  SELECT *, max(obs) OVER (PARTITION BY event_type) AS mx FROM byhour
+), per_type AS (
+  SELECT event_type,
+         sum(obs) AS n,
+         count(*)::BIGINT AS k_hours,
+         max(obs) AS peak_obs,
+         min(CASE WHEN obs = mx THEN hr END) AS peak_hour,
+         sum(obs * obs) AS sum_sq
+  FROM pk
+  GROUP BY event_type
+)
+SELECT event_type,
+       n::BIGINT AS n_events,
+       k_hours AS n_active_hours,
+       peak_hour::INT AS peak_hour,
+       round(peak_obs / n::DOUBLE, 4) AS peak_share,
+       round(sum_sq / (n / 24.0) - 2.0 * n + k_hours * (n / 24.0)
+             + (24 - k_hours) * (n / 24.0), 4) AS chi2
+FROM per_type
+ORDER BY event_type
+"""
+
+
+def q_supplier_concentration_hhi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supply-concentration audit per brand: the Herfindahl–Hirschman
+    index of supplier revenue shares (0–10,000 scale), supplier count,
+    and the top supplier's share.  HHI > 2,500 is the antitrust
+    "highly concentrated" line — here it is the single-supplier-risk
+    number a procurement or data-sourcing review reads per brand (the
+    relational twin of `source_mix`'s corpus-share table).
+
+    Scale shape: lineitem folds once keyed (brand, suppkey) — part joins
+    in as a broadcast dim before the aggregate — then the brand roll-up
+    runs over the ≤|brands|·|suppliers| grid.  Supplier revenue snaps to
+    INTEGER CENTS before the brand total, so the downstream sums are
+    exact bigint arithmetic and both engines square identical ratios (a
+    2dp-double sum of ~100 suppliers lands on half-cent boundaries —
+    the parity failure this spelling removes)."""
+    return _sql(
+        spark, sf_dir, ["lineitem", "part"],
+        """
+        WITH bs AS (
+          SELECT p_brand,
+                 l_suppkey,
+                 cast(round(sum(l_extendedprice * (1 - l_discount)) * 100)
+                      as bigint) AS rc
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          GROUP BY p_brand, l_suppkey
+        ), tot AS (
+          SELECT p_brand, l_suppkey, rc,
+                 sum(rc) OVER (PARTITION BY p_brand) AS brand_cents
+          FROM bs
+        )
+        SELECT p_brand,
+               cast(count(*) as bigint) AS n_suppliers,
+               round(max(brand_cents) / 100.0D, 2) AS brand_revenue,
+               round(sum((rc / cast(brand_cents as double))
+                         * (rc / cast(brand_cents as double))) * 10000, 2)
+                 AS hhi,
+               round(max(rc / cast(brand_cents as double)), 4)
+                 AS top_supplier_share
+        FROM tot
+        GROUP BY p_brand
+        ORDER BY p_brand
+        """,
+    )
+
+
+ORACLE_SUPPLIER_CONCENTRATION_HHI = """
+WITH bs AS (
+  SELECT p_brand, l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)) * 100)::BIGINT AS rc
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY p_brand, l_suppkey
+), tot AS (
+  SELECT p_brand, l_suppkey, rc,
+         sum(rc) OVER (PARTITION BY p_brand) AS brand_cents
+  FROM bs
+)
+SELECT p_brand,
+       count(*)::BIGINT AS n_suppliers,
+       round(max(brand_cents) / 100.0, 2) AS brand_revenue,
+       round(sum((rc / brand_cents::DOUBLE) * (rc / brand_cents::DOUBLE))
+             * 10000, 2) AS hhi,
+       round(max(rc / brand_cents::DOUBLE), 4) AS top_supplier_share
+FROM tot
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+_LEAKAGE_THRESHOLDS = (0.80, 0.90, 0.95)
+
+
+def q_cross_split_semantic_leakage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semantic train/test leakage sweep — the embedding-space companion
+    to `split_leakage_check` (which measures doc-hash contamination):
+    split vectors into test (vec_id % 5 = 0) and train folds, compute
+    each test vector's max cosine to ANY train vector, and report the
+    leaked count + rate at three thresholds.  A test fold whose vectors
+    sit at cos ≥ 0.95 to training points is not a held-out set; this is
+    the measurement `dedup_aware_split` exists to drive to zero.
+
+    Scale shape: the knn_hubness GEMM path — the test fold broadcasts as
+    a numpy matrix, each Arrow batch of the train fold scores against
+    all test vectors in ONE map-side GEMM, and only per-partition maxima
+    (partitions × |test| rows) survive into the global max aggregate;
+    the threshold sweep is a 3-row broadcast grid over the |test|-row
+    result.  The oracle keeps the relational all-pairs spelling, so
+    parity crosses two formulations (the knn_label_agreement contract:
+    4dp pre-max rounding commutes with max)."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qpdf = (
+        emb.where("vec_id % 5 = 0")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    if len(qpdf) == 0:
+        return spark.createDataFrame(
+            [], "thr double, n_test bigint, n_leaked bigint,"
+            " leak_rate double"
+        )
+    qids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+    qm = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-30)
+    bc = spark.sparkContext.broadcast((qids, qm))
+
+    def score_partition(batches):
+        q_ids, q_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+            cos = np.round(m @ q_mat.T, 4)
+            yield pd.DataFrame(
+                {"qid": q_ids, "part_max_cos": cos.max(axis=0)}
+            )
+
+    part_max = emb.where("vec_id % 5 != 0").select("embedding").mapInPandas(
+        score_partition, "qid bigint, part_max_cos double"
+    )
+    max_cos = part_max.groupBy("qid").agg(
+        F.max("part_max_cos").alias("max_cos")
+    )
+    thr = spark.createDataFrame(
+        [(float(t),) for t in _LEAKAGE_THRESHOLDS], "thr double"
+    )
+    return (
+        max_cos.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(F.col("max_cos") >= F.col("thr"), 1).otherwise(0)
+            ).cast("bigint").alias("n_leaked"),
+        )
+        .select(
+            "thr", "n_test", "n_leaked",
+            F.round(F.col("n_leaked") / F.col("n_test"), 4).alias(
+                "leak_rate"
+            ),
+        )
+        .orderBy("thr")
+    )
+
+
+ORACLE_CROSS_SPLIT_SEMANTIC_LEAKAGE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv
+  FROM embeddings WHERE vec_id % 5 = 0
+), mx AS (
+  SELECT q.qid, max({_DUCK_COS}) AS max_cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id % 5 != 0
+  GROUP BY q.qid
+), thr AS (
+  SELECT unnest([{", ".join(f"{t:.2f}::DOUBLE" for t in _LEAKAGE_THRESHOLDS)}])
+    AS thr
+)
+SELECT thr,
+       count(*)::BIGINT AS n_test,
+       sum(CASE WHEN max_cos >= thr THEN 1 ELSE 0 END)::BIGINT AS n_leaked,
+       round(sum(CASE WHEN max_cos >= thr THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 4) AS leak_rate
+FROM mx CROSS JOIN thr
+GROUP BY thr
+ORDER BY thr
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -16452,6 +16858,17 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "top_supplier_share": (q_top_supplier_share, ORACLE_TOP_SUPPLIER_SHARE),
     "returned_item_report": (
         q_returned_item_report, ORACLE_RETURNED_ITEM_REPORT,
+    ),
+    "tool_call_profile": (q_tool_call_profile, ORACLE_TOOL_CALL_PROFILE),
+    "turn_latency_profile": (
+        q_turn_latency_profile, ORACLE_TURN_LATENCY_PROFILE,
+    ),
+    "seasonality_chi2": (q_seasonality_chi2, ORACLE_SEASONALITY_CHI2),
+    "supplier_concentration_hhi": (
+        q_supplier_concentration_hhi, ORACLE_SUPPLIER_CONCENTRATION_HHI,
+    ),
+    "cross_split_semantic_leakage": (
+        q_cross_split_semantic_leakage, ORACLE_CROSS_SPLIT_SEMANTIC_LEAKAGE,
     ),
 }
 

@@ -1572,3 +1572,49 @@ def test_returned_item_report_filter_pushed_takeordered(spark, registry):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert final.count("BroadcastHashJoin") == 3
     assert "TakeOrderedAndProject" in final
+
+
+def test_tool_call_profile_single_scan(spark, registry):
+    df = registry["tool_call_profile"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in final
+
+
+def test_turn_latency_profile_single_scan_window(spark, registry):
+    df = registry["turn_latency_profile"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "CartesianProduct" not in final
+
+
+def test_seasonality_chi2_single_scan(spark, registry):
+    """The full-grid chi-square comes from the SPARSE (type, hour) table
+    — no calendar generator, no second pass."""
+    df = registry["seasonality_chi2"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+
+
+def test_supplier_concentration_hhi_broadcast_dim(spark, registry):
+    df = registry["supplier_concentration_hhi"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 2
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+
+
+def test_cross_split_semantic_leakage_gemm_not_lambda(spark, registry):
+    """Scoring rides the broadcast-GEMM MapInPandas path (the
+    knn_label_agreement lesson: interpreted lambda cosines are 10x
+    slower); the only nested-loop join is the 3-row threshold grid over
+    the |test|-row max table."""
+    df = registry["cross_split_semantic_leakage"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "MapInPandas" in final
+    assert "CartesianProduct" not in final
