@@ -16517,6 +16517,320 @@ ORDER BY thr
 """
 
 
+_PARETO_SHARES = (0.50, 0.80, 0.90)
+
+
+def q_revenue_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto) curve: the minimum number of
+    customers that cover 50 / 80 / 90 % of total revenue — the "how few
+    accounts carry the business" number, and structurally the same
+    cumulative-coverage question as `token_budget_plan`'s corpus-share
+    rows.
+
+    Scale shape: orders fold once to per-customer revenue in INTEGER
+    CENTS (exact bigint math — the supplier_concentration_hhi parity
+    rule), the rank + running sum are windows over the |customers|-row
+    aggregate, and the 3-share grid joins as a broadcast to pick each
+    threshold's minimum covering rank.  Nothing after the first shuffle
+    is order-table-sized.  Ties break by custkey so the rank is total."""
+    return _sql(
+        spark, sf_dir, ["orders"],
+        f"""
+        WITH cr AS (
+          SELECT o_custkey,
+                 cast(round(sum(o_totalprice) * 100) as bigint) AS rc
+          FROM orders GROUP BY o_custkey
+        ), ranked AS (
+          SELECT o_custkey, rc,
+                 row_number() OVER (ORDER BY rc DESC, o_custkey) AS rk,
+                 sum(rc) OVER (ORDER BY rc DESC, o_custkey
+                               ROWS UNBOUNDED PRECEDING) AS cum_rc,
+                 sum(rc) OVER () AS total_rc,
+                 cast(count(*) OVER () as bigint) AS n_cust
+          FROM cr
+        ), shares AS (
+          SELECT explode(array({", ".join(f"{s}D" for s in _PARETO_SHARES)}))
+            AS share
+        )
+        SELECT share,
+               cast(min(CASE WHEN cum_rc >= share * total_rc THEN rk END)
+                    as bigint) AS n_customers,
+               round(min(CASE WHEN cum_rc >= share * total_rc THEN rk END)
+                     / cast(max(n_cust) as double), 4) AS pct_customers
+        FROM ranked CROSS JOIN shares
+        GROUP BY share
+        ORDER BY share
+        """,
+    )
+
+
+ORACLE_REVENUE_PARETO_CURVE = f"""
+WITH cr AS (
+  SELECT o_custkey, round(sum(o_totalprice) * 100)::BIGINT AS rc
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT o_custkey, rc,
+         row_number() OVER (ORDER BY rc DESC, o_custkey) AS rk,
+         sum(rc) OVER (ORDER BY rc DESC, o_custkey
+                       ROWS UNBOUNDED PRECEDING) AS cum_rc,
+         sum(rc) OVER () AS total_rc,
+         (count(*) OVER ())::BIGINT AS n_cust
+  FROM cr
+), shares AS (
+  SELECT unnest([{", ".join(f"{s}::DOUBLE" for s in _PARETO_SHARES)}])
+    AS share
+)
+SELECT share,
+       min(CASE WHEN cum_rc >= share * total_rc THEN rk END)::BIGINT
+         AS n_customers,
+       round(min(CASE WHEN cum_rc >= share * total_rc THEN rk END)
+             / max(n_cust)::DOUBLE, 4) AS pct_customers
+FROM ranked CROSS JOIN shares
+GROUP BY share
+ORDER BY share
+"""
+
+
+def q_session_opening_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-opening paths: the first three event types of each
+    gap-sessionized user session (30-min silence rule, `sessionize`'s
+    contract), joined into a '>' path string, ranked by frequency — the
+    entry-flow table a funnel designer reads before picking funnel
+    stages by hand (`event_funnel` checks ONE path; this surfaces which
+    paths exist).
+
+    Scale shape: one scan; session assignment is the standard lag +
+    running-sum window pair on (user, ts); the first-3 pivot is
+    conditional aggregation over (user, session) — never a collect_list
+    of whole sessions — and the path ranking shuffles only
+    |distinct paths| rows.  Top-20 is a TakeOrdered; event_id breaks ts
+    ties so the path is deterministic."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH gaps AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN unix_timestamp(ts)
+                           - unix_timestamp(lag(ts) OVER
+                               (PARTITION BY user_id
+                                ORDER BY ts, event_id)) > 1800
+                      OR lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS is_start
+          FROM events
+        ), sess AS (
+          SELECT user_id, ts, event_id, event_type,
+                 sum(is_start) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM gaps
+        ), numbered AS (
+          SELECT user_id, session_no, event_type,
+                 row_number() OVER (PARTITION BY user_id, session_no
+                                    ORDER BY ts, event_id) AS rn,
+                 cast(count(*) OVER (PARTITION BY user_id, session_no)
+                      as bigint) AS sess_len
+          FROM sess
+        ), paths AS (
+          SELECT user_id, session_no,
+                 concat_ws('>',
+                           max(CASE WHEN rn = 1 THEN event_type END),
+                           max(CASE WHEN rn = 2 THEN event_type END),
+                           max(CASE WHEN rn = 3 THEN event_type END))
+                   AS path,
+                 max(sess_len) AS sess_len
+          FROM numbered WHERE rn <= 3
+          GROUP BY user_id, session_no
+        )
+        SELECT path,
+               cast(count(*) as bigint) AS n_sessions,
+               round(avg(sess_len), 2) AS avg_session_len
+        FROM paths
+        GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT 20
+        """,
+    )
+
+
+ORACLE_SESSION_OPENING_PATHS = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN floor(epoch(ts))
+                   - floor(epoch(lag(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id))) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps
+), numbered AS (
+  SELECT user_id, session_no, event_type,
+         row_number() OVER (PARTITION BY user_id, session_no
+                            ORDER BY ts, event_id) AS rn,
+         (count(*) OVER (PARTITION BY user_id, session_no))::BIGINT
+           AS sess_len
+  FROM sess
+), paths AS (
+  SELECT user_id, session_no,
+         concat_ws('>',
+                   max(CASE WHEN rn = 1 THEN event_type END),
+                   max(CASE WHEN rn = 2 THEN event_type END),
+                   max(CASE WHEN rn = 3 THEN event_type END)) AS path,
+         max(sess_len) AS sess_len
+  FROM numbered WHERE rn <= 3
+  GROUP BY user_id, session_no
+)
+SELECT path,
+       count(*)::BIGINT AS n_sessions,
+       round(avg(sess_len), 2) AS avg_session_len
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 20
+"""
+
+
+def q_split_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-balance audit across the 5 hash folds (vec_id % 5 — the
+    same split cross_split_semantic_leakage scores): per fold, the
+    chi-square of its label histogram against the pooled distribution
+    and the largest absolute share deviation.  A fold that fails this is
+    skewed by construction and will mis-estimate eval metrics no matter
+    how leak-free it is — the stratification check that pairs with the
+    leakage check.
+
+    Scale shape: one scan → (fold, label) grid (≤ 5·|labels| rows);
+    pooled shares come from windows over the grid; output is 5 rows."""
+    return _sql(
+        spark, sf_dir, ["embeddings"],
+        """
+        WITH fl AS (
+          SELECT cast(vec_id % 5 as int) AS fold, label,
+                 cast(count(*) as bigint) AS n
+          FROM embeddings GROUP BY vec_id % 5, label
+        ), shares AS (
+          SELECT fold, label, n,
+                 sum(n) OVER (PARTITION BY fold) AS fold_n,
+                 sum(n) OVER (PARTITION BY label) AS label_n,
+                 sum(n) OVER () AS total_n
+          FROM fl
+        )
+        SELECT fold,
+               cast(max(fold_n) as bigint) AS n_vecs,
+               cast(count(*) as bigint) AS n_labels,
+               round(sum(
+                 (n - fold_n * label_n / cast(total_n as double))
+                 * (n - fold_n * label_n / cast(total_n as double))
+                 / (fold_n * label_n / cast(total_n as double))), 4)
+                 AS chi2_vs_pooled,
+               round(max(abs(n / cast(fold_n as double)
+                             - label_n / cast(total_n as double))), 4)
+                 AS max_share_dev
+        FROM shares
+        GROUP BY fold
+        ORDER BY fold
+        """,
+    )
+
+
+ORACLE_SPLIT_LABEL_BALANCE = """
+WITH fl AS (
+  SELECT (vec_id % 5)::INT AS fold, label, count(*)::BIGINT AS n
+  FROM embeddings GROUP BY vec_id % 5, label
+), shares AS (
+  SELECT fold, label, n,
+         sum(n) OVER (PARTITION BY fold) AS fold_n,
+         sum(n) OVER (PARTITION BY label) AS label_n,
+         sum(n) OVER () AS total_n
+  FROM fl
+)
+SELECT fold,
+       max(fold_n)::BIGINT AS n_vecs,
+       count(*)::BIGINT AS n_labels,
+       round(sum(
+         (n - fold_n * label_n / total_n::DOUBLE)
+         * (n - fold_n * label_n / total_n::DOUBLE)
+         / (fold_n * label_n / total_n::DOUBLE)), 4) AS chi2_vs_pooled,
+       round(max(abs(n / fold_n::DOUBLE - label_n / total_n::DOUBLE)), 4)
+         AS max_share_dev
+FROM shares
+GROUP BY fold
+ORDER BY fold
+"""
+
+
+def q_order_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-backlog time series at month grain: orders opened, orders
+    first-shipped, and the running backlog (cumulative opened minus
+    cumulative fulfilled) — the open-work sweep line, the relational
+    analog of `session_concurrency`'s +1/-1 trick at coarser grain.
+
+    Scale shape: each fact folds ONCE to a monthly aggregate (orders by
+    order month, lineitem by min-shipdate month per order — one shuffle
+    each); the open/fulfill streams then union as tagged ±1 monthly
+    counts and the backlog is a running sum over the tiny month series.
+    No order-level join between the two tables ever happens — the union
+    replaces it (the asof_join union-tag idiom)."""
+    return _sql(
+        spark, sf_dir, ["orders", "lineitem"],
+        """
+        WITH opened AS (
+          SELECT cast(date_trunc('month', o_orderdate) as date) AS m,
+                 cast(count(*) as bigint) AS n_opened
+          FROM orders GROUP BY date_trunc('month', o_orderdate)
+        ), first_ship AS (
+          SELECT l_orderkey, min(l_shipdate) AS fs
+          FROM lineitem GROUP BY l_orderkey
+        ), fulfilled AS (
+          SELECT cast(date_trunc('month', fs) as date) AS m,
+                 cast(count(*) as bigint) AS n_fulfilled
+          FROM first_ship GROUP BY date_trunc('month', fs)
+        ), merged AS (
+          SELECT coalesce(o.m, f.m) AS m,
+                 coalesce(n_opened, 0) AS n_opened,
+                 coalesce(n_fulfilled, 0) AS n_fulfilled
+          FROM opened o FULL OUTER JOIN fulfilled f ON o.m = f.m
+        )
+        SELECT m AS month, n_opened, n_fulfilled,
+               cast(sum(n_opened - n_fulfilled)
+                    OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) as bigint)
+                 AS backlog
+        FROM merged
+        ORDER BY month
+        """,
+    )
+
+
+ORACLE_ORDER_BACKLOG_TIMESERIES = """
+WITH opened AS (
+  SELECT date_trunc('month', o_orderdate)::DATE AS m,
+         count(*)::BIGINT AS n_opened
+  FROM orders GROUP BY date_trunc('month', o_orderdate)
+), first_ship AS (
+  SELECT l_orderkey, min(l_shipdate) AS fs
+  FROM lineitem GROUP BY l_orderkey
+), fulfilled AS (
+  SELECT date_trunc('month', fs)::DATE AS m, count(*)::BIGINT AS n_fulfilled
+  FROM first_ship GROUP BY date_trunc('month', fs)
+), merged AS (
+  SELECT coalesce(o.m, f.m) AS m,
+         coalesce(n_opened, 0) AS n_opened,
+         coalesce(n_fulfilled, 0) AS n_fulfilled
+  FROM opened o FULL OUTER JOIN fulfilled f ON o.m = f.m
+)
+SELECT m AS month, n_opened, n_fulfilled,
+       sum(n_opened - n_fulfilled)
+           OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)::BIGINT AS backlog
+FROM merged
+ORDER BY month
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -16869,6 +17183,18 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     ),
     "cross_split_semantic_leakage": (
         q_cross_split_semantic_leakage, ORACLE_CROSS_SPLIT_SEMANTIC_LEAKAGE,
+    ),
+    "revenue_pareto_curve": (
+        q_revenue_pareto_curve, ORACLE_REVENUE_PARETO_CURVE,
+    ),
+    "session_opening_paths": (
+        q_session_opening_paths, ORACLE_SESSION_OPENING_PATHS,
+    ),
+    "split_label_balance": (
+        q_split_label_balance, ORACLE_SPLIT_LABEL_BALANCE,
+    ),
+    "order_backlog_timeseries": (
+        q_order_backlog_timeseries, ORACLE_ORDER_BACKLOG_TIMESERIES,
     ),
 }
 

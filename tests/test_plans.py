@@ -1618,3 +1618,42 @@ def test_cross_split_semantic_leakage_gemm_not_lambda(spark, registry):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert "MapInPandas" in final
     assert "CartesianProduct" not in final
+
+
+def test_revenue_pareto_curve_windows_over_aggregate(spark, registry):
+    """One orders shuffle; the rank/cumsum windows and the 3-share grid
+    run over the |customers|-row aggregate only."""
+    df = registry["revenue_pareto_curve"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "CartesianProduct" not in final
+
+
+def test_session_opening_paths_no_collect_list(spark, registry):
+    """First-3 pivot is conditional aggregation — no whole-session
+    collect_list buffers; top-20 is a TakeOrdered."""
+    df = registry["session_opening_paths"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "collect_list" not in final
+    assert "TakeOrderedAndProject" in final
+
+
+def test_split_label_balance_single_scan(spark, registry):
+    df = registry["split_label_balance"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+
+
+def test_order_backlog_no_orderlevel_join(spark, registry):
+    """Each fact folds to monthly grain BEFORE the merge — the full
+    outer join touches only two month-series, never order-level rows
+    (no sort-merge join of the raw tables)."""
+    df = registry["order_backlog_timeseries"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 2
+    assert "CartesianProduct" not in final
