@@ -16831,6 +16831,209 @@ ORDER BY month
 """
 
 
+def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — the two-role dimension join: revenue flows from
+    supplier nation to customer nation (nation joins TWICE under
+    different roles), top 25 directed flows.  The bidirectional trade
+    matrix every sourcing review starts from.
+
+    Plan shape: lineitem takes one pass; orders is the only other
+    fact-sized side (suppkey→nation and custkey→nation resolve through
+    broadcast dims, nation broadcast twice under different aliases); the
+    aggregate is ≤|nations|² rows and top-25 is a TakeOrdered.  The
+    order join shuffles fact-scale at 100 TB — keyed on l_orderkey, the
+    natural co-partitioning both tables already carry."""
+    return _sql(
+        spark, sf_dir, ["lineitem", "orders", "customer",
+                        "supplier", "nation"],
+        """
+        SELECT ns.n_name AS supp_nation,
+               nc.n_name AS cust_nation,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               cast(count(*) as bigint) AS n_items
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s_nationkey
+        JOIN nation nc ON nc.n_nationkey = c_nationkey
+        WHERE ns.n_name != nc.n_name
+        GROUP BY ns.n_name, nc.n_name
+        ORDER BY revenue DESC, supp_nation, cust_nation
+        LIMIT 25
+        """,
+    )
+
+
+ORACLE_NATION_TRADE_BALANCE = """
+SELECT ns.n_name AS supp_nation,
+       nc.n_name AS cust_nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ns ON ns.n_nationkey = s_nationkey
+JOIN nation nc ON nc.n_nationkey = c_nationkey
+WHERE ns.n_name != nc.n_name
+GROUP BY ns.n_name, nc.n_name
+ORDER BY revenue DESC, supp_nation, cust_nation
+LIMIT 25
+"""
+
+
+def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — share-of-total via conditional aggregation: one
+    focal nation's share of each order-year's total revenue, per region.
+    The textbook query divides a CASE-filtered sum by the plain sum in
+    the same aggregate buffer — no self-join, no second pass — which is
+    exactly how a source-share trend (`source_mix` over time) is
+    computed on the corpus side.
+
+    Plan shape: lineitem⋈orders is the one fact-scale join (orderkey
+    co-partitioning); supplier→nation→region resolve as broadcast dims;
+    the aggregate is |region|·|years| rows.  Integer-cent folding keeps
+    the share ratio engine-exact."""
+    return _sql(
+        spark, sf_dir, ["lineitem", "orders", "supplier",
+                        "nation", "region"],
+        """
+        WITH flow AS (
+          SELECT r_name,
+                 year(o_orderdate) AS yr,
+                 cast(round(sum(l_extendedprice * (1 - l_discount)) * 100)
+                      as bigint) AS rc,
+                 cast(round(sum(CASE WHEN n_name = 'NATION_0'
+                                     THEN l_extendedprice * (1 - l_discount)
+                                     ELSE 0 END) * 100) as bigint) AS fc
+          FROM lineitem
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+          JOIN region ON r_regionkey = n_regionkey
+          GROUP BY r_name, year(o_orderdate)
+        )
+        SELECT r_name, cast(yr as int) AS yr,
+               round(rc / 100.0D, 2) AS total_revenue,
+               round(fc / cast(rc as double), 4) AS focal_share
+        FROM flow
+        ORDER BY r_name, yr
+        """,
+    )
+
+
+ORACLE_MARKET_SHARE_BY_YEAR = """
+WITH flow AS (
+  SELECT r_name,
+         year(o_orderdate) AS yr,
+         round(sum(l_extendedprice * (1 - l_discount)) * 100)::BIGINT AS rc,
+         round(sum(CASE WHEN n_name = 'NATION_0'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0 END) * 100)::BIGINT AS fc
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  GROUP BY r_name, year(o_orderdate)
+)
+SELECT r_name, yr::INT AS yr,
+       round(rc / 100.0, 2) AS total_revenue,
+       round(fc / rc::DOUBLE, 4) AS focal_share
+FROM flow
+ORDER BY r_name, yr
+"""
+
+
+def q_margin_proxy_by_nation_year(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q9 shape — computed-profit roll-up across the full star:
+    per supplier nation and order year, revenue minus a cost proxy
+    (retail price × quantity at 50% — the schema has no partsupp table,
+    so p_retailprice stands in for ps_supplycost; the reference Q9's
+    shape survives intact: a per-line computed margin aggregated over
+    two far-apart dimensions).
+
+    Plan shape: lineitem⋈orders keyed on orderkey is the one fact
+    shuffle; part and supplier→nation are broadcast dims; the margin
+    expression folds inside the same whole-stage-codegen span as the
+    scan; the aggregate is |nations|·|years| rows."""
+    return _sql(
+        spark, sf_dir, ["lineitem", "orders", "part",
+                        "supplier", "nation"],
+        """
+        SELECT n_name, cast(year(o_orderdate) as int) AS yr,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - 0.5D * p_retailprice * l_quantity), 2)
+                 AS margin_proxy,
+               cast(count(*) as bigint) AS n_items
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY n_name, yr
+        """,
+    )
+
+
+ORACLE_MARGIN_PROXY_BY_NATION_YEAR = """
+SELECT n_name, year(o_orderdate)::INT AS yr,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.5 * p_retailprice * l_quantity), 2) AS margin_proxy,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+GROUP BY n_name, year(o_orderdate)
+ORDER BY n_name, yr
+"""
+
+
+def q_discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape, swept: the what-if revenue effect of forgiving
+    discounts, computed per discount band instead of one fixed band —
+    `sum(l_extendedprice * l_discount)` is the revenue given away, per
+    centi-band of discount, for small-quantity lines (l_quantity < 24).
+    The single-filter single-aggregate scan that Q6 uses to benchmark
+    predicate pushdown — both the quantity filter and the projection
+    must reach the parquet scan for this to be a 2-column read.
+
+    Plan shape: one scan, filter pushed, |bands| output rows."""
+    return _sql(
+        spark, sf_dir, ["lineitem"],
+        """
+        SELECT cast(round(l_discount * 100) as int) AS discount_pct,
+               cast(count(*) as bigint) AS n_items,
+               round(sum(l_extendedprice * l_discount), 2)
+                 AS forgone_revenue,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                 AS realized_revenue
+        FROM lineitem
+        WHERE l_quantity < 24
+        GROUP BY round(l_discount * 100)
+        ORDER BY discount_pct
+        """,
+    )
+
+
+ORACLE_DISCOUNT_BAND_REVENUE = """
+SELECT round(l_discount * 100)::INT AS discount_pct,
+       count(*)::BIGINT AS n_items,
+       round(sum(l_extendedprice * l_discount), 2) AS forgone_revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS realized_revenue
+FROM lineitem
+WHERE l_quantity < 24
+GROUP BY round(l_discount * 100)
+ORDER BY discount_pct
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -17195,6 +17398,18 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     ),
     "order_backlog_timeseries": (
         q_order_backlog_timeseries, ORACLE_ORDER_BACKLOG_TIMESERIES,
+    ),
+    "nation_trade_balance": (
+        q_nation_trade_balance, ORACLE_NATION_TRADE_BALANCE,
+    ),
+    "market_share_by_year": (
+        q_market_share_by_year, ORACLE_MARKET_SHARE_BY_YEAR,
+    ),
+    "margin_proxy_by_nation_year": (
+        q_margin_proxy_by_nation_year, ORACLE_MARGIN_PROXY_BY_NATION_YEAR,
+    ),
+    "discount_band_revenue": (
+        q_discount_band_revenue, ORACLE_DISCOUNT_BAND_REVENUE,
     ),
 }
 

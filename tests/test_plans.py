@@ -1657,3 +1657,49 @@ def test_order_backlog_no_orderlevel_join(spark, registry):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 2
     assert "CartesianProduct" not in final
+
+
+def test_nation_trade_balance_dual_role_broadcast(spark, registry):
+    """Q7 shape: nation joins twice under different roles — both as
+    broadcasts; top-25 is a TakeOrdered; no cartesian between the two
+    nation roles."""
+    df = registry["nation_trade_balance"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") >= 4
+    assert "TakeOrderedAndProject" in final
+    assert "CartesianProduct" not in final
+
+
+def test_market_share_by_year_single_aggregate(spark, registry):
+    """Q8 shape: focal share comes from conditional aggregation in the
+    SAME buffer as the total — no self-join of the flow table."""
+    df = registry["market_share_by_year"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 5
+    assert "SortMergeJoin" not in final
+
+
+def test_margin_proxy_codegen_margin_expression(spark, registry):
+    """Q9 shape: the computed margin folds inside whole-stage codegen —
+    dims all broadcast, single aggregate."""
+    df = registry["margin_proxy_by_nation_year"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    # "*(N)" prefixes are the whole-stage-codegen span markers in the
+    # executed-plan print; the margin sum must sit inside one
+    assert "*(" in final and "HashAggregate" in final
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+
+
+def test_discount_band_revenue_pushdown_two_columns(spark, registry):
+    """Q6 shape: the quantity filter reaches the parquet scan and the
+    read schema stays at the three needed columns."""
+    df = registry["discount_band_revenue"][0](spark, SF_DIR)
+    fmt = _formatted(df)
+    assert "LessThan(l_quantity,24.0)" in fmt
+    read = fmt.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_discount" in read and "l_extendedprice" in read
+    assert "l_partkey" not in read and "l_shipdate" not in read
