@@ -17034,6 +17034,436 @@ ORDER BY discount_pct
 """
 
 
+def q_session_type_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift over sessions: for every event-type pair, the
+    co-occurrence lift P(A∧B) / (P(A)·P(B)) across gap-sessionized user
+    sessions (30-min rule) — lift > 1 means the types travel together,
+    the signal behind "users who search also purchase" product claims
+    and behind choosing which event pair deserves a funnel
+    (`event_funnel` tests ONE ordered pair; this scores every unordered
+    pair).
+
+    Scale shape — the single-subtree trick: sessions fold once to a
+    sorted distinct type-set; singles, pairs AND the session total all
+    come from ONE explode of (sentinel ++ types ++ pairwise
+    combinations) into a token-count table of <= |types|^2+|types|+1
+    rows.  That tiny table is then referenced FOUR times by the lift
+    join — so it is eagerly localCheckpoint-ed first (the
+    minhash_est_error shared checkpoint idiom): Spark inlines CTEs, and
+    without the checkpoint the sessionize window stack would re-run once
+    per reference (the psi_drift lesson).  The final join is
+    broadcast-tiny.  The oracle keeps the naive three-CTE spelling
+    (DuckDB materializes CTEs), so parity crosses two formulations."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    counts = spark.sql(
+        """
+        WITH gaps AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN unix_timestamp(ts)
+                           - unix_timestamp(lag(ts) OVER
+                               (PARTITION BY user_id
+                                ORDER BY ts, event_id)) > 1800
+                      OR lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS is_start
+          FROM events
+        ), sess AS (
+          SELECT user_id, event_type,
+                 sum(is_start) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_no
+          FROM gaps
+        ), sets AS (
+          SELECT user_id, session_no,
+                 sort_array(collect_set(event_type)) AS types
+          FROM sess GROUP BY user_id, session_no
+        ), tokens AS (
+          SELECT explode(concat(
+                   array('S'),
+                   types,
+                   flatten(transform(types, a ->
+                     transform(filter(types, b -> b > a),
+                               b -> concat(a, '|', b))))
+                 )) AS tok
+          FROM sets
+        )
+        SELECT tok, cast(count(*) as bigint) AS n FROM tokens GROUP BY tok
+        """
+    ).localCheckpoint(eager=True)
+    counts.createOrReplaceTempView("session_type_lift_counts")
+    return spark.sql(
+        """
+        SELECT split_part(p.tok, '|', 1) AS type_a,
+               split_part(p.tok, '|', 2) AS type_b,
+               p.n AS n_both,
+               a.n AS n_a,
+               b.n AS n_b,
+               s.n AS n_sessions,
+               round(p.n / cast(s.n as double), 4) AS support,
+               round(p.n * cast(s.n as double) / (a.n * cast(b.n as double)),
+                     4) AS lift
+        FROM session_type_lift_counts p
+        JOIN session_type_lift_counts a ON a.tok = split_part(p.tok, '|', 1)
+        JOIN session_type_lift_counts b ON b.tok = split_part(p.tok, '|', 2)
+        CROSS JOIN (SELECT n FROM session_type_lift_counts
+                    WHERE tok = 'S') s
+        WHERE p.tok LIKE '%|%'
+        ORDER BY type_a, type_b
+        """
+    )
+
+
+ORACLE_SESSION_TYPE_LIFT = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN floor(epoch(ts))
+                   - floor(epoch(lag(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id))) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+), sess AS (
+  SELECT user_id, event_type,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps
+), st AS (
+  SELECT DISTINCT user_id, session_no, event_type FROM sess
+), singles AS (
+  SELECT event_type, count(*)::BIGINT AS n FROM st GROUP BY event_type
+), total AS (
+  SELECT count(*)::BIGINT AS s
+  FROM (SELECT DISTINCT user_id, session_no FROM st)
+), pairs AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         count(*)::BIGINT AS n_both
+  FROM st x JOIN st y
+    ON x.user_id = y.user_id AND x.session_no = y.session_no
+   AND x.event_type < y.event_type
+  GROUP BY x.event_type, y.event_type
+)
+SELECT type_a, type_b, n_both, a.n AS n_a, b.n AS n_b, s AS n_sessions,
+       round(n_both / s::DOUBLE, 4) AS support,
+       round(n_both * s::DOUBLE / (a.n * b.n::DOUBLE), 4) AS lift
+FROM pairs
+JOIN singles a ON a.event_type = type_a
+JOIN singles b ON b.event_type = type_b
+CROSS JOIN total
+ORDER BY type_a, type_b
+"""
+
+
+def q_embedding_outlier_mahalanobis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space outliers by diagonal Mahalanobis distance: score
+    each vector by Σ_d (x_d − μ_d)² / σ²_d and report the top 20 — the
+    principled "far from the data cloud in EVERY direction that matters"
+    detector (a plain L2-to-centroid under-weights low-variance dims
+    where small offsets are the real anomaly).  Outlier vectors poison
+    kmeans seeding and IVF cell balance; this is the pre-index triage
+    row (`knn_hubness` finds over-CONNECTED vectors, this finds
+    over-ISOLATED ones).
+
+    Scale shape — two map-only passes, no d-explode: pass 1 folds each
+    Arrow batch to (n, Σx, Σx²) per dimension (partitions × d doubles —
+    the embedding_drift partial-moment idiom), collected as a tiny
+    d-row table; μ/σ² broadcast back and pass 2 scores each batch with
+    vectorized numpy, so the corpus shuffles ZERO rows — the only
+    movement is the 20-row TakeOrdered.  The oracle is the relational
+    d-explode spelling (500×64 rows at oracle scale), so parity crosses
+    two formulations.  4dp pre-rank rounding, vec_id tiebreak."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def moments(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [float(m.shape[0])],
+                    "s": [m.sum(axis=0).tolist()],
+                    "ss": [(m * m).sum(axis=0).tolist()],
+                }
+            )
+
+    parts = emb.select("embedding").mapInPandas(
+        moments, "n double, s array<double>, ss array<double>"
+    ).toPandas()
+    n = float(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    ss = np.sum(np.stack(parts["ss"].to_numpy()), axis=0)
+    mu = s / n
+    var = np.maximum(ss / n - mu * mu, 1e-12)
+    bc = spark.sparkContext.broadcast((mu, var))
+
+    def score(batches):
+        mu_b, var_b = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d2 = ((m - mu_b) ** 2 / var_b).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "label": pdf["label"].to_numpy(dtype=np.int64),
+                    "maha_sq": np.round(d2, 4),
+                }
+            )
+
+    scored = emb.select("vec_id", "label", "embedding").mapInPandas(
+        score, "vec_id bigint, label bigint, maha_sq double"
+    )
+    return (
+        scored.select(
+            "vec_id", F.col("label").cast("int").alias("label"), "maha_sq"
+        )
+        .orderBy(F.col("maha_sq").desc(), "vec_id")
+        .limit(20)
+    )
+
+
+ORACLE_EMBEDDING_OUTLIER_MAHALANOBIS = """
+WITH stats AS (
+  SELECT i, avg(embedding[i]::DOUBLE) AS mu,
+         greatest(var_pop(embedding[i]::DOUBLE), 1e-12) AS v
+  FROM embeddings, range(1, 65) t(i)
+  GROUP BY i
+), scored AS (
+  SELECT vec_id, label,
+         round(sum((embedding[i]::DOUBLE - mu) * (embedding[i]::DOUBLE - mu)
+                   / v), 4) AS maha_sq
+  FROM embeddings, range(1, 65) t(i)
+  JOIN stats USING (i)
+  GROUP BY vec_id, label
+)
+SELECT vec_id, label::INT AS label, maha_sq
+FROM scored
+ORDER BY maha_sq DESC, vec_id
+LIMIT 20
+"""
+
+
+def q_ttr_length_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OLS of lexical diversity on length: regress each
+    document's type-token ratio (distinct / total tokens — the
+    cheapest quality proxy) on ln(1 + chars), per source.  TTR falls
+    with length by construction (Herdan's law), so a source whose slope
+    is much flatter or steeper than its peers is structurally different
+    (template floods flatten it; concatenated junk steepens it) — and
+    any length-normalized quality gate must subtract this slope before
+    comparing docs of different sizes.
+
+    Closed-form shape: slope, intercept and r² all come from the five
+    classic sums (n, Σx, Σy, Σxy, Σx², Σy²) folded in ONE map-side
+    combine per source — no second pass, no window, |sources| output
+    rows.  Denominators guard with 1e-12 (degenerate single-doc
+    sources report slope 0, r² 0 rather than NaN — the ks_drift
+    empty-half rule)."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH xy AS (
+          SELECT source,
+                 ln(1 + length(text)) AS x,
+                 size(array_distinct({toks}))
+                   / cast(greatest(size({toks}), 1) as double) AS y
+          FROM documents
+        ), sums AS (
+          SELECT source,
+                 cast(count(*) as bigint) AS n,
+                 sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM xy GROUP BY source
+        )
+        SELECT source, n,
+               round((n * sxy - sx * sy)
+                     / greatest(n * sxx - sx * sx, 1e-12D), 4) AS slope,
+               round((sy - (n * sxy - sx * sy)
+                           / greatest(n * sxx - sx * sx, 1e-12D) * sx)
+                     / n, 4) AS intercept,
+               round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                     / greatest((n * sxx - sx * sx) * (n * syy - sy * sy),
+                                1e-12D), 4) AS r2
+        FROM sums
+        ORDER BY source
+        """,
+    )
+
+
+ORACLE_TTR_LENGTH_REGRESSION = f"""
+WITH xy AS (
+  SELECT source,
+         ln(1 + length(text)) AS x,
+         len(list_distinct({_DUCK_TOKENS.format(x="text")}))
+           / greatest(len({_DUCK_TOKENS.format(x="text")}), 1)::DOUBLE AS y
+  FROM documents
+), sums AS (
+  SELECT source,
+         count(*)::BIGINT AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM xy GROUP BY source
+)
+SELECT source, n,
+       round((n * sxy - sx * sy)
+             / greatest(n * sxx - sx * sx, 1e-12), 4) AS slope,
+       round((sy - (n * sxy - sx * sy)
+                   / greatest(n * sxx - sx * sx, 1e-12) * sx) / n, 4)
+         AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / greatest((n * sxx - sx * sx) * (n * syy - sy * sy), 1e-12),
+             4) AS r2
+FROM sums
+ORDER BY source
+"""
+
+
+def q_new_user_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-vs-retention mix per day: the share of each day's
+    events generated by users seen for the FIRST time that day.  A
+    product whose traffic is mostly first-day users is churning through
+    its audience; the corpus analog is a crawl whose daily volume is
+    mostly never-before-seen domains.  Complements `cohort_retention`
+    (which follows a cohort forward; this reads the mix backward).
+
+    Scale shape: one scan folds to the (user, day) grid; each user's
+    first day is a min-window over the grid (the retention_sweep
+    machinery), and the day roll-up is |days| rows.  Never a self-join
+    of events against first-event times."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH ud AS (
+          SELECT user_id,
+                 cast(floor(unix_timestamp(ts) / 86400) as bigint) AS day,
+                 cast(count(*) as bigint) AS n
+          FROM events GROUP BY user_id, floor(unix_timestamp(ts) / 86400)
+        ), tagged AS (
+          SELECT user_id, day, n,
+                 min(day) OVER (PARTITION BY user_id) AS first_day
+          FROM ud
+        )
+        SELECT day,
+               cast(sum(n) as bigint) AS n_events,
+               cast(count(DISTINCT user_id) as bigint) AS n_users,
+               cast(sum(CASE WHEN day = first_day THEN n ELSE 0 END)
+                    as bigint) AS n_new_user_events,
+               cast(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                    as bigint) AS n_new_users,
+               round(sum(CASE WHEN day = first_day THEN n ELSE 0 END)
+                     / cast(sum(n) as double), 4) AS new_user_share
+        FROM tagged
+        GROUP BY day
+        ORDER BY day
+        """,
+    )
+
+
+ORACLE_NEW_USER_SHARE_TREND = """
+WITH ud AS (
+  SELECT user_id, floor(floor(epoch(ts)) / 86400)::BIGINT AS day,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY user_id, floor(floor(epoch(ts)) / 86400)
+), tagged AS (
+  SELECT user_id, day, n,
+         min(day) OVER (PARTITION BY user_id) AS first_day
+  FROM ud
+)
+SELECT day,
+       sum(n)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       sum(CASE WHEN day = first_day THEN n ELSE 0 END)::BIGINT
+         AS n_new_user_events,
+       sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)::BIGINT
+         AS n_new_users,
+       round(sum(CASE WHEN day = first_day THEN n ELSE 0 END)
+             / sum(n)::DOUBLE, 4) AS new_user_share
+FROM tagged
+GROUP BY day
+ORDER BY day
+"""
+
+
+def q_tokenizer_compression_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer-granularity compression sweep: for three tokenization
+    schemes — whitespace words, alphanumeric runs (the catalog's
+    BPE-ish regex), and character 3-grams — the corpus-wide token
+    volume, characters per token, and tokens per document.  The
+    chars-per-token column IS the compression ratio that converts a
+    storage budget into a training-token budget per scheme
+    (`tokenizer_fertility` measures ONE tokenizer against words; this
+    sweeps the granularity axis so the budget holder can pick).
+
+    Scale shape: counts only — size()/length() fold per row with NO
+    token explode for any scheme; the 3-row config fan-out is an inline
+    array-of-structs explode (the state_size_plan idiom) of
+    already-reduced per-doc counts, and the aggregate is 3 rows."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH per_doc AS (
+          SELECT length(text) AS chars,
+                 explode(array(
+                   named_struct('config', 'whitespace', 'toks',
+                     size(filter(split(text, ' +'), t -> t != ''))),
+                   named_struct('config', 'alnum_runs', 'toks',
+                     size({toks})),
+                   named_struct('config', 'char_3gram', 'toks',
+                     greatest(length(text) - 2, 0))
+                 )) AS e
+          FROM documents
+        )
+        SELECT e.config AS config,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(e.toks) as bigint) AS total_tokens,
+               cast(sum(chars) as bigint) AS total_chars,
+               round(sum(chars) / cast(greatest(sum(e.toks), 1) as double),
+                     4) AS chars_per_token,
+               round(sum(e.toks) / cast(count(*) as double), 2)
+                 AS tokens_per_doc
+        FROM per_doc
+        GROUP BY e.config
+        ORDER BY config
+        """,
+    )
+
+
+ORACLE_TOKENIZER_COMPRESSION_SWEEP = f"""
+WITH per_doc AS (
+  SELECT length(text) AS chars,
+         unnest([
+           {{'config': 'whitespace', 'toks':
+              len(list_filter(regexp_split_to_array(text, ' +'),
+                              t -> t != ''))}},
+           {{'config': 'alnum_runs', 'toks':
+              len({_DUCK_TOKENS.format(x="text")})}},
+           {{'config': 'char_3gram', 'toks': greatest(length(text) - 2, 0)}}
+         ]) AS e
+  FROM documents
+)
+SELECT e.config AS config,
+       count(*)::BIGINT AS n_docs,
+       sum(e.toks)::BIGINT AS total_tokens,
+       sum(chars)::BIGINT AS total_chars,
+       round(sum(chars) / greatest(sum(e.toks), 1)::DOUBLE, 4)
+         AS chars_per_token,
+       round(sum(e.toks) / count(*)::DOUBLE, 2) AS tokens_per_doc
+FROM per_doc
+GROUP BY e.config
+ORDER BY config
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -17410,6 +17840,20 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     ),
     "discount_band_revenue": (
         q_discount_band_revenue, ORACLE_DISCOUNT_BAND_REVENUE,
+    ),
+    "session_type_lift": (q_session_type_lift, ORACLE_SESSION_TYPE_LIFT),
+    "embedding_outlier_mahalanobis": (
+        q_embedding_outlier_mahalanobis,
+        ORACLE_EMBEDDING_OUTLIER_MAHALANOBIS,
+    ),
+    "ttr_length_regression": (
+        q_ttr_length_regression, ORACLE_TTR_LENGTH_REGRESSION,
+    ),
+    "new_user_share_trend": (
+        q_new_user_share_trend, ORACLE_NEW_USER_SHARE_TREND,
+    ),
+    "tokenizer_compression_sweep": (
+        q_tokenizer_compression_sweep, ORACLE_TOKENIZER_COMPRESSION_SWEEP,
     ),
 }
 

@@ -271,6 +271,41 @@ def windowed_turn_rates(
     )
 
 
+def session_windowed_conv_activity(
+    transcripts: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Session-window activity per conversation: turns group into
+    DYNAMIC-length sessions that close after ``gap`` of event-time
+    silence — `F.session_window` is the streaming-native spelling of the
+    batch `sessionize` query's lag + running-sum windows, with the
+    window boundaries maintained by the state store instead of a sort.
+
+    Contrast with `windowed_turn_rates`' fixed tumbling grid: a tumbling
+    window splits one long conversation burst across buckets and glues
+    unrelated bursts together; the session window follows the actual
+    silence structure, which is what an idle-conversation eviction
+    policy or an engagement dashboard wants.
+
+    State/scale: one state row per OPEN session (conv, window) — closed
+    sessions are finalized and evicted once the watermark passes their
+    end + gap, so state is bounded by concurrent-conversation count, not
+    stream lifetime.  In append mode rows emit only on finalization:
+    a drain whose newest event time is within ``gap`` of a session's
+    last turn keeps that session open (and un-emitted) by design —
+    tests advance the watermark with a later batch to flush."""
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).alias("chars_in"),
+        )
+        .select("conv_id", "w.start", "w.end", "n_turns", "chars_in")
+    )
+
+
 def dedup_stream_vs_corpus(
     transcripts: DataFrame,
     corpus_digests: DataFrame,

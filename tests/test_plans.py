@@ -1703,3 +1703,58 @@ def test_discount_band_revenue_pushdown_two_columns(spark, registry):
     read = fmt.split("ReadSchema:")[1].splitlines()[0]
     assert "l_discount" in read and "l_extendedprice" in read
     assert "l_partkey" not in read and "l_shipdate" not in read
+
+
+def test_session_type_lift_checkpointed_counts(spark, registry):
+    """The 4-way lift join must read the CHECKPOINTED token-count table
+    (ExistingRDD scans), never re-run the sessionize window stack per
+    reference — zero parquet scans in the final plan."""
+    df = registry["session_type_lift"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 0
+    assert "ExistingRDD" in final
+    assert "SortMergeJoin" not in final
+
+
+def test_embedding_outlier_mahalanobis_no_explode(spark, registry):
+    """Scoring is the two-pass map-only numpy path: no per-dimension
+    row explode (Generate) and no join — the corpus moves only through
+    the 20-row TakeOrdered."""
+    df = registry["embedding_outlier_mahalanobis"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "MapInPandas" in final
+    assert "Generate" not in final
+    assert "Join" not in final
+    assert "TakeOrderedAndProject" in final
+
+
+def test_ttr_length_regression_single_scan_closed_form(spark, registry):
+    """OLS from the five classic sums in one map-side combine — one
+    scan, no window, no join."""
+    df = registry["ttr_length_regression"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final and "Window" not in final
+
+
+def test_new_user_share_trend_grid_window(spark, registry):
+    """First-day tagging is a min-window over the (user, day) grid —
+    one scan, never a self-join of events."""
+    df = registry["new_user_share_trend"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+
+
+def test_tokenizer_compression_sweep_no_token_explode(spark, registry):
+    """The only Generate is the 3-struct config fan-out of per-doc
+    COUNTS — token lists never explode into rows."""
+    df = registry["tokenizer_compression_sweep"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert final.count("Generate") == 1

@@ -519,3 +519,81 @@ def test_observed_ingest_metrics_match_batch_counters(spark, tmp_path):
     assert got["parse_failures"] == want["parse_failures"]
     assert got["xss_rejects"] == want["xss_rejects"]
     assert got["bytes_in"] == want["bytes_in"] > 0
+
+
+def test_session_window_plan_on_stream(spark, stream_dirs):
+    from pdf_extractor_spark.streaming.ingest import (
+        session_windowed_conv_activity,
+    )
+
+    in_dir, *_ = stream_dirs
+    agg = session_windowed_conv_activity(stream_transcripts(spark, in_dir))
+    assert agg.isStreaming
+    assert {f.name for f in agg.schema.fields} == {
+        "conv_id", "start", "end", "n_turns", "chars_in",
+    }
+
+
+def test_session_window_splits_on_silence_and_flushes_on_watermark(
+    spark, tmp_path
+):
+    """One conversation with two bursts separated by >gap of event-time
+    silence must land in TWO sessions; a later file advances the
+    watermark so the finalized sessions actually emit in append mode
+    (the session whose burst sits nearest the stream's end stays open
+    by design — the watermark-flush contract the docstring pins)."""
+    from pdf_extractor_spark.streaming.ingest import (
+        session_windowed_conv_activity,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = pd.Timestamp("2026-01-01 09:00:00")
+    rows = []
+    # burst 1: 3 turns a minute apart; burst 2 (2h later): 2 turns
+    for i, off in enumerate([0, 60, 120, 7200, 7260]):
+        rows.append(
+            ("conv-A", i, "user" if i % 2 == 0 else "assistant",
+             f"turn {i}", None, base + pd.Timedelta(seconds=off))
+        )
+    pdf = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    spark.createDataFrame(pdf, TRANSCRIPT_DDL).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    # watermark-advancer: a different conv a day later (its own session
+    # stays open and never emits — asserted below)
+    closer = pd.DataFrame(
+        [("conv-Z", 0, "user", "closer", None,
+          base + pd.Timedelta(days=1))],
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+    spark.createDataFrame(closer, TRANSCRIPT_DDL).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    q = (
+        session_windowed_conv_activity(
+            stream_transcripts(spark, in_dir, max_files_per_trigger=1),
+            gap="30 minutes", watermark="10 minutes",
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(out_dir).toPandas()
+    a = out[out.conv_id == "conv-A"].sort_values("start").reset_index(
+        drop=True
+    )
+    assert len(a) == 2, out.to_string()
+    assert list(a["n_turns"]) == [3, 2]
+    # session spans follow the actual bursts, not a tumbling grid
+    assert a.loc[0, "start"] == base
+    assert a.loc[1, "start"] == base + pd.Timedelta(seconds=7200)
+    # the watermark-advancer's own session is still open: nothing emitted
+    assert (out.conv_id == "conv-Z").sum() == 0
