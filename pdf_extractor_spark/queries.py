@@ -17464,6 +17464,252 @@ ORDER BY config
 """
 
 
+_DEDUP_SENS_THRESHOLDS = (0.5, 0.7, 0.8, 0.9)
+
+
+def q_dedup_threshold_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup threshold sensitivity: how many verified pairs and how
+    many distinct documents a Jaccard cutoff of 0.5 / 0.7 / 0.8 / 0.9
+    would implicate — the curve you read BEFORE freezing the dedup
+    threshold, because the pair count's cliff edge tells you whether
+    0.8 is a stable choice or sits on a mass of borderline pairs
+    (`lsh_precision` measures the banding's FP rate at ONE threshold;
+    this sweeps the decision axis).
+
+    Scale shape: the exact-Jaccard pair table (bucket-capped, tiny)
+    computes once via the shared near_dup_verified lineage; the 4-row
+    threshold grid cross-joins as a broadcast against pairs and against
+    the exploded pair-endpoint list, and the distinct-doc count runs on
+    ≤ 2·|pairs|·|thresholds| rows.  The corpus-size denominator is a
+    count-only scan."""
+    pairs = q_near_dup_verified(spark, sf_dir)
+    thr = spark.createDataFrame(
+        [(float(t),) for t in _DEDUP_SENS_THRESHOLDS], "thr double"
+    )
+    hits = pairs.crossJoin(F.broadcast(thr)).where(
+        F.col("jaccard") >= F.col("thr")
+    )
+    per_pair = hits.groupBy("thr").agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+    per_doc = (
+        hits.select(
+            "thr",
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+        )
+        .groupBy("thr")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    )
+    n_total = _t(spark, sf_dir, "documents").count()
+    return (
+        F.broadcast(thr)
+        .join(per_pair, "thr", "left")
+        .join(per_doc, "thr", "left")
+        .select(
+            "thr",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+            F.round(
+                F.coalesce("n_docs", F.lit(0)) / F.lit(float(n_total)), 4
+            ).alias("doc_share"),
+        )
+        .orderBy("thr")
+    )
+
+
+ORACLE_DEDUP_THRESHOLD_SENSITIVITY = f"""
+WITH pairs AS ({ORACLE_NEAR_DUP_VERIFIED}),
+thr AS (
+  SELECT unnest([{", ".join(f"{t}::DOUBLE" for t in _DEDUP_SENS_THRESHOLDS)}])
+    AS thr
+), hits AS (
+  SELECT t.thr, p.doc_a, p.doc_b
+  FROM pairs p CROSS JOIN thr t
+  WHERE p.jaccard >= t.thr
+), per_pair AS (
+  SELECT thr, count(*)::BIGINT AS n_pairs FROM hits GROUP BY thr
+), per_doc AS (
+  SELECT thr, count(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM (SELECT thr, unnest([doc_a, doc_b]) AS doc_id FROM hits)
+  GROUP BY thr
+)
+SELECT t.thr,
+       coalesce(n_pairs, 0)::BIGINT AS n_pairs,
+       coalesce(n_docs, 0)::BIGINT AS n_docs,
+       round(coalesce(n_docs, 0)
+             / (SELECT count(*) FROM documents)::DOUBLE, 4) AS doc_share
+FROM thr t
+LEFT JOIN per_pair USING (thr)
+LEFT JOIN per_doc USING (thr)
+ORDER BY t.thr
+"""
+
+
+def q_tool_latency_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does a tool call slow the conversation down?  Over the synthetic
+    conversation view (deterministic tool + arrival-clock columns shared
+    with tool_call_profile / turn_latency_profile), compare the gap to
+    the NEXT turn after assistant turns WITH a tool call vs without —
+    the agent-latency attribution row an operations review wants (tool
+    time is billable; silence is not).
+
+    Scale shape: one scan; tool flag and clock derive per row; the
+    next-gap is one lead window on the (conv, turn-order) partitioning;
+    the roll-up is 2 rows."""
+    role = _SPARK_MD5INT.format(x="cast(doc_id as string)")
+    th = _SPARK_MD5INT.format(x="concat('tool', cast(doc_id as string))")
+    jit = _SPARK_MD5INT.format(x="concat('ts', cast(doc_id as string))")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH turns AS (
+          SELECT doc_id % {_CONV_MOD} AS conv, doc_id,
+                 CASE WHEN {role} % 2 = 0 THEN 'user' ELSE 'assistant' END
+                   AS role,
+                 {th} % 3 = 0 AS tool_draw,
+                 {jit} % 45 AS jitter
+          FROM documents
+        ), clocked AS (
+          SELECT conv, doc_id, role,
+                 role = 'assistant' AND tool_draw AS has_tool,
+                 row_number() OVER (PARTITION BY conv ORDER BY doc_id)
+                   * 60 + jitter AS arrive_sec
+          FROM turns
+        ), gapped AS (
+          SELECT role, has_tool,
+                 lead(arrive_sec) OVER (PARTITION BY conv ORDER BY doc_id)
+                   - arrive_sec AS next_gap_sec
+          FROM clocked
+        )
+        SELECT has_tool,
+               cast(count(*) as bigint) AS n_turns,
+               round(avg(next_gap_sec), 2) AS mean_next_gap_sec,
+               round(percentile(next_gap_sec, 0.5D), 2) AS p50_next_gap_sec,
+               round(percentile(next_gap_sec, 0.9D), 2) AS p90_next_gap_sec
+        FROM gapped
+        WHERE role = 'assistant' AND next_gap_sec IS NOT NULL
+        GROUP BY has_tool
+        ORDER BY has_tool
+        """,
+    )
+
+
+ORACLE_TOOL_LATENCY_EFFECT = f"""
+WITH turns AS (
+  SELECT doc_id % {_CONV_MOD} AS conv, doc_id,
+         CASE WHEN {_DUCK_MD5INT.format(x="cast(doc_id as varchar)")} % 2 = 0
+              THEN 'user' ELSE 'assistant' END AS role,
+         {_DUCK_MD5INT.format(x="concat('tool', cast(doc_id as varchar))")}
+           % 3 = 0 AS tool_draw,
+         {_DUCK_MD5INT.format(x="concat('ts', cast(doc_id as varchar))")}
+           % 45 AS jitter
+  FROM documents
+), clocked AS (
+  SELECT conv, doc_id, role,
+         role = 'assistant' AND tool_draw AS has_tool,
+         row_number() OVER (PARTITION BY conv ORDER BY doc_id) * 60 + jitter
+           AS arrive_sec
+  FROM turns
+), gapped AS (
+  SELECT role, has_tool,
+         lead(arrive_sec) OVER (PARTITION BY conv ORDER BY doc_id)
+           - arrive_sec AS next_gap_sec
+  FROM clocked
+)
+SELECT has_tool,
+       count(*)::BIGINT AS n_turns,
+       round(avg(next_gap_sec), 2) AS mean_next_gap_sec,
+       round(quantile_cont(next_gap_sec, 0.5), 2) AS p50_next_gap_sec,
+       round(quantile_cont(next_gap_sec, 0.9), 2) AS p90_next_gap_sec
+FROM gapped
+WHERE role = 'assistant' AND next_gap_sec IS NOT NULL
+GROUP BY has_tool
+ORDER BY has_tool
+"""
+
+
+_LOCALITY_BUCKET = 1000
+
+
+def q_sort_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-locality audit for data-skipping: for each candidate
+    cluster key (source, lang), how CLUSTERED the key already is in
+    arrival (doc_id) order — measured as value-change runs per bucket of
+    {_LOCALITY_BUCKET} docs.  clustering = n_distinct / n_runs: 1.0
+    means each value sits in one contiguous run (min/max row-group
+    pruning will skip almost everything); near n_rows/n_distinct means
+    the key is shuffled noise and a sort/Z-order rewrite would pay for
+    itself.  The measurement behind `file_compaction_plan`'s rewrite
+    decision.
+
+    Scale shape: runs are counted WITHIN {_LOCALITY_BUCKET}-doc buckets
+    and summed (boundary runs under-count by at most n/bucket — bounded,
+    documented), so the lag windows partition by (key, bucket) and
+    parallelize instead of forcing one global sort per key; the key
+    fan-out is an inline 2-struct explode; output is 2 rows."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH fan AS (
+          SELECT doc_id,
+                 cast(floor(doc_id / {_LOCALITY_BUCKET}) as bigint) AS bkt,
+                 explode(array(
+                   named_struct('key', 'source', 'val', source),
+                   named_struct('key', 'lang', 'val', lang)
+                 )) AS e
+          FROM documents
+        ), runs AS (
+          SELECT e.key AS key, e.val AS val, bkt,
+                 CASE WHEN lag(e.val) OVER (PARTITION BY e.key, bkt
+                                            ORDER BY doc_id) IS DISTINCT
+                      FROM e.val THEN 1 ELSE 0 END AS is_run_start
+          FROM fan
+        )
+        SELECT key,
+               cast(count(*) as bigint) AS n_rows,
+               cast(count(DISTINCT val) as bigint) AS n_distinct,
+               cast(sum(is_run_start) as bigint) AS n_runs,
+               round(count(DISTINCT val)
+                     / cast(sum(is_run_start) as double), 4) AS clustering,
+               round(sum(is_run_start) / cast(count(*) as double), 4)
+                 AS run_density
+        FROM runs
+        GROUP BY key
+        ORDER BY key
+        """,
+    )
+
+
+ORACLE_SORT_LOCALITY_AUDIT = f"""
+WITH fan AS (
+  SELECT doc_id, floor(doc_id / {_LOCALITY_BUCKET})::BIGINT AS bkt,
+         unnest([
+           {{'key': 'source', 'val': source}},
+           {{'key': 'lang', 'val': lang}}
+         ]) AS e
+  FROM documents
+), runs AS (
+  SELECT e.key AS key, e.val AS val, bkt,
+         CASE WHEN lag(e.val) OVER (PARTITION BY e.key, bkt
+                                    ORDER BY doc_id) IS DISTINCT FROM e.val
+              THEN 1 ELSE 0 END AS is_run_start
+  FROM fan
+)
+SELECT key,
+       count(*)::BIGINT AS n_rows,
+       count(DISTINCT val)::BIGINT AS n_distinct,
+       sum(is_run_start)::BIGINT AS n_runs,
+       round(count(DISTINCT val) / sum(is_run_start)::DOUBLE, 4)
+         AS clustering,
+       round(sum(is_run_start) / count(*)::DOUBLE, 4) AS run_density
+FROM runs
+GROUP BY key
+ORDER BY key
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -17854,6 +18100,15 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     ),
     "tokenizer_compression_sweep": (
         q_tokenizer_compression_sweep, ORACLE_TOKENIZER_COMPRESSION_SWEEP,
+    ),
+    "dedup_threshold_sensitivity": (
+        q_dedup_threshold_sensitivity, ORACLE_DEDUP_THRESHOLD_SENSITIVITY,
+    ),
+    "tool_latency_effect": (
+        q_tool_latency_effect, ORACLE_TOOL_LATENCY_EFFECT,
+    ),
+    "sort_locality_audit": (
+        q_sort_locality_audit, ORACLE_SORT_LOCALITY_AUDIT,
     ),
 }
 

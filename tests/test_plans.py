@@ -1758,3 +1758,33 @@ def test_tokenizer_compression_sweep_no_token_explode(spark, registry):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1
     assert final.count("Generate") == 1
+
+
+def test_dedup_threshold_sensitivity_broadcast_grid(spark, registry):
+    """The 4-row threshold grid broadcasts against the bucket-capped
+    pair table; no sort-merge joins anywhere in the sweep."""
+    df = registry["dedup_threshold_sensitivity"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+
+
+def test_tool_latency_effect_single_scan(spark, registry):
+    df = registry["tool_latency_effect"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+
+
+def test_sort_locality_audit_bucketed_windows(spark, registry):
+    """Run counting partitions by (key, bucket) — parallel windows, one
+    scan, one Generate for the 2-key fan-out, no global single-partition
+    sort."""
+    df = registry["sort_locality_audit"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert final.count("Generate") == 1
+    assert "Exchange SinglePartition" not in final.split("HashAggregate")[0]
