@@ -17710,6 +17710,214 @@ ORDER BY key
 """
 
 
+_RANGE_PARTS = 8
+
+
+def q_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition boundary plan — what `repartitionByRange` decides
+    internally, surfaced as a table: 7 interpolated percentile
+    boundaries of document length split the corpus into 8 range
+    buckets; per bucket, row count, char mass, and the char-mass
+    balance ratio against fair share.  Row-balanced range partitions
+    (equal doc counts) can still be COST-skewed when long docs cluster
+    in the top bucket — this table says by how much, which is what a
+    sort-heavy job (global ORDER BY, write-sorted-parquet) needs before
+    picking range vs hash distribution (`partition_skew_sweep` answers
+    the same question for hash).
+
+    Scale shape: the honest two-pass range planner — pass 1 computes
+    the boundary ARRAY in one aggregate (`percentile(col, array(...))`
+    — exactly the sampling pass repartitionByRange itself performs),
+    which cross-joins back as a 1-row broadcast; pass 2 buckets each
+    row map-side by counting boundaries below it (a filter over the
+    7-element array, no join per boundary).  Boundaries floor to
+    bigint so bucket membership is integer-exact across engines."""
+    probs = ", ".join(
+        f"{k}.0D/{_RANGE_PARTS}" for k in range(1, _RANGE_PARTS)
+    )
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH bounds AS (
+          SELECT transform(percentile(n_chars, array({probs})),
+                           b -> cast(floor(b) as bigint)) AS bs
+          FROM documents
+        ), bucketed AS (
+          SELECT cast(size(filter(bs, b -> n_chars > b)) as int) AS bucket,
+                 n_chars
+          FROM documents CROSS JOIN bounds
+        )
+        SELECT bucket,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(n_chars) as bigint) AS char_mass,
+               cast(min(n_chars) as bigint) AS min_chars,
+               cast(max(n_chars) as bigint) AS max_chars,
+               round(sum(n_chars) * {_RANGE_PARTS}.0D
+                     / sum(sum(n_chars)) OVER (), 4) AS mass_vs_fair
+        FROM bucketed
+        GROUP BY bucket
+        ORDER BY bucket
+        """,
+    )
+
+
+ORACLE_RANGE_PARTITION_PLAN = f"""
+WITH bounds AS (
+  SELECT list_transform(quantile_cont(n_chars, [{", ".join(f"{k}.0/{_RANGE_PARTS}" for k in range(1, _RANGE_PARTS))}]),
+                        b -> floor(b)::BIGINT) AS bs
+  FROM documents
+), bucketed AS (
+  SELECT len(list_filter(bs, b -> n_chars > b))::INT AS bucket, n_chars
+  FROM documents CROSS JOIN bounds
+)
+SELECT bucket,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS char_mass,
+       min(n_chars)::BIGINT AS min_chars,
+       max(n_chars)::BIGINT AS max_chars,
+       round(sum(n_chars) * {_RANGE_PARTS}.0 / sum(sum(n_chars)) OVER (), 4)
+         AS mass_vs_fair
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+def q_conv_tool_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do longer conversations use more tools?  One-row Pearson
+    correlation between per-conversation turn count and tool-call count
+    over the synthetic conversation view (shared tool-draw convention
+    with tool_call_profile), plus the per-turn tool rate for short vs
+    long conversations (median split) — the engagement-vs-agency row.
+
+    Scale shape: one scan folds to the |convs|-row (n_turns, n_tools)
+    grid; the Pearson r comes from closed-form sums over the grid and
+    the median split reuses the same grid through one window — the
+    corpus is never rescanned."""
+    role = _SPARK_MD5INT.format(x="cast(doc_id as string)")
+    th = _SPARK_MD5INT.format(x="concat('tool', cast(doc_id as string))")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH turns AS (
+          SELECT doc_id % {_CONV_MOD} AS conv,
+                 CASE WHEN {role} % 2 = 1 AND {th} % 3 = 0
+                      THEN 1 ELSE 0 END AS is_tool
+          FROM documents
+        ), grid AS (
+          SELECT conv, cast(count(*) as double) AS x,
+                 cast(sum(is_tool) as double) AS y
+          FROM turns GROUP BY conv
+        ), med AS (
+          SELECT x, y,
+                 percentile(x, 0.5D) OVER () AS mx
+          FROM grid
+        )
+        SELECT cast(count(*) as bigint) AS n_convs,
+               round((count(*) * sum(x*y) - sum(x) * sum(y))
+                     / greatest(sqrt((count(*) * sum(x*x) - sum(x)*sum(x))
+                              * (count(*) * sum(y*y) - sum(y)*sum(y))),
+                                1e-12D), 4) AS pearson_r,
+               round(sum(CASE WHEN x <= mx THEN y ELSE 0 END)
+                     / greatest(sum(CASE WHEN x <= mx THEN x ELSE 0 END),
+                                1.0D), 4) AS short_conv_tool_rate,
+               round(sum(CASE WHEN x > mx THEN y ELSE 0 END)
+                     / greatest(sum(CASE WHEN x > mx THEN x ELSE 0 END),
+                                1.0D), 4) AS long_conv_tool_rate
+        FROM med
+        """,
+    )
+
+
+ORACLE_CONV_TOOL_CORRELATION = f"""
+WITH turns AS (
+  SELECT doc_id % {_CONV_MOD} AS conv,
+         CASE WHEN {_DUCK_MD5INT.format(x="cast(doc_id as varchar)")} % 2 = 1
+               AND {_DUCK_MD5INT.format(x="concat('tool', cast(doc_id as varchar))")} % 3 = 0
+              THEN 1 ELSE 0 END AS is_tool
+  FROM documents
+), grid AS (
+  SELECT conv, count(*)::DOUBLE AS x, sum(is_tool)::DOUBLE AS y
+  FROM turns GROUP BY conv
+), med AS (
+  SELECT x, y, quantile_cont(x, 0.5) OVER () AS mx FROM grid
+)
+SELECT count(*)::BIGINT AS n_convs,
+       round((count(*) * sum(x*y) - sum(x) * sum(y))
+             / greatest(sqrt((count(*) * sum(x*x) - sum(x)*sum(x))
+                      * (count(*) * sum(y*y) - sum(y)*sum(y))), 1e-12), 4)
+         AS pearson_r,
+       round(sum(CASE WHEN x <= mx THEN y ELSE 0 END)
+             / greatest(sum(CASE WHEN x <= mx THEN x ELSE 0 END), 1.0), 4)
+         AS short_conv_tool_rate,
+       round(sum(CASE WHEN x > mx THEN y ELSE 0 END)
+             / greatest(sum(CASE WHEN x > mx THEN x ELSE 0 END), 1.0), 4)
+         AS long_conv_tool_rate
+FROM med
+"""
+
+
+def q_moments_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-moments audit — the distributed-statistics contract,
+    verified numerically: per-source (n, Σx, Σx²) partials MERGED into a
+    global mean/std must agree with the direct single-pass computation
+    (the property every map-side combine silently relies on; this is
+    `sketch_error_audit`'s exact-statistics sibling).  Emits both
+    spellings and their absolute difference — a nonzero diff beyond
+    float noise means someone averaged averages without weights, the
+    classic distributed-stats bug this table exists to catch in review.
+
+    Scale shape: one scan produces the per-source partials; the merged
+    global row is a fold over |sources| partials; the direct row
+    re-aggregates the same partials (n-weighted), so the corpus is
+    scanned ONCE and the audit compares two reductions of the same
+    partial table."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH partials AS (
+          SELECT source, cast(count(*) as double) AS n,
+                 sum(cast(n_chars as double)) AS s,
+                 sum(cast(n_chars as double) * n_chars) AS ss
+          FROM documents GROUP BY source
+        ), merged AS (
+          SELECT sum(n) AS n, sum(s) AS s, sum(ss) AS ss,
+                 avg(s / n) AS naive_mean_of_means
+          FROM partials
+        )
+        SELECT cast(n as bigint) AS n_docs,
+               round(s / n, 4) AS merged_mean,
+               round(sqrt(greatest(ss / n - (s / n) * (s / n), 0.0D)), 4)
+                 AS merged_std,
+               round(naive_mean_of_means, 4) AS naive_mean_of_means,
+               round(abs(s / n - naive_mean_of_means), 4)
+                 AS naive_mean_bias
+        FROM merged
+        """,
+    )
+
+
+ORACLE_MOMENTS_MERGE_AUDIT = """
+WITH partials AS (
+  SELECT source, count(*)::DOUBLE AS n,
+         sum(n_chars::DOUBLE) AS s,
+         sum(n_chars::DOUBLE * n_chars) AS ss
+  FROM documents GROUP BY source
+), merged AS (
+  SELECT sum(n) AS n, sum(s) AS s, sum(ss) AS ss,
+         avg(s / n) AS naive_mean_of_means
+  FROM partials
+)
+SELECT n::BIGINT AS n_docs,
+       round(s / n, 4) AS merged_mean,
+       round(sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)), 4)
+         AS merged_std,
+       round(naive_mean_of_means, 4) AS naive_mean_of_means,
+       round(abs(s / n - naive_mean_of_means), 4) AS naive_mean_bias
+FROM merged
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -18109,6 +18317,15 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     ),
     "sort_locality_audit": (
         q_sort_locality_audit, ORACLE_SORT_LOCALITY_AUDIT,
+    ),
+    "range_partition_plan": (
+        q_range_partition_plan, ORACLE_RANGE_PARTITION_PLAN,
+    ),
+    "conv_tool_correlation": (
+        q_conv_tool_correlation, ORACLE_CONV_TOOL_CORRELATION,
+    ),
+    "moments_merge_audit": (
+        q_moments_merge_audit, ORACLE_MOMENTS_MERGE_AUDIT,
     ),
 }
 

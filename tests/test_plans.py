@@ -1788,3 +1788,31 @@ def test_sort_locality_audit_bucketed_windows(spark, registry):
     assert final.count("Scan parquet") == 1
     assert final.count("Generate") == 1
     assert "Exchange SinglePartition" not in final.split("HashAggregate")[0]
+
+
+def test_range_partition_plan_two_pass_broadcast_bounds(spark, registry):
+    """The honest two-pass range planner: boundary array broadcasts as
+    a 1-row nested loop; bucketing is map-side (no per-boundary join);
+    exactly 2 corpus scans."""
+    df = registry["range_partition_plan"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 2
+    assert "SortMergeJoin" not in final
+
+
+def test_conv_tool_correlation_single_scan(spark, registry):
+    df = registry["conv_tool_correlation"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+
+
+def test_moments_merge_audit_single_scan(spark, registry):
+    """Both spellings reduce the SAME per-source partial table — the
+    corpus is scanned once."""
+    df = registry["moments_merge_audit"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
