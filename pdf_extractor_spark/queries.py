@@ -17918,6 +17918,190 @@ FROM merged
 """
 
 
+def q_doc_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal integrity: per source, how many documents actually
+    HAVE an embedding row (doc_id ↔ vec_id), the coverage rate, and the
+    mean vector L2 norm of the covered docs — the corpus-level
+    generalization of the reference's chunk↔embedding same-row contract
+    (`operators/enrich.py`; reference api.py's embed step): a source
+    with low coverage has a silently failing embed stage, and a source
+    whose mean norm drifts from its peers embeds different content than
+    it stores.
+
+    Scale shape: embeddings fold FIRST to (vec_id, norm) — one map-side
+    pass, arrays never survive the join — then LEFT JOIN documents on
+    the id; the per-source roll-up is |sources| rows.  The join is
+    id-keyed (both tables share the key's distribution), the natural
+    co-partitioning a production table pair would bucket on."""
+    return _sql(
+        spark, sf_dir, ["documents", "embeddings"],
+        """
+        WITH norms AS (
+          SELECT vec_id,
+                 sqrt(aggregate(embedding, cast(0.0 as double),
+                      (a, x) -> a + cast(x as double) * cast(x as double)))
+                   AS norm
+          FROM embeddings
+        )
+        SELECT source,
+               cast(count(*) as bigint) AS n_docs,
+               cast(count(norm) as bigint) AS n_embedded,
+               round(count(norm) / cast(count(*) as double), 4)
+                 AS coverage,
+               round(avg(norm), 4) AS mean_norm
+        FROM documents LEFT JOIN norms ON vec_id = doc_id
+        GROUP BY source
+        ORDER BY source
+        """,
+    )
+
+
+ORACLE_DOC_EMBEDDING_COVERAGE = """
+WITH norms AS (
+  SELECT vec_id,
+         sqrt(list_sum([x::DOUBLE * x::DOUBLE FOR x IN embedding])) AS norm
+  FROM embeddings
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       count(norm)::BIGINT AS n_embedded,
+       round(count(norm) / count(*)::DOUBLE, 4) AS coverage,
+       round(avg(norm), 4) AS mean_norm
+FROM documents LEFT JOIN norms ON vec_id = doc_id
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_first_tool_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How deep into a conversation does the first tool call land?  Per
+    conversation, the turn ORDINAL of the first tool invocation (shared
+    tool-draw convention with tool_call_profile); summarized as one row:
+    conversations with any tool call, p50/p90 first-call depth among
+    them, and the share where the tool fires in the first 3 turns — the
+    agent-behavior fingerprint that separates "tool-first" from
+    "converse-then-act" traffic.
+
+    Scale shape: one scan; turn ordinals and the first-tool minimum are
+    two windows on the same (conv, doc_id order) partitioning; the
+    summary is a single-row fold over the |convs| grid."""
+    role = _SPARK_MD5INT.format(x="cast(doc_id as string)")
+    th = _SPARK_MD5INT.format(x="concat('tool', cast(doc_id as string))")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH turns AS (
+          SELECT doc_id % {_CONV_MOD} AS conv, doc_id,
+                 CASE WHEN {role} % 2 = 1 AND {th} % 3 = 0
+                      THEN 1 ELSE 0 END AS is_tool
+          FROM documents
+        ), ranked AS (
+          SELECT conv, is_tool,
+                 row_number() OVER (PARTITION BY conv ORDER BY doc_id)
+                   AS rn
+          FROM turns
+        ), per_conv AS (
+          SELECT conv,
+                 min(CASE WHEN is_tool = 1 THEN rn END) AS first_tool_rn
+          FROM ranked GROUP BY conv
+        )
+        SELECT cast(count(*) as bigint) AS n_convs,
+               cast(count(first_tool_rn) as bigint) AS n_with_tool,
+               round(count(first_tool_rn) / cast(count(*) as double), 4)
+                 AS tool_conv_share,
+               round(percentile(first_tool_rn, 0.5D), 2) AS p50_depth,
+               round(percentile(first_tool_rn, 0.9D), 2) AS p90_depth,
+               round(sum(CASE WHEN first_tool_rn <= 3 THEN 1 ELSE 0 END)
+                     / cast(greatest(count(first_tool_rn), 1) as double), 4)
+                 AS early_tool_share
+        FROM per_conv
+        """,
+    )
+
+
+ORACLE_FIRST_TOOL_DEPTH = f"""
+WITH turns AS (
+  SELECT doc_id % {_CONV_MOD} AS conv, doc_id,
+         CASE WHEN {_DUCK_MD5INT.format(x="cast(doc_id as varchar)")} % 2 = 1
+               AND {_DUCK_MD5INT.format(x="concat('tool', cast(doc_id as varchar))")} % 3 = 0
+              THEN 1 ELSE 0 END AS is_tool
+  FROM documents
+), ranked AS (
+  SELECT conv, is_tool,
+         row_number() OVER (PARTITION BY conv ORDER BY doc_id) AS rn
+  FROM turns
+), per_conv AS (
+  SELECT conv, min(CASE WHEN is_tool = 1 THEN rn END) AS first_tool_rn
+  FROM ranked GROUP BY conv
+)
+SELECT count(*)::BIGINT AS n_convs,
+       count(first_tool_rn)::BIGINT AS n_with_tool,
+       round(count(first_tool_rn) / count(*)::DOUBLE, 4) AS tool_conv_share,
+       round(quantile_cont(first_tool_rn, 0.5), 2) AS p50_depth,
+       round(quantile_cont(first_tool_rn, 0.9), 2) AS p90_depth,
+       round(sum(CASE WHEN first_tool_rn <= 3 THEN 1 ELSE 0 END)
+             / greatest(count(first_tool_rn), 1)::DOUBLE, 4)
+         AS early_tool_share
+FROM per_conv
+"""
+
+
+_CONTRASTIVE_K_NEG = 5
+
+
+def q_contrastive_pair_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training pair budget per label: available positive
+    pairs n·(n−1)/2, available negatives n·(N−n), and the negative
+    sampling rate a k=5-negatives-per-anchor regime actually consumes —
+    the feasibility table you read before committing to a contrastive
+    fine-tune (a label with 3 vectors cannot supply 5 in-batch positives
+    no matter how the sampler is tuned; `split_label_balance` checks the
+    folds, this checks the pair arithmetic).
+
+    Scale shape: one scan to |labels| counts; every derived column is
+    closed-form integer math on the count row; the total joins back as
+    a window sum, never a rescan."""
+    return _sql(
+        spark, sf_dir, ["embeddings"],
+        f"""
+        WITH lc AS (
+          SELECT label, cast(count(*) as bigint) AS n
+          FROM embeddings GROUP BY label
+        ), tot AS (
+          SELECT label, n, cast(sum(n) OVER () as bigint) AS total
+          FROM lc
+        )
+        SELECT cast(label as int) AS label, n,
+               n * (n - 1) div 2 AS pos_pairs,
+               n * (total - n) AS neg_pairs,
+               cast(n * {_CONTRASTIVE_K_NEG} as bigint) AS negs_needed,
+               round(n * {_CONTRASTIVE_K_NEG}.0D / (n * (total - n)), 6)
+                 AS neg_sampling_rate,
+               n - 1 >= {_CONTRASTIVE_K_NEG} AS pos_feasible_k5
+        FROM tot
+        ORDER BY label
+        """,
+    )
+
+
+ORACLE_CONTRASTIVE_PAIR_BUDGET = f"""
+WITH lc AS (
+  SELECT label, count(*)::BIGINT AS n FROM embeddings GROUP BY label
+), tot AS (
+  SELECT label, n, (sum(n) OVER ())::BIGINT AS total FROM lc
+)
+SELECT label::INT AS label, n,
+       (n * (n - 1) // 2)::BIGINT AS pos_pairs,
+       (n * (total - n))::BIGINT AS neg_pairs,
+       (n * {_CONTRASTIVE_K_NEG})::BIGINT AS negs_needed,
+       round(n * {_CONTRASTIVE_K_NEG}.0 / (n * (total - n)), 6)
+         AS neg_sampling_rate,
+       n - 1 >= {_CONTRASTIVE_K_NEG} AS pos_feasible_k5
+FROM tot
+ORDER BY label
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -18326,6 +18510,13 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     ),
     "moments_merge_audit": (
         q_moments_merge_audit, ORACLE_MOMENTS_MERGE_AUDIT,
+    ),
+    "doc_embedding_coverage": (
+        q_doc_embedding_coverage, ORACLE_DOC_EMBEDDING_COVERAGE,
+    ),
+    "first_tool_depth": (q_first_tool_depth, ORACLE_FIRST_TOOL_DEPTH),
+    "contrastive_pair_budget": (
+        q_contrastive_pair_budget, ORACLE_CONTRASTIVE_PAIR_BUDGET,
     ),
 }
 

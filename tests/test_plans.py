@@ -1816,3 +1816,30 @@ def test_moments_merge_audit_single_scan(spark, registry):
     df.collect()
     final = _plan(df).split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1
+
+
+def test_doc_embedding_coverage_norms_fold_before_join(spark, registry):
+    """Vectors collapse to (vec_id, norm) BEFORE the join — the
+    embedding array never crosses the join; no sort-merge at sf."""
+    df = registry["doc_embedding_coverage"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 2
+    assert "LeftOuter" in final
+    assert "CartesianProduct" not in final
+
+
+def test_first_tool_depth_single_scan(spark, registry):
+    df = registry["first_tool_depth"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+
+
+def test_contrastive_pair_budget_single_scan(spark, registry):
+    df = registry["contrastive_pair_budget"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
