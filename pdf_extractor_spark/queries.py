@@ -18102,6 +18102,234 @@ ORDER BY label
 """
 
 
+def q_role_vocab_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role vocabulary echo per conversation: the Jaccard overlap
+    between the user turns' token set and the assistant turns' token
+    set — a high echo means the assistant is parroting the user (or the
+    roles are mislabeled, `turn_alternation_audit`'s semantic sibling);
+    a near-zero echo on a long conversation means the sides are talking
+    past each other.  Emitted per conversation with token counts so the
+    reviewer can rank by size.
+
+    Scale shape: ONE token-level shuffle — tokens explode to the
+    distinct (conv, token, role-presence) grid where per-token user/
+    assistant flags fold by max(), and the conversation roll-up counts
+    flags; no collect_set of whole vocabularies, no self-join of the
+    token table."""
+    role = _SPARK_MD5INT.format(x="cast(doc_id as string)")
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH turns AS (
+          SELECT doc_id % {_CONV_MOD} AS conv,
+                 CASE WHEN {role} % 2 = 0 THEN 1 ELSE 0 END AS is_user,
+                 explode({toks}) AS tok
+          FROM documents
+        ), grid AS (
+          SELECT conv, tok,
+                 max(is_user) AS in_user,
+                 max(1 - is_user) AS in_asst
+          FROM turns GROUP BY conv, tok
+        )
+        SELECT cast(conv as bigint) AS conv,
+               cast(sum(in_user) as bigint) AS n_user_tokens,
+               cast(sum(in_asst) as bigint) AS n_asst_tokens,
+               cast(sum(CASE WHEN in_user = 1 AND in_asst = 1
+                             THEN 1 ELSE 0 END) as bigint) AS n_shared,
+               round(sum(CASE WHEN in_user = 1 AND in_asst = 1
+                              THEN 1 ELSE 0 END)
+                     / cast(greatest(count(*), 1) as double), 4)
+                 AS echo_jaccard
+        FROM grid
+        GROUP BY conv
+        ORDER BY conv
+        """,
+    )
+
+
+ORACLE_ROLE_VOCAB_ECHO = f"""
+WITH turns AS (
+  SELECT doc_id % {_CONV_MOD} AS conv,
+         CASE WHEN {_DUCK_MD5INT.format(x="cast(doc_id as varchar)")} % 2 = 0
+              THEN 1 ELSE 0 END AS is_user,
+         unnest({_DUCK_TOKENS.format(x="text")}) AS tok
+  FROM documents
+), grid AS (
+  SELECT conv, tok, max(is_user) AS in_user, max(1 - is_user) AS in_asst
+  FROM turns GROUP BY conv, tok
+)
+SELECT conv::BIGINT AS conv,
+       sum(in_user)::BIGINT AS n_user_tokens,
+       sum(in_asst)::BIGINT AS n_asst_tokens,
+       sum(CASE WHEN in_user = 1 AND in_asst = 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_shared,
+       round(sum(CASE WHEN in_user = 1 AND in_asst = 1 THEN 1 ELSE 0 END)
+             / greatest(count(*), 1)::DOUBLE, 4) AS echo_jaccard
+FROM grid
+GROUP BY conv
+ORDER BY conv
+"""
+
+
+def q_audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types at DAILY-ACTIVE grain: for
+    every unordered type pair, the Jaccard of their (user, day) active
+    sets — "of the user-days that click, how many also purchase THAT
+    day" — the audience complement of `session_type_lift` (session
+    co-occurrence) at the grain retention dashboards actually use
+    (lifetime user sets saturate to all-overlap on any long window;
+    the daily grain keeps the measure discriminative).
+
+    Scale shape: one scan folds to the distinct (user, day, type) grid;
+    the pair expansion self-joins the grid ON (user, day) — a keyed
+    shuffle with ≤ |types|² fan-out per key, never a cartesian — and
+    the tiny per-type audience sizes broadcast back into the
+    |types|²-row pair table."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH grid AS (
+          SELECT DISTINCT user_id,
+                 cast(floor(unix_timestamp(ts) / 86400) as bigint) AS day,
+                 event_type
+          FROM events
+        ), sizes AS (
+          SELECT event_type, cast(count(*) as bigint) AS n_user_days
+          FROM grid GROUP BY event_type
+        ), pairs AS (
+          SELECT x.event_type AS type_a, y.event_type AS type_b,
+                 cast(count(*) as bigint) AS n_both
+          FROM grid x JOIN grid y
+            ON x.user_id = y.user_id AND x.day = y.day
+           AND x.event_type < y.event_type
+          GROUP BY x.event_type, y.event_type
+        )
+        SELECT type_a, type_b, n_both,
+               a.n_user_days AS n_a,
+               b.n_user_days AS n_b,
+               round(n_both
+                     / cast(a.n_user_days + b.n_user_days - n_both
+                            as double), 4) AS audience_jaccard
+        FROM pairs
+        JOIN sizes a ON a.event_type = type_a
+        JOIN sizes b ON b.event_type = type_b
+        ORDER BY type_a, type_b
+        """,
+    )
+
+
+ORACLE_AUDIENCE_OVERLAP_MATRIX = """
+WITH grid AS (
+  SELECT DISTINCT user_id,
+         floor(floor(epoch(ts)) / 86400)::BIGINT AS day,
+         event_type
+  FROM events
+), sizes AS (
+  SELECT event_type, count(*)::BIGINT AS n_user_days
+  FROM grid GROUP BY event_type
+), pairs AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         count(*)::BIGINT AS n_both
+  FROM grid x JOIN grid y
+    ON x.user_id = y.user_id AND x.day = y.day
+   AND x.event_type < y.event_type
+  GROUP BY x.event_type, y.event_type
+)
+SELECT type_a, type_b, n_both,
+       a.n_user_days AS n_a, b.n_user_days AS n_b,
+       round(n_both / (a.n_user_days + b.n_user_days - n_both)::DOUBLE, 4)
+         AS audience_jaccard
+FROM pairs
+JOIN sizes a ON a.event_type = type_a
+JOIN sizes b ON b.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+
+def q_weekday_weekend_contrast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekday/weekend behavioral contrast per event type: daily event
+    rate and mean value on weekdays vs weekends, and the weekend/weekday
+    rate ratio — the calendar axis `seasonality_chi2` (hour grain) and
+    `dau_mau_stickiness` (month grain) leave uncovered.  A ratio far
+    from 1 says the corpus mixes workday and leisure behavior, which a
+    time-based train/validation split must stratify on.
+
+    Scale shape: one scan, conditional aggregation in one buffer per
+    type (weekday and weekend sums share the aggregate — the
+    market_share_by_year spelling), |types| output rows.  Day-of-week
+    derives from the epoch day so both engines agree on the boundary
+    (dayofweek() vs dow() disagree on numbering; epoch day % 7 does
+    not)."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH tagged AS (
+          SELECT event_type, value,
+                 cast(floor(unix_timestamp(ts) / 86400) as bigint) AS day,
+                 -- epoch day 0 = Thu 1970-01-01; (day+4)%7 in 0..6 = Sun..Sat
+                 cast((floor(unix_timestamp(ts) / 86400) + 4) % 7 as int)
+                   AS dow
+          FROM events
+        )
+        SELECT event_type,
+               cast(count(*) as bigint) AS n_events,
+               cast(count(DISTINCT CASE WHEN dow BETWEEN 1 AND 5
+                                        THEN day END) as bigint)
+                 AS n_weekdays,
+               cast(count(DISTINCT CASE WHEN dow IN (0, 6)
+                                        THEN day END) as bigint)
+                 AS n_weekend_days,
+               round(sum(CASE WHEN dow BETWEEN 1 AND 5 THEN 1 ELSE 0 END)
+                     / cast(greatest(count(DISTINCT CASE WHEN dow BETWEEN 1
+                                AND 5 THEN day END), 1) as double), 4)
+                 AS weekday_rate,
+               round(sum(CASE WHEN dow IN (0, 6) THEN 1 ELSE 0 END)
+                     / cast(greatest(count(DISTINCT CASE WHEN dow IN (0, 6)
+                                THEN day END), 1) as double), 4)
+                 AS weekend_rate,
+               round(avg(CASE WHEN dow BETWEEN 1 AND 5 THEN value END), 4)
+                 AS weekday_mean_value,
+               round(avg(CASE WHEN dow IN (0, 6) THEN value END), 4)
+                 AS weekend_mean_value
+        FROM tagged
+        GROUP BY event_type
+        ORDER BY event_type
+        """,
+    )
+
+
+ORACLE_WEEKDAY_WEEKEND_CONTRAST = """
+WITH tagged AS (
+  SELECT event_type, value,
+         floor(floor(epoch(ts)) / 86400)::BIGINT AS day,
+         ((floor(floor(epoch(ts)) / 86400) + 4) % 7)::INT AS dow
+  FROM events
+)
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT CASE WHEN dow BETWEEN 1 AND 5 THEN day END)::BIGINT
+         AS n_weekdays,
+       count(DISTINCT CASE WHEN dow IN (0, 6) THEN day END)::BIGINT
+         AS n_weekend_days,
+       round(sum(CASE WHEN dow BETWEEN 1 AND 5 THEN 1 ELSE 0 END)
+             / greatest(count(DISTINCT CASE WHEN dow BETWEEN 1 AND 5
+                        THEN day END), 1)::DOUBLE, 4) AS weekday_rate,
+       round(sum(CASE WHEN dow IN (0, 6) THEN 1 ELSE 0 END)
+             / greatest(count(DISTINCT CASE WHEN dow IN (0, 6)
+                        THEN day END), 1)::DOUBLE, 4) AS weekend_rate,
+       round(avg(CASE WHEN dow BETWEEN 1 AND 5 THEN value END), 4)
+         AS weekday_mean_value,
+       round(avg(CASE WHEN dow IN (0, 6) THEN value END), 4)
+         AS weekend_mean_value
+FROM tagged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -18517,6 +18745,13 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "first_tool_depth": (q_first_tool_depth, ORACLE_FIRST_TOOL_DEPTH),
     "contrastive_pair_budget": (
         q_contrastive_pair_budget, ORACLE_CONTRASTIVE_PAIR_BUDGET,
+    ),
+    "role_vocab_echo": (q_role_vocab_echo, ORACLE_ROLE_VOCAB_ECHO),
+    "audience_overlap_matrix": (
+        q_audience_overlap_matrix, ORACLE_AUDIENCE_OVERLAP_MATRIX,
+    ),
+    "weekday_weekend_contrast": (
+        q_weekday_weekend_contrast, ORACLE_WEEKDAY_WEEKEND_CONTRAST,
     ),
 }
 
