@@ -18330,6 +18330,385 @@ ORDER BY event_type
 """
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — min-cost supplier per part, the canonical
+    correlated-scalar-subquery decorrelation.  No partsupp table ships
+    in this corpus, so supply cost derives from observed trade: the
+    minimum unit price (extendedprice/quantity) each supplier ever
+    charged for the part.  The textbook spelling correlates a
+    `MIN(ps_supplycost)` subquery per outer row; here it is decorrelated
+    into ONE window rank over the (part, supplier) cost table — the same
+    rewrite Catalyst's RewriteCorrelatedScalarSubquery performs, made
+    explicit so both engines run the identical plan.
+
+    Scale shape: lineitem folds map-side to the |parts|·|suppliers|
+    cost grid (the only fact-scale aggregate); the size/type part filter
+    joins BEFORE the window so the per-part rank runs on ~3% of parts;
+    supplier→nation→region resolve as broadcast dims.  Determinism:
+    cost rounds to 4dp BEFORE ranking, ties break on suppkey."""
+    return _sql(
+        spark, sf_dir, ["lineitem", "part", "supplier", "nation", "region"],
+        """
+        WITH cost AS (
+          SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                 round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), regional AS (
+          SELECT partkey, p_name, suppkey, unit_cost, s_name, s_acctbal,
+                 n_name,
+                 row_number() OVER (PARTITION BY partkey
+                                    ORDER BY unit_cost, suppkey) AS rk
+          FROM cost
+          JOIN part ON p_partkey = partkey
+           AND p_size <= 10 AND p_type = 'SMALL'
+          JOIN supplier ON s_suppkey = suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+          JOIN region ON r_regionkey = n_regionkey
+          WHERE r_name = 'EUROPE'
+        )
+        SELECT cast(partkey as bigint) AS partkey, p_name, s_name, n_name,
+               unit_cost, round(s_acctbal, 2) AS s_acctbal
+        FROM regional WHERE rk = 1
+        ORDER BY s_acctbal DESC, partkey LIMIT 100
+        """,
+    )
+
+
+ORACLE_MIN_COST_SUPPLIER = """
+WITH cost AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), regional AS (
+  SELECT partkey, p_name, suppkey, unit_cost, s_name, s_acctbal, n_name,
+         row_number() OVER (PARTITION BY partkey
+                            ORDER BY unit_cost, suppkey) AS rk
+  FROM cost
+  JOIN part ON p_partkey = partkey AND p_size <= 10 AND p_type = 'SMALL'
+  JOIN supplier ON s_suppkey = suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT partkey::BIGINT AS partkey, p_name, s_name, n_name,
+       unit_cost, round(s_acctbal, 2) AS s_acctbal
+FROM regional WHERE rk = 1
+ORDER BY s_acctbal DESC, partkey LIMIT 100
+"""
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — priority histogram of one quarter's orders that
+    have at least one LATE lineitem, the canonical correlated EXISTS.
+    No commit/receipt dates ship in this corpus, so "late" is a shipdate
+    more than 90 days after the order date — a predicate that references
+    BOTH sides, which is exactly what makes the EXISTS non-trivially
+    correlated (it cannot be pre-aggregated on lineitem alone).
+
+    Scale shape: Catalyst plans the EXISTS as a LEFT SEMI join on
+    l_orderkey = o_orderkey with the date-lag predicate as the join
+    condition; the quarter filter pushes to the orders scan so the semi
+    join probes ~4% of orders; output is 5 rows."""
+    return _sql(
+        spark, sf_dir, ["orders", "lineitem"],
+        """
+        SELECT o_orderpriority, cast(count(*) as bigint) AS order_count
+        FROM orders
+        WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+    )
+
+
+ORACLE_ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — parts whose traded value through one nation's
+    suppliers exceeds a fraction of the nation's total, the canonical
+    HAVING-against-a-global-scalar.  The textbook spelling reruns the
+    whole aggregate inside a scalar subquery; referencing the CTE twice
+    would make Spark inline and RE-SCAN the fact (the psi_drift lesson),
+    so the global total is a `sum() OVER ()` window over the |parts|
+    aggregate — one fact scan, one single-partition window over a tiny
+    table.
+
+    Scale shape: lineitem⋈supplier⋈nation with both dims broadcast and
+    the nation filter pushed through; one map-side-combined fold to
+    |parts| rows; integer-cent folding keeps the threshold comparison
+    and share engine-exact."""
+    return _sql(
+        spark, sf_dir, ["lineitem", "supplier", "nation"],
+        """
+        WITH val AS (
+          SELECT l_partkey AS partkey,
+                 cast(round(sum(l_extendedprice) * 100) as bigint) AS vc
+          FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+          WHERE n_name = 'NATION_0'
+          GROUP BY l_partkey
+        ), w AS (
+          SELECT partkey, vc, sum(vc) OVER () AS total FROM val
+        )
+        SELECT cast(partkey as bigint) AS partkey,
+               round(vc / 100.0D, 2) AS part_value,
+               round(vc / cast(total as double), 6) AS value_share
+        FROM w WHERE vc * 1000 > total
+        ORDER BY vc DESC, partkey
+        """,
+    )
+
+
+ORACLE_IMPORTANT_PART_VALUE = """
+WITH val AS (
+  SELECT l_partkey AS partkey,
+         round(sum(l_extendedprice) * 100)::BIGINT AS vc
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_0'
+  GROUP BY l_partkey
+), w AS (
+  SELECT partkey, vc, sum(vc) OVER () AS total FROM val
+)
+SELECT partkey::BIGINT AS partkey,
+       round(vc / 100.0, 2) AS part_value,
+       round(vc / total::DOUBLE, 6) AS value_share
+FROM w WHERE vc * 1000 > total
+ORDER BY vc DESC, partkey
+"""
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional priority counts over one year's
+    LATE shipments.  No shipmode column ships in this corpus, so the
+    category axis is the return flag and "late" is shipdate more than 30
+    days after order date; the load-bearing shape survives: a fact⋈fact
+    equi-join with a cross-table lag predicate, then urgent/non-urgent
+    CASE counts folded in ONE aggregate buffer per category (no second
+    pass, no pivot shuffle).
+
+    Scale shape: the year filter pushes to the lineitem scan; the join
+    shuffles on the order key (or co-locates under bucketing,
+    plans/bucketed.py); output is |returnflags| rows."""
+    return _sql(
+        spark, sf_dir, ["lineitem", "orders"],
+        """
+        SELECT l_returnflag,
+               cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) as bigint)
+                 AS high_priority_lines,
+               cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) as bigint)
+                 AS low_priority_lines
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+    )
+
+
+ORACLE_LATE_SHIPMENT_PRIORITY = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_priority_lines,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_priority_lines
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — distinct-supplier breadth per part attribute
+    triple, excluding a blocklisted supplier set via NOT IN.  The
+    blocklist predicate (negative account balance, the corpus's stand-in
+    for the complaints clause) lands as a broadcast ANTI join — the same
+    plan the reject/blocklist path uses (`reject_antijoin`) — and the
+    COUNT(DISTINCT) is the expensive part: a two-phase partial/final
+    distinct fold, never a collect_set.
+
+    Scale shape: part is the broadcast dim (brand/size filters applied
+    before the broadcast); lineitem provides the part↔supplier bridge
+    (no partsupp table here); the anti join's build side is the tiny
+    filtered supplier set."""
+    return _sql(
+        spark, sf_dir, ["part", "lineitem", "supplier"],
+        """
+        SELECT p_brand, p_type, cast(p_size as int) AS p_size,
+               cast(count(DISTINCT l_suppkey) as bigint) AS supplier_cnt
+        FROM part
+        JOIN lineitem ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 5, 9, 13, 17, 21, 25)
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+    )
+
+
+ORACLE_SUPPLIER_PART_BREADTH = """
+SELECT p_brand, p_type, p_size::INT AS p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM part
+JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_disjunctive_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — revenue under an OR-of-ANDs predicate: three
+    disjoint (brand, size-band, quantity-band) branches, each mixing a
+    part attribute with a lineitem attribute so no single-table filter
+    subsumes the disjunction.  The classic optimizer test: the
+    brand/size half of every branch must still push to the part scan
+    (union of the three brands), the quantity half to the lineitem scan
+    (1..30 envelope), and the residual disjunction evaluates inside one
+    codegen span after the join — per-branch rows out, not one opaque
+    scalar, so a wrong branch shows up in the hash.
+
+    Scale shape: filtered part is a broadcast dim; one lineitem scan;
+    integer-cent revenue folding; 3 output rows."""
+    return _sql(
+        spark, sf_dir, ["lineitem", "part"],
+        """
+        SELECT CASE WHEN p_brand = 'Brand#12' THEN 'A'
+                    WHEN p_brand = 'Brand#23' THEN 'B'
+                    ELSE 'C' END AS branch,
+               cast(count(*) as bigint) AS n_lines,
+               round(cast(round(sum(l_extendedprice * (1 - l_discount))
+                                * 100) as bigint) / 100.0D, 2) AS revenue
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+        GROUP BY 1
+        ORDER BY branch
+        """,
+    )
+
+
+ORACLE_DISJUNCTIVE_BAND_REVENUE = """
+SELECT CASE WHEN p_brand = 'Brand#12' THEN 'A'
+            WHEN p_brand = 'Brand#23' THEN 'B'
+            ELSE 'C' END AS branch,
+       count(*)::BIGINT AS n_lines,
+       round(round(sum(l_extendedprice * (1 - l_discount))
+                   * 100)::BIGINT / 100.0, 2) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+GROUP BY 1
+ORDER BY branch
+"""
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — suppliers who dominate the supply of a named
+    part family in one year: the nested IN-chain (parts by name → their
+    lineitems → qualifying suppliers) with a per-part share threshold.
+    The textbook availqty clause becomes "shipped more than 1/5 of the
+    part's yearly volume"; the per-part total that the textbook computes
+    in a correlated subquery is a window over the already-aggregated
+    (supplier, part) grid — no second fact scan.
+
+    Scale shape: the name-filtered part set broadcasts into the
+    lineitem scan (year filter pushed); ONE fold to the (supplier,
+    part) grid; the dominance test `5*qty > part_total` stays in exact
+    integer arithmetic (quantities are integral), so the threshold can
+    never flip on float summation order."""
+    return _sql(
+        spark, sf_dir, ["lineitem", "part", "supplier", "nation"],
+        """
+        WITH shipped AS (
+          SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+                 cast(round(sum(l_quantity)) as bigint) AS qty
+          FROM lineitem
+          JOIN part ON p_partkey = l_partkey
+          WHERE p_name LIKE 'red %'
+            AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+          GROUP BY l_suppkey, l_partkey
+        ), flagged AS (
+          SELECT suppkey, qty,
+                 sum(qty) OVER (PARTITION BY partkey) AS part_total
+          FROM shipped
+        )
+        SELECT s_name, n_name,
+               cast(count(*) as bigint) AS n_dominant_parts,
+               cast(sum(qty) as bigint) AS total_qty
+        FROM flagged
+        JOIN supplier ON s_suppkey = suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE 5 * qty > part_total
+        GROUP BY s_name, n_name
+        ORDER BY s_name
+        """,
+    )
+
+
+ORACLE_DOMINANT_PART_SUPPLIERS = """
+WITH shipped AS (
+  SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+         round(sum(l_quantity))::BIGINT AS qty
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red %'
+    AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+), flagged AS (
+  SELECT suppkey, qty, sum(qty) OVER (PARTITION BY partkey) AS part_total
+  FROM shipped
+)
+SELECT s_name, n_name,
+       count(*)::BIGINT AS n_dominant_parts,
+       sum(qty)::BIGINT AS total_qty
+FROM flagged
+JOIN supplier ON s_suppkey = suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE 5 * qty > part_total
+GROUP BY s_name, n_name
+ORDER BY s_name
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -18752,6 +19131,25 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     ),
     "weekday_weekend_contrast": (
         q_weekday_weekend_contrast, ORACLE_WEEKDAY_WEEKEND_CONTRAST,
+    ),
+    "min_cost_supplier": (q_min_cost_supplier, ORACLE_MIN_COST_SUPPLIER),
+    "order_priority_check": (
+        q_order_priority_check, ORACLE_ORDER_PRIORITY_CHECK,
+    ),
+    "important_part_value": (
+        q_important_part_value, ORACLE_IMPORTANT_PART_VALUE,
+    ),
+    "late_shipment_priority": (
+        q_late_shipment_priority, ORACLE_LATE_SHIPMENT_PRIORITY,
+    ),
+    "supplier_part_breadth": (
+        q_supplier_part_breadth, ORACLE_SUPPLIER_PART_BREADTH,
+    ),
+    "disjunctive_band_revenue": (
+        q_disjunctive_band_revenue, ORACLE_DISJUNCTIVE_BAND_REVENUE,
+    ),
+    "dominant_part_suppliers": (
+        q_dominant_part_suppliers, ORACLE_DOMINANT_PART_SUPPLIERS,
     ),
 }
 
