@@ -1843,3 +1843,111 @@ def test_contrastive_pair_budget_single_scan(spark, registry):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1
     assert "Join" not in final
+
+
+def test_role_vocab_echo_single_token_shuffle(spark, registry):
+    df = registry["role_vocab_echo"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "CollectSet" not in final and "collect_set" not in final
+
+
+def test_audience_overlap_matrix_keyed_no_cartesian(spark, registry):
+    """The pair expansion is a keyed (user, day) self-join, never a
+    cartesian; the per-type sizes come back as broadcasts."""
+    df = registry["audience_overlap_matrix"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastHashJoin" in final
+
+
+def test_weekday_weekend_contrast_single_scan(spark, registry):
+    df = registry["weekday_weekend_contrast"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+
+
+def test_min_cost_supplier_part_filter_before_window(spark, registry):
+    """Q2 shape: the size/type part filter pushes to the part scan (the
+    window then ranks ~3% of parts) and every dim resolves broadcast."""
+    df = registry["min_cost_supplier"][0](spark, SF_DIR)
+    df.collect()
+    fmt = _formatted(df)
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "CartesianProduct" not in final
+    assert "LessThanOrEqual(p_size,10)" in fmt
+    assert "EqualTo(p_type,SMALL)" in fmt
+
+
+def test_order_priority_check_exists_is_semi_join(spark, registry):
+    """Q4 shape: the correlated EXISTS plans as LEFT SEMI on the order
+    key with the quarter filter pushed to the orders scan."""
+    df = registry["order_priority_check"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    fmt = _formatted(df)
+    assert "LeftSemi" in final
+    assert "IsNotNull(o_orderdate)" in fmt
+    assert final.count("Scan parquet") == 2
+
+
+def test_important_part_value_no_second_fact_scan(spark, registry):
+    """Q11 shape: the global total is a window over the |parts|
+    aggregate — lineitem is scanned exactly once.  Pinned on the
+    pre-adaptive plan: at tiny SF the NATION_0 slice is empty and AQE
+    legitimately collapses the whole query to an EmptyRelation."""
+    df = registry["important_part_value"][0](spark, SF_DIR)
+    static = df._jdf.queryExecution().sparkPlan().toString()
+    assert static.count("Scan parquet") == 3  # lineitem + supplier + nation
+    assert "Window" in static
+
+
+def test_late_shipment_priority_year_filter_pushed(spark, registry):
+    df = registry["late_shipment_priority"][0](spark, SF_DIR)
+    df.collect()
+    fmt = _formatted(df)
+    assert "GreaterThanOrEqual(l_shipdate" in fmt
+    assert "LessThan(l_shipdate" in fmt
+
+
+def test_supplier_part_breadth_blocklist_is_anti_join(spark, registry):
+    """Q16 shape: NOT IN over the never-null supplier key plans as a
+    broadcast anti join, and the size/brand filters push to part."""
+    df = registry["supplier_part_breadth"][0](spark, SF_DIR)
+    static = df._jdf.queryExecution().sparkPlan().toString()
+    fmt = _formatted(df)
+    # pre-adaptive pin: at tiny SF no supplier has a negative balance,
+    # so AQE's empty-build rewrite (correctly) erases the anti join
+    assert "LeftAnti" in static
+    assert "CartesianProduct" not in static
+    assert "In(p_size" in fmt
+
+
+def test_disjunctive_band_revenue_brand_pushed(spark, registry):
+    """Q19 shape: the per-table halves of the OR-of-ANDs reach the
+    scans — the brand union on part, the quantity envelope inferred on
+    lineitem stays inside the joined filter."""
+    df = registry["disjunctive_band_revenue"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    fmt = _formatted(df)
+    assert "BroadcastHashJoin" in final
+    assert "Or(And(EqualTo(p_brand" in fmt or "In(p_brand" in fmt
+
+
+def test_dominant_part_suppliers_single_fact_scan(spark, registry):
+    """Q20 shape: the per-part total is a window over the (supplier,
+    part) grid — lineitem scanned once, the LIKE prefix pushed to part."""
+    df = registry["dominant_part_suppliers"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    fmt = _formatted(df)
+    assert final.count("Scan parquet") == 4
+    assert "Window" in final
+    assert "StringStartsWith(p_name,red" in fmt
