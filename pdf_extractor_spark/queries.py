@@ -18709,6 +18709,207 @@ ORDER BY s_name
 """
 
 
+def q_engagement_state_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov engagement matrix: classify each ACTIVE (user, day) as
+    light (<4 events) or heavy (≥4), then count transitions between each
+    user's consecutive active days, split by whether the next active day
+    is literally the next calendar day.  `cohort_retention` answers "do
+    they come back"; this answers "in what STATE do they come back" —
+    the input a churn model or an engagement-tier SLA actually consumes.
+    `from_share` normalises each from-state row so the matrix reads as
+    transition probabilities.
+
+    Scale shape: one scan folds to the (user, day) grid with map-side
+    combine (the corpus-sized exchange of the query); the lag window
+    rides the SAME user-hash partitioning the fold just produced, so no
+    second corpus-wide shuffle; the final fold collapses to ≤8 rows
+    (2 states × 2 states × consecutive flag)."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH days AS (
+          SELECT user_id, cast(date_trunc('DAY', ts) as date) AS d,
+                 CASE WHEN count(*) >= 4 THEN 'heavy' ELSE 'light' END
+                   AS state
+          FROM events
+          GROUP BY user_id, cast(date_trunc('DAY', ts) as date)
+        ), walk AS (
+          SELECT state,
+                 lag(state) OVER (PARTITION BY user_id ORDER BY d)
+                   AS prev_state,
+                 datediff(d, lag(d) OVER (PARTITION BY user_id ORDER BY d))
+                   AS gap_days
+          FROM days
+        )
+        SELECT prev_state AS from_state, state AS to_state,
+               gap_days = 1 AS consecutive,
+               cast(count(*) as bigint) AS n_transitions,
+               round(cast(count(*) as double)
+                     / sum(count(*)) OVER (PARTITION BY prev_state), 4)
+                 AS from_share
+        FROM walk WHERE prev_state IS NOT NULL
+        GROUP BY prev_state, state, gap_days = 1
+        ORDER BY from_state, to_state, consecutive
+        """,
+    )
+
+
+ORACLE_ENGAGEMENT_STATE_TRANSITIONS = """
+WITH days AS (
+  SELECT user_id, date_trunc('day', ts)::DATE AS d,
+         CASE WHEN count(*) >= 4 THEN 'heavy' ELSE 'light' END AS state
+  FROM events
+  GROUP BY user_id, date_trunc('day', ts)::DATE
+), walk AS (
+  SELECT state,
+         lag(state) OVER (PARTITION BY user_id ORDER BY d) AS prev_state,
+         date_diff('day', lag(d) OVER (PARTITION BY user_id ORDER BY d), d)
+           AS gap_days
+  FROM days
+)
+SELECT prev_state AS from_state, state AS to_state,
+       gap_days = 1 AS consecutive,
+       count(*)::BIGINT AS n_transitions,
+       round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY prev_state),
+             4) AS from_share
+FROM walk WHERE prev_state IS NOT NULL
+GROUP BY prev_state, state, gap_days = 1
+ORDER BY from_state, to_state, consecutive
+"""
+
+
+def q_value_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-decile churn: rank every user's total event value in the
+    early 50% of the stream (event_id cut, the integer-exact ks_drift
+    split) and again in the late 50%, then cross-tabulate the decile
+    migration of users active in BOTH halves.  The diagonal is a stable
+    audience; mass below it is monetisation decay that a single-period
+    decile table (`rfm_features`) cannot see.
+
+    Scale shape: the max(event_id) cut is one column-pruned scalar scan;
+    the body is ONE scan folding both halves per user via conditional
+    sums (no per-half re-read).  The two ntile windows rank the USER
+    grid — orders of magnitude below event count; if the user grid
+    itself outgrew one sort, the documented swap is approx-percentile
+    band edges.  Cross-engine ntile parity: values rounded to 4dp
+    BEFORE ranking, ties broken on user_id (total order ⇒ identical
+    tiles in both engines)."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH mx AS (SELECT max(event_id) AS m FROM events),
+        per AS (
+          SELECT user_id,
+                 sum(CASE WHEN event_id * 2 <= m THEN value END) AS va,
+                 sum(CASE WHEN event_id * 2 > m THEN value END) AS vb
+          FROM events CROSS JOIN mx
+          GROUP BY user_id
+        ), ranked AS (
+          SELECT cast(ntile(10) OVER (ORDER BY round(va, 4), user_id)
+                      as int) AS decile_early,
+                 cast(ntile(10) OVER (ORDER BY round(vb, 4), user_id)
+                      as int) AS decile_late
+          FROM per WHERE va IS NOT NULL AND vb IS NOT NULL
+        )
+        SELECT decile_early, decile_late,
+               cast(count(*) as bigint) AS n_users,
+               round(cast(count(*) as double)
+                     / sum(count(*)) OVER (PARTITION BY decile_early), 4)
+                 AS early_share
+        FROM ranked
+        GROUP BY decile_early, decile_late
+        ORDER BY decile_early, decile_late
+        """,
+    )
+
+
+ORACLE_VALUE_DECILE_MIGRATION = """
+WITH mx AS (SELECT max(event_id) AS m FROM events),
+per AS (
+  SELECT user_id,
+         sum(CASE WHEN event_id * 2 <= m THEN value END) AS va,
+         sum(CASE WHEN event_id * 2 > m THEN value END) AS vb
+  FROM events CROSS JOIN mx
+  GROUP BY user_id
+), ranked AS (
+  SELECT ntile(10) OVER (ORDER BY round(va, 4), user_id)::INT
+           AS decile_early,
+         ntile(10) OVER (ORDER BY round(vb, 4), user_id)::INT
+           AS decile_late
+  FROM per WHERE va IS NOT NULL AND vb IS NOT NULL
+)
+SELECT decile_early, decile_late,
+       count(*)::BIGINT AS n_users,
+       round(count(*)::DOUBLE
+             / sum(count(*)) OVER (PARTITION BY decile_early), 4)
+         AS early_share
+FROM ranked
+GROUP BY decile_early, decile_late
+ORDER BY decile_early, decile_late
+"""
+
+
+def q_template_skeleton_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure-only template detection: collapse every alphanumeric run
+    to a single token so a document's "skeleton" is just its punctuation
+    / whitespace / length structure, digest it, and report per source how
+    much of the corpus shares a skeleton with another document.  Catches
+    mail-merge and scraped-form boilerplate that `dedup_exact` (exact
+    text) and `minhash_lsh_pairs` (content overlap) both miss — two
+    filled-in copies of the same form share almost no shingles but an
+    identical skeleton.  Rolled up per source so the table is meaningful
+    (all-zero counts, not empty rows) on a template-free corpus.
+
+    Scale shape: the dup_group_report digest-window pattern — the
+    regexp collapse + md5 evaluate ONCE per row, the cluster size is a
+    window over the 16-byte digest key (one keyed shuffle, no self-join
+    re-hashing a probe side), and the final fold is |sources| rows."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH sized AS (
+          SELECT source,
+                 count(*) OVER (PARTITION BY skel) AS csize
+          FROM (SELECT source,
+                       md5(regexp_replace(lower(coalesce(text, '')),
+                                          '[a-z0-9]+', 'w')) AS skel
+                FROM documents)
+        )
+        SELECT source,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) as bigint)
+                 AS n_template_docs,
+               cast(max(csize) as bigint) AS max_cluster,
+               round(cast(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END)
+                          as double) / count(*), 4) AS template_share
+        FROM sized
+        GROUP BY source
+        ORDER BY source
+        """,
+    )
+
+
+ORACLE_TEMPLATE_SKELETON_CLUSTERS = """
+WITH sized AS (
+  SELECT source,
+         count(*) OVER (PARTITION BY skel) AS csize
+  FROM (SELECT source,
+               md5(regexp_replace(lower(coalesce(text, '')),
+                                  '[a-z0-9]+', 'w', 'g')) AS skel
+        FROM documents)
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END)::BIGINT AS n_template_docs,
+       max(csize)::BIGINT AS max_cluster,
+       round(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS template_share
+FROM sized
+GROUP BY source
+ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -19150,6 +19351,15 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     ),
     "dominant_part_suppliers": (
         q_dominant_part_suppliers, ORACLE_DOMINANT_PART_SUPPLIERS,
+    ),
+    "engagement_state_transitions": (
+        q_engagement_state_transitions, ORACLE_ENGAGEMENT_STATE_TRANSITIONS,
+    ),
+    "value_decile_migration": (
+        q_value_decile_migration, ORACLE_VALUE_DECILE_MIGRATION,
+    ),
+    "template_skeleton_clusters": (
+        q_template_skeleton_clusters, ORACLE_TEMPLATE_SKELETON_CLUSTERS,
     ),
 }
 

@@ -1951,3 +1951,39 @@ def test_dominant_part_suppliers_single_fact_scan(spark, registry):
     assert final.count("Scan parquet") == 4
     assert "Window" in final
     assert "StringStartsWith(p_name,red" in fmt
+
+
+def test_engagement_state_transitions_one_corpus_shuffle(spark, registry):
+    """The (user, day) fold is the only corpus-sized exchange; the lag
+    window rides the user-hash partitioning the fold produced, so the
+    plan shows exactly one scan and no join."""
+    df = registry["engagement_state_transitions"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Window" in final
+
+
+def test_value_decile_migration_single_body_scan(spark, registry):
+    """The event_id cut is a scalar broadcast; both halves fold from ONE
+    body scan via conditional sums (2 scans total: mx + body), and the
+    ntile ranking operates on the user grid, never re-reading events."""
+    df = registry["value_decile_migration"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 2
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" in final  # 1-row scalar cross join
+
+
+def test_template_skeleton_clusters_digest_window_no_selfjoin(spark, registry):
+    """dup_group_report shape: regexp collapse + md5 evaluate once per
+    row, cluster size is a window over the digest key — one scan, one
+    keyed shuffle, never a self-join re-hashing a probe side."""
+    df = registry["template_skeleton_clusters"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Window" in final
