@@ -18910,6 +18910,262 @@ ORDER BY source
 """
 
 
+_JL_KS = (4, 8, 16)  # projection dims audited (full RP matrix is 16 rows)
+
+
+def q_rp_distortion_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss distortion audit of the ±1 random-projection
+    matrix the LSH family rides: project every embedding onto the first
+    k hyperplanes (k ∈ 4/8/16), then compare projected cosine against
+    exact 64-dim cosine on the adjacent-id pair sample.  `rp_lsh_pairs`
+    consumes only the SIGN of each projection; this measures how much of
+    the underlying geometry each k keeps — the number that says whether
+    a cheaper k-bit signature is safe before anyone re-tunes band sizes.
+
+    Scale shape: projections evaluate once per row in the scan (16×64
+    multiply-adds, no shuffle); the pair frame is a KEYED self-join on
+    vec_id+1 (never cartesian); the 3-k grid fans out on the pair frame
+    AFTER projection and folds straight to 3 rows.  Cosines round to 4dp
+    before the error fold so both engines aggregate identical values;
+    denominators are greatest-guarded against degenerate zero slices."""
+    pk = ", ".join(f"({k})" for k in _JL_KS)
+    return _sql(
+        spark, sf_dir, ["embeddings"],
+        f"""
+        WITH e AS (
+          SELECT vec_id, embedding AS v,
+                 transform({_SPARK_RP_H}, h ->
+                   aggregate(zip_with(h, embedding,
+                                      (a, b) -> cast(a as double)
+                                                * cast(b as double)),
+                             0.0D, (acc, x) -> acc + x)) AS p
+          FROM embeddings
+        ), pairs AS (
+          SELECT a.v AS va, b.v AS vb, a.p AS pa, b.p AS pb
+          FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+        ), scored AS (
+          SELECT g.k,
+                 round(aggregate(zip_with(va, vb,
+                                          (x, y) -> cast(x as double)
+                                                    * cast(y as double)),
+                                 0.0D, (acc, x) -> acc + x)
+                       / greatest(
+                           sqrt(aggregate(va, 0.0D,
+                                          (acc, x) -> acc + cast(x as double)
+                                                      * cast(x as double)))
+                           * sqrt(aggregate(vb, 0.0D,
+                                            (acc, x) -> acc
+                                                        + cast(x as double)
+                                                        * cast(x as double))),
+                           1e-12), 4) AS cos_full,
+                 round(aggregate(zip_with(slice(pa, 1, g.k),
+                                          slice(pb, 1, g.k),
+                                          (x, y) -> x * y),
+                                 0.0D, (acc, x) -> acc + x)
+                       / greatest(
+                           sqrt(aggregate(slice(pa, 1, g.k), 0.0D,
+                                          (acc, x) -> acc + x * x))
+                           * sqrt(aggregate(slice(pb, 1, g.k), 0.0D,
+                                            (acc, x) -> acc + x * x)),
+                           1e-12), 4) AS cos_proj
+          FROM pairs CROSS JOIN (SELECT k FROM VALUES {pk} AS g(k)) g
+        )
+        SELECT cast(k as int) AS k_dims,
+               cast(count(*) as bigint) AS n_pairs,
+               round(avg(abs(cos_full - cos_proj)), 4) AS mae,
+               round(percentile(abs(cos_full - cos_proj), 0.95), 4)
+                 AS p95_abs_err
+        FROM scored
+        GROUP BY k
+        ORDER BY k_dims
+        """,
+    )
+
+
+ORACLE_RP_DISTORTION_SWEEP = f"""
+WITH e AS (
+  SELECT vec_id, embedding AS v,
+         [list_sum([h[i]::DOUBLE * embedding[i]::DOUBLE
+                    FOR i IN range(1, {_RP_DIM} + 1)])
+          FOR h IN {_DUCK_RP_H}] AS p
+  FROM embeddings
+), pairs AS (
+  SELECT a.v AS va, b.v AS vb, a.p AS pa, b.p AS pb
+  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+), scored AS (
+  SELECT g.k,
+         round(list_sum([va[i]::DOUBLE * vb[i]::DOUBLE
+                         FOR i IN range(1, {_RP_DIM} + 1)])
+               / greatest(
+                   sqrt(list_sum([va[i]::DOUBLE * va[i]::DOUBLE
+                                  FOR i IN range(1, {_RP_DIM} + 1)]))
+                   * sqrt(list_sum([vb[i]::DOUBLE * vb[i]::DOUBLE
+                                    FOR i IN range(1, {_RP_DIM} + 1)])),
+                   1e-12), 4) AS cos_full,
+         round(list_sum([pa[i] * pb[i] FOR i IN range(1, g.k + 1)])
+               / greatest(
+                   sqrt(list_sum([pa[i] * pa[i] FOR i IN range(1, g.k + 1)]))
+                   * sqrt(list_sum([pb[i] * pb[i]
+                                    FOR i IN range(1, g.k + 1)])),
+                   1e-12), 4) AS cos_proj
+  FROM pairs CROSS JOIN (SELECT unnest([{', '.join(map(str, _JL_KS))}]) AS k) g
+)
+SELECT k::INT AS k_dims,
+       count(*)::BIGINT AS n_pairs,
+       round(avg(abs(cos_full - cos_proj)), 4) AS mae,
+       round(quantile_cont(abs(cos_full - cos_proj), 0.95), 4) AS p95_abs_err
+FROM scored
+GROUP BY k
+ORDER BY k_dims
+"""
+
+
+def q_intra_doc_lang_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level code-switching audit: split each document on
+    sentence boundaries, classify every ≥3-token sentence as English
+    (carries ≥1 English stopword) or other, and report per source how
+    many documents MIX the two.  `lang_id` labels whole documents and
+    `conv_lang_mix` counts doc-level labels per conversation; both are
+    blind to a document that interleaves languages internally — the
+    failure mode that poisons monolingual training shards even when
+    doc-level language ID looks clean.
+
+    Scale shape: the sentence split, token filter, and per-sentence
+    stopword test all run as array higher-order functions INSIDE the
+    row — no corpus-sized Generate/explode — so the only exchange is
+    the final |sources| fold.  (Lambda HOFs skip codegen; at corpus
+    scale the same per-row fold moves to the extraction pipeline's
+    Arrow batches — the plumbing the pipeline family already pins.)"""
+    toks = _SPARK_TOKENS.format(x="s")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH flags AS (
+          SELECT source,
+                 transform(
+                   filter(transform(split(lower(coalesce(text, '')),
+                                          '[.!?]+'),
+                                    s -> {toks}),
+                          t -> size(t) >= 3),
+                   t -> size(array_intersect(t, array({_STOPWORDS}))) > 0)
+                   AS en_flags
+          FROM documents
+        ), per_doc AS (
+          SELECT source,
+                 size(en_flags) AS n_sent,
+                 size(filter(en_flags, x -> x)) AS n_en
+          FROM flags
+        )
+        SELECT source,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(CASE WHEN n_en > 0 AND n_en < n_sent
+                             THEN 1 ELSE 0 END) as bigint) AS n_switched,
+               round(cast(sum(CASE WHEN n_en > 0 AND n_en < n_sent
+                                   THEN 1 ELSE 0 END) as double)
+                     / count(*), 4) AS switch_share,
+               round(cast(sum(n_en) as double)
+                     / greatest(sum(n_sent), 1), 4) AS en_sentence_share
+        FROM per_doc
+        GROUP BY source
+        ORDER BY source
+        """,
+    )
+
+
+ORACLE_INTRA_DOC_LANG_SWITCH = f"""
+WITH flags AS (
+  SELECT source,
+         [len(list_intersect(t, [{_STOPWORDS}])) > 0
+          FOR t IN list_filter(
+              [{_DUCK_TOKENS.format(x="s")}
+               FOR s IN regexp_split_to_array(lower(coalesce(text, '')),
+                                              '[.!?]+')],
+              t -> len(t) >= 3)] AS en_flags
+  FROM documents
+), per_doc AS (
+  SELECT source,
+         len(en_flags) AS n_sent,
+         len(list_filter(en_flags, x -> x)) AS n_en
+  FROM flags
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN n_en > 0 AND n_en < n_sent THEN 1 ELSE 0 END)::BIGINT
+         AS n_switched,
+       round(sum(CASE WHEN n_en > 0 AND n_en < n_sent
+                      THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+         AS switch_share,
+       round(sum(n_en)::DOUBLE / greatest(sum(n_sent), 1), 4)
+         AS en_sentence_share
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the sensitive-attribute companion to
+    `k_anonymity`: the same quasi-identifier cells (hour-of-day × coarse
+    value band), but instead of asking "how many USERS share this cell"
+    it asks "how many distinct EVENT TYPES does the cell contain" — a
+    cell that is k-anonymous but single-typed still reveals exactly what
+    anyone matched to it did.  Reports per hour-of-day how much traffic
+    sits in cells below l=3.
+
+    Scale shape: identical to k_anonymity — one exact count-distinct
+    fold to the QI-cell keys, then a 24-key rollup; no joins, all
+    integers until the final share."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH cells AS (
+          SELECT cast(hour(ts) as bigint) AS hod,
+                 cast(floor(value / 10) as bigint) AS value_band,
+                 cast(count(*) as bigint) AS n_rows,
+                 cast(count(DISTINCT event_type) as bigint) AS l
+          FROM events
+          GROUP BY hour(ts), floor(value / 10)
+        )
+        SELECT hod,
+               cast(count(*) as bigint) AS n_cells,
+               cast(sum(n_rows) as bigint) AS n_rows,
+               cast(min(l) as bigint) AS min_l,
+               cast(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) as bigint)
+                 AS cells_below_l,
+               cast(sum(CASE WHEN l < 3 THEN n_rows ELSE 0 END) as bigint)
+                 AS rows_at_risk,
+               round(sum(CASE WHEN l < 3 THEN n_rows ELSE 0 END)
+                     / cast(sum(n_rows) as double), 4) AS risk_rate
+        FROM cells
+        GROUP BY hod
+        ORDER BY hod
+        """,
+    )
+
+
+ORACLE_L_DIVERSITY_AUDIT = """
+WITH cells AS (
+  SELECT hour(ts)::BIGINT AS hod,
+         floor(value / 10)::BIGINT AS value_band,
+         count(*)::BIGINT AS n_rows,
+         count(DISTINCT event_type)::BIGINT AS l
+  FROM events
+  GROUP BY hour(ts), floor(value / 10)
+)
+SELECT hod,
+       count(*)::BIGINT AS n_cells,
+       sum(n_rows)::BIGINT AS n_rows,
+       min(l)::BIGINT AS min_l,
+       sum(CASE WHEN l < 3 THEN 1 ELSE 0 END)::BIGINT AS cells_below_l,
+       sum(CASE WHEN l < 3 THEN n_rows ELSE 0 END)::BIGINT AS rows_at_risk,
+       round(sum(CASE WHEN l < 3 THEN n_rows ELSE 0 END)
+             / sum(n_rows)::DOUBLE, 4) AS risk_rate
+FROM cells
+GROUP BY hod
+ORDER BY hod
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -19361,6 +19617,13 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "template_skeleton_clusters": (
         q_template_skeleton_clusters, ORACLE_TEMPLATE_SKELETON_CLUSTERS,
     ),
+    "rp_distortion_sweep": (
+        q_rp_distortion_sweep, ORACLE_RP_DISTORTION_SWEEP,
+    ),
+    "intra_doc_lang_switch": (
+        q_intra_doc_lang_switch, ORACLE_INTRA_DOC_LANG_SWITCH,
+    ),
+    "l_diversity_audit": (q_l_diversity_audit, ORACLE_L_DIVERSITY_AUDIT),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

@@ -1987,3 +1987,38 @@ def test_template_skeleton_clusters_digest_window_no_selfjoin(spark, registry):
     assert final.count("Scan parquet") == 1
     assert "Join" not in final
     assert "Window" in final
+
+
+def test_rp_distortion_sweep_keyed_pairs_no_cartesian(spark, registry):
+    """Pairs come from the keyed vec_id+1 self-join and the 3-k grid
+    fans out AFTER projection — no cartesian anywhere."""
+    df = registry["rp_distortion_sweep"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "SortMergeJoin" in final or "ShuffledHashJoin" in final \
+        or "BroadcastHashJoin" in final
+
+
+def test_intra_doc_lang_switch_no_explode(spark, registry):
+    """Sentence classification runs as in-row array HOFs: one scan, no
+    corpus-sized Generate, no join — the only exchange is the source
+    fold."""
+    df = registry["intra_doc_lang_switch"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Generate" not in final
+    assert "Join" not in final
+
+
+def test_l_diversity_audit_single_scan_expand_agg(spark, registry):
+    """k_anonymity shape: one scan, no joins; the single exact
+    count-distinct plans as the partial/merge re-aggregation over
+    (QI-cell, event_type) — all map-side combinable."""
+    df = registry["l_diversity_audit"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "partial_count(distinct event_type" in final
