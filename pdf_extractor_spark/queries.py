@@ -19166,6 +19166,196 @@ ORDER BY hod
 """
 
 
+def q_customer_reorder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence per market segment: the day gap between
+    each customer's consecutive orders, folded to count/mean/median/p90
+    per segment.  `inter_event_gap_profile` measures this for the event
+    stream; this is the star-schema counterpart — the number a demand
+    forecast or a churn-definition ("inactive = 2× median gap") is
+    actually calibrated against, and the cross-segment contrast says
+    whether one cadence model can serve all segments.
+
+    Scale shape: the lag window partitions by custkey — the same
+    customer-hash exchange any per-customer rollup pays, with
+    (orderdate, orderkey) tie-break so gap extraction is deterministic;
+    customer is a broadcast dim; the fold output is |segments| rows.
+    Exact percentiles rank the gap table (≤ one row per order); at
+    warehouse scale the documented swap is approx_percentile."""
+    return _sql(
+        spark, sf_dir, ["orders", "customer"],
+        """
+        WITH gaps AS (
+          SELECT o_custkey,
+                 datediff(o_orderdate,
+                          lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                 ORDER BY o_orderdate,
+                                                          o_orderkey))
+                   AS gap_days
+          FROM orders
+        )
+        SELECT c_mktsegment,
+               cast(count(*) as bigint) AS n_gaps,
+               round(avg(gap_days), 2) AS mean_gap_days,
+               round(percentile(gap_days, 0.5), 2) AS p50_gap_days,
+               round(percentile(gap_days, 0.9), 2) AS p90_gap_days
+        FROM gaps
+        JOIN customer ON c_custkey = o_custkey
+        WHERE gap_days IS NOT NULL
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """,
+    )
+
+
+ORACLE_CUSTOMER_REORDER_GAP = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT c_mktsegment,
+       count(*)::BIGINT AS n_gaps,
+       round(avg(gap_days), 2) AS mean_gap_days,
+       round(quantile_cont(gap_days, 0.5), 2) AS p50_gap_days,
+       round(quantile_cont(gap_days, 0.9), 2) AS p90_gap_days
+FROM gaps
+JOIN customer ON c_custkey = o_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_type_hourweek_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-shape similarity between event types: each type's
+    168-bin hour-of-week traffic profile, L2-normalised, then pairwise
+    cosine.  `audience_overlap_matrix` asks whether two types share
+    USERS; this asks whether they share a CLOCK — a pair with high
+    cosine here rides the same diurnal/weekly cycle (one capacity model,
+    one anomaly baseline serves both), while a low-cosine pair must be
+    monitored separately.  Day-of-week derives from the epoch day so
+    both engines agree on the boundary.
+
+    Scale shape: the (type, hour-of-week) fold is the only corpus
+    shuffle — Spark reuses its exchange for both sides of the pair join
+    (ReusedExchange, plan-pinned), so the corpus is scanned once; the
+    L2 window and the pair join operate on the ≤ |types|×168 grid."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH prof AS (
+          SELECT event_type, how, cast(count(*) as double) AS c
+          FROM (SELECT event_type,
+                       cast((floor(unix_timestamp(ts) / 86400) + 4) % 7
+                            as int) * 24 + hour(ts) AS how
+                FROM events)
+          GROUP BY event_type, how
+        ), norm AS (
+          SELECT event_type, how,
+                 c / sqrt(sum(c * c) OVER (PARTITION BY event_type)) AS u
+          FROM prof
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               round(sum(a.u * b.u), 4) AS hourweek_cosine,
+               cast(count(*) as bigint) AS n_shared_bins
+        FROM norm a JOIN norm b
+          ON a.how = b.how AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+        ORDER BY type_a, type_b
+        """,
+    )
+
+
+ORACLE_TYPE_HOURWEEK_SIMILARITY = """
+WITH prof AS (
+  SELECT event_type, how, count(*)::DOUBLE AS c
+  FROM (SELECT event_type,
+               ((floor(epoch(ts) / 86400) + 4) % 7)::INT * 24 + hour(ts)
+                 AS how
+        FROM events) t
+  GROUP BY event_type, how
+), norm AS (
+  SELECT event_type, how,
+         c / sqrt(sum(c * c) OVER (PARTITION BY event_type)) AS u
+  FROM prof
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       round(sum(a.u * b.u), 4) AS hourweek_cosine,
+       count(*)::BIGINT AS n_shared_bins
+FROM norm a JOIN norm b
+  ON a.how = b.how AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+ORDER BY type_a, type_b
+"""
+
+
+def q_digit_density_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-noise detector: per-document digit density (digit chars /
+    non-space chars) folded into 10%-wide bands per source, with the
+    over-threshold share at 30% — the signal that catches price lists,
+    CSV fragments, and scraped tables masquerading as prose, which pass
+    `quality_score`'s punctuation/length gates and carry near-zero
+    training value per token.  The classic C4/Gopher "symbol ratio"
+    family member the catalog's quality ops don't yet cover.
+
+    Scale shape: both character counts are regexp folds evaluated once
+    per row inside the scan; the band fold is the only exchange
+    (|sources|×10 keys); all integer until the final shares."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH d AS (
+          SELECT source,
+                 cast(least(floor(
+                   size(regexp_extract_all(coalesce(text, ''), '[0-9]', 0))
+                   / cast(greatest(size(regexp_extract_all(
+                         coalesce(text, ''), '[^ \\t\\n]', 0)), 1) as double)
+                   * 10), 9) as int) AS band,
+                 size(regexp_extract_all(coalesce(text, ''), '[0-9]', 0))
+                   / cast(greatest(size(regexp_extract_all(
+                         coalesce(text, ''), '[^ \\t\\n]', 0)), 1) as double)
+                   AS density
+          FROM documents
+        )
+        SELECT source, band,
+               cast(count(*) as bigint) AS n_docs,
+               round(avg(density), 4) AS mean_density,
+               round(cast(sum(CASE WHEN density > 0.3 THEN 1 ELSE 0 END)
+                          as double) / count(*), 4) AS over_threshold_share
+        FROM d
+        GROUP BY source, band
+        ORDER BY source, band
+        """,
+    )
+
+
+ORACLE_DIGIT_DENSITY_FILTER = """
+WITH d AS (
+  SELECT source,
+         least(floor(len(regexp_extract_all(coalesce(text, ''), '[0-9]'))
+                     / greatest(len(regexp_extract_all(coalesce(text, ''),
+                                                       '[^ \\t\\n]')),
+                                1)::DOUBLE * 10), 9)::INT AS band,
+         len(regexp_extract_all(coalesce(text, ''), '[0-9]'))
+           / greatest(len(regexp_extract_all(coalesce(text, ''),
+                                             '[^ \\t\\n]')), 1)::DOUBLE
+           AS density
+  FROM documents
+)
+SELECT source, band,
+       count(*)::BIGINT AS n_docs,
+       round(avg(density), 4) AS mean_density,
+       round(sum(CASE WHEN density > 0.3 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS over_threshold_share
+FROM d
+GROUP BY source, band
+ORDER BY source, band
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -19624,6 +19814,15 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
         q_intra_doc_lang_switch, ORACLE_INTRA_DOC_LANG_SWITCH,
     ),
     "l_diversity_audit": (q_l_diversity_audit, ORACLE_L_DIVERSITY_AUDIT),
+    "customer_reorder_gap": (
+        q_customer_reorder_gap, ORACLE_CUSTOMER_REORDER_GAP,
+    ),
+    "type_hourweek_similarity": (
+        q_type_hourweek_similarity, ORACLE_TYPE_HOURWEEK_SIMILARITY,
+    ),
+    "digit_density_filter": (
+        q_digit_density_filter, ORACLE_DIGIT_DENSITY_FILTER,
+    ),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

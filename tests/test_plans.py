@@ -2022,3 +2022,34 @@ def test_l_diversity_audit_single_scan_expand_agg(spark, registry):
     assert final.count("Scan parquet") == 1
     assert "Join" not in final
     assert "partial_count(distinct event_type" in final
+
+
+def test_customer_reorder_gap_broadcast_dim(spark, registry):
+    """The lag window rides the custkey exchange; customer resolves as a
+    broadcast dim — no sort-merge on the fact side."""
+    df = registry["customer_reorder_gap"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "Window" in final
+    assert "CartesianProduct" not in final
+
+
+def test_type_hourweek_similarity_single_wordcount_shuffle(spark, registry):
+    """The (type, hour-of-week) fold's exchange is REUSED for both sides
+    of the pair join — the corpus is scanned once, not twice."""
+    df = registry["type_hourweek_similarity"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1 or "ReusedExchange" in final
+    assert "CartesianProduct" not in final
+
+
+def test_digit_density_filter_single_scan(spark, registry):
+    """Both regexp folds evaluate inside the scan; the band fold is the
+    only exchange."""
+    df = registry["digit_density_filter"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
