@@ -19356,6 +19356,264 @@ ORDER BY source, band
 """
 
 
+def q_tenure_activity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-decay curve: events per user per tenure week (weeks
+    since that user's FIRST event), averaged across the users who have
+    reached each tenure.  `cohort_retention` reports whether users come
+    back; this reports how HARD they use the product as they age — the
+    curve a growth model multiplies against new-user inflow, and the
+    earliest place an onboarding regression shows (week-0 intensity
+    drops before retention does).
+
+    Scale shape: the per-user first-event timestamp is a min() window
+    riding the same user-hash exchange the (user, week) fold needs —
+    one corpus shuffle total; the eligibility denominator (users whose
+    max tenure reaches each week) is a theta-join between two
+    week-cardinality aggregates — a broadcast nested-loop over tens of
+    rows, never the corpus."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH w AS (
+          SELECT user_id,
+                 cast(floor((unix_timestamp(ts)
+                             - min(unix_timestamp(ts))
+                               OVER (PARTITION BY user_id))
+                            / 604800) as bigint) AS week
+          FROM events
+        ), uw AS (
+          SELECT user_id, week, cast(count(*) as bigint) AS n
+          FROM w GROUP BY user_id, week
+        ), elig AS (
+          SELECT max_week, cast(count(*) as bigint) AS c
+          FROM (SELECT user_id, max(week) AS max_week
+                FROM uw GROUP BY user_id)
+          GROUP BY max_week
+        ), agg AS (
+          SELECT week, cast(count(*) as bigint) AS n_active_users,
+                 cast(sum(n) as bigint) AS n_events
+          FROM uw GROUP BY week
+        )
+        SELECT a.week AS tenure_week, a.n_active_users, a.n_events,
+               round(cast(a.n_events as double) / sum(e.c), 4)
+                 AS events_per_eligible_user
+        FROM agg a JOIN elig e ON e.max_week >= a.week
+        GROUP BY a.week, a.n_active_users, a.n_events
+        ORDER BY tenure_week
+        """,
+    )
+
+
+ORACLE_TENURE_ACTIVITY_CURVE = """
+WITH w AS (
+  SELECT user_id,
+         floor((epoch(ts) - min(epoch(ts)) OVER (PARTITION BY user_id))
+               / 604800)::BIGINT AS week
+  FROM events
+), uw AS (
+  SELECT user_id, week, count(*)::BIGINT AS n
+  FROM w GROUP BY user_id, week
+), elig AS (
+  SELECT max_week, count(*)::BIGINT AS c
+  FROM (SELECT user_id, max(week) AS max_week
+        FROM uw GROUP BY user_id) t
+  GROUP BY max_week
+), agg AS (
+  SELECT week, count(*)::BIGINT AS n_active_users,
+         sum(n)::BIGINT AS n_events
+  FROM uw GROUP BY week
+)
+SELECT a.week AS tenure_week, a.n_active_users, a.n_events,
+       round(a.n_events::DOUBLE / sum(e.c), 4) AS events_per_eligible_user
+FROM agg a JOIN elig e ON e.max_week >= a.week
+GROUP BY a.week, a.n_active_users, a.n_events
+ORDER BY tenure_week
+"""
+
+
+def q_part_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-part unit-price consistency audit: the coefficient of
+    variation of l_extendedprice/l_quantity across each part's
+    lineitems, folded per brand (mean CV, p90 CV, share of parts whose
+    CV exceeds 10%).  High dispersion for the SAME part means pricing
+    rows disagree — upstream feed corruption, unit mismatches, or
+    un-flagged discounting — the data-quality gate that should run
+    before any revenue query treats price as trustworthy.
+
+    Scale shape: the (part, price-moment) fold collapses the fact table
+    with map-side combine (one corpus shuffle on partkey); part is a
+    broadcast dim onto the already-small per-part grid; CV uses the
+    exact sum/sumsq spelling so no per-part row set is retained."""
+    return _sql(
+        spark, sf_dir, ["lineitem", "part"],
+        """
+        WITH pp AS (
+          SELECT l_partkey,
+                 count(*) AS n,
+                 sum(l_extendedprice / l_quantity) AS s,
+                 sum(l_extendedprice / l_quantity
+                     * l_extendedprice / l_quantity) AS ss
+          FROM lineitem
+          WHERE l_quantity > 0
+          GROUP BY l_partkey
+        ), cv AS (
+          SELECT l_partkey,
+                 sqrt(greatest(ss / n - (s / n) * (s / n), 0))
+                   / (s / n) AS cv
+          FROM pp WHERE n >= 2 AND s > 0
+        )
+        SELECT p_brand,
+               cast(count(*) as bigint) AS n_parts,
+               round(avg(cv), 4) AS mean_cv,
+               round(percentile(cv, 0.9), 4) AS p90_cv,
+               round(cast(sum(CASE WHEN cv > 0.1 THEN 1 ELSE 0 END)
+                          as double) / count(*), 4) AS dispersed_share
+        FROM cv
+        JOIN part ON p_partkey = l_partkey
+        GROUP BY p_brand
+        ORDER BY p_brand
+        """,
+    )
+
+
+ORACLE_PART_PRICE_DISPERSION = """
+WITH pp AS (
+  SELECT l_partkey,
+         count(*) AS n,
+         sum(l_extendedprice / l_quantity) AS s,
+         sum(l_extendedprice / l_quantity
+             * l_extendedprice / l_quantity) AS ss
+  FROM lineitem
+  WHERE l_quantity > 0
+  GROUP BY l_partkey
+), cv AS (
+  SELECT l_partkey,
+         sqrt(greatest(ss / n - (s / n) * (s / n), 0)) / (s / n) AS cv
+  FROM pp WHERE n >= 2 AND s > 0
+)
+SELECT p_brand,
+       count(*)::BIGINT AS n_parts,
+       round(avg(cv), 4) AS mean_cv,
+       round(quantile_cont(cv, 0.9), 4) AS p90_cv,
+       round(sum(CASE WHEN cv > 0.1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 4) AS dispersed_share
+FROM cv
+JOIN part ON p_partkey = l_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def q_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between the even and odd vec_id halves —
+    `embedding_drift` localised: the dataset-level mean can sit still
+    while one label's feed silently shifts under it (a re-crawled source,
+    a re-labeled ingest).  One row per label with both half-counts, the
+    cosine between the two half-centroids, and the largest per-dimension
+    shift; the label whose cosine dips first names the broken feed.
+
+    Scale shape: the embedding_drift partial-sum tree keyed by (label,
+    parity) — mapInPandas emits one numpy-folded partial per partition
+    per live key (≤ partitions × 2|labels| rows of d doubles),
+    applyInPandas reduces per key, and the even/odd join runs on the
+    |labels|-row centroid table with array folds.  No Generate, nothing
+    corpus-sized past the scan (plan-pinned)."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            lab = pdf["label"].to_numpy()
+            par = (pdf["vec_id"] % 2).to_numpy()
+            out = {"label": [], "parity": [], "s": [], "n": []}
+            for lv in sorted(set(lab.tolist())):
+                for p in (0, 1):
+                    sub = pdf[(lab == lv) & (par == p)]
+                    if len(sub):
+                        m = np.stack(sub["embedding"].to_numpy()).astype(
+                            np.float64
+                        )
+                        out["label"].append(int(lv))
+                        out["parity"].append(int(p))
+                        out["s"].append(m.sum(axis=0).tolist())
+                        out["n"].append(int(len(sub)))
+            if out["n"]:
+                yield pd.DataFrame(out)
+
+    parts = emb.mapInPandas(
+        partials, "label int, parity int, s array<double>, n bigint"
+    )
+
+    def reduce_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        s = np.sum(
+            np.stack([np.asarray(v, dtype=np.float64) for v in pdf["s"]]),
+            axis=0,
+        )
+        n = int(pdf["n"].sum())
+        return pd.DataFrame(
+            {
+                "label": [int(key[0])],
+                "parity": [int(key[1])],
+                "mean": [(s / n).tolist()],
+                "n": [n],
+            }
+        )
+
+    means = parts.groupBy("label", "parity").applyInPandas(
+        reduce_group, "label int, parity int, mean array<double>, n bigint"
+    )
+    a = means.where("parity = 0").selectExpr(
+        "label", "n AS n_even", "mean AS ma"
+    )
+    b = means.where("parity = 1").selectExpr(
+        "label AS label_b", "n AS n_odd", "mean AS mb"
+    )
+    return (
+        a.join(b, a["label"] == b["label_b"])
+        .selectExpr(
+            "label", "n_even", "n_odd",
+            "round(aggregate(zip_with(ma, mb, (x, y) -> x * y), 0D,"
+            " (acc, v) -> acc + v)"
+            " / nullif(sqrt(aggregate(ma, 0D, (acc, x) -> acc + x * x))"
+            " * sqrt(aggregate(mb, 0D, (acc, x) -> acc + x * x)), 0D), 4)"
+            " AS centroid_cosine",
+            "round(array_max(zip_with(ma, mb, (x, y) -> abs(x - y))), 4)"
+            " AS max_dim_shift",
+        )
+        .orderBy("label")
+    )
+
+
+def _label_drift_oracle() -> str:
+    dims = range(1, _EMB_DIM + 1)
+    avgs = ",\n         ".join(f"avg(embedding[{i}]) AS m{i}" for i in dims)
+    dot = " + ".join(f"a.m{i}*b.m{i}" for i in dims)
+    na = " + ".join(f"a.m{i}*a.m{i}" for i in dims)
+    nb = " + ".join(f"b.m{i}*b.m{i}" for i in dims)
+    shifts = ", ".join(f"abs(a.m{i} - b.m{i})" for i in dims)
+    return f"""
+WITH m AS (
+  SELECT label, vec_id % 2 AS parity, count(*)::bigint AS n,
+         {avgs}
+  FROM embeddings GROUP BY label, vec_id % 2
+)
+SELECT a.label::INT AS label, a.n AS n_even, b.n AS n_odd,
+       round(({dot}) / nullif(sqrt({na}) * sqrt({nb}), 0), 4)
+         AS centroid_cosine,
+       round(greatest({shifts}), 4) AS max_dim_shift
+FROM m a JOIN m b ON a.label = b.label AND a.parity = 0 AND b.parity = 1
+ORDER BY a.label
+"""
+
+
+ORACLE_LABEL_CENTROID_DRIFT = _label_drift_oracle()
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -19822,6 +20080,15 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     ),
     "digit_density_filter": (
         q_digit_density_filter, ORACLE_DIGIT_DENSITY_FILTER,
+    ),
+    "tenure_activity_curve": (
+        q_tenure_activity_curve, ORACLE_TENURE_ACTIVITY_CURVE,
+    ),
+    "part_price_dispersion": (
+        q_part_price_dispersion, ORACLE_PART_PRICE_DISPERSION,
+    ),
+    "label_centroid_drift": (
+        q_label_centroid_drift, ORACLE_LABEL_CENTROID_DRIFT,
     ),
 }
 

@@ -2053,3 +2053,35 @@ def test_digit_density_filter_single_scan(spark, registry):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1
     assert "Join" not in final
+
+
+def test_tenure_activity_curve_one_corpus_shuffle(spark, registry):
+    """The min() window and (user, week) fold share the user-hash
+    exchange; the eligibility theta-join is broadcast nested-loop over
+    week-cardinality aggregates, never the corpus."""
+    df = registry["tenure_activity_curve"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") <= 2  # exchange reuse may dedupe
+    assert "BroadcastNestedLoopJoin" in final
+    assert "CartesianProduct" not in final
+
+
+def test_part_price_dispersion_partkey_fold_then_broadcast(spark, registry):
+    """The fact table collapses to the per-part moment grid before part
+    joins broadcast — no sort-merge on the fact side."""
+    df = registry["part_price_dispersion"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+
+
+def test_label_centroid_drift_no_generate(spark, registry):
+    """Partial-sum tree keyed by (label, parity): no Generate, nothing
+    corpus-sized past the scan; the even/odd join is label-cardinality."""
+    df = registry["label_centroid_drift"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "Generate" not in final
+    assert final.count("Scan parquet") == 1
