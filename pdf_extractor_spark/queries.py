@@ -19614,6 +19614,251 @@ ORDER BY a.label
 ORACLE_LABEL_CENTROID_DRIFT = _label_drift_oracle()
 
 
+def q_wau_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-active-user growth accounting — the bridge identity
+    WAU(t) = new + retained + resurrected, with churned(t) = the prior
+    week's actives who went dark.  `dau_mau_stickiness` and
+    `cohort_retention` each show one face of engagement; this is the
+    decomposition a growth review actually reads, because it says WHY
+    the top line moved (acquisition vs retention vs win-back) and it
+    sums exactly (wau = n_new + n_retained + n_resurrected, checkable
+    row by row).
+
+    Scale shape: one corpus fold to the (user, week) grid; first-week
+    and previous-active-week are min() and lag() windows riding the
+    SAME user-hash partitioning; the week rollup is the only other
+    exchange and it carries one row per (user, week).  Churn needs no
+    extra pass — a user churned in week w+1 iff their lag-gap FROM w is
+    >1 or w is their last week, both already on the grid."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH uw AS (
+          SELECT user_id,
+                 cast(floor(unix_timestamp(ts) / 604800) as bigint) AS week
+          FROM events
+          GROUP BY user_id, cast(floor(unix_timestamp(ts) / 604800)
+                                 as bigint)
+        ), marked AS (
+          SELECT user_id, week,
+                 min(week) OVER (PARTITION BY user_id) AS first_week,
+                 lag(week) OVER (PARTITION BY user_id ORDER BY week)
+                   AS prev_week,
+                 lead(week) OVER (PARTITION BY user_id ORDER BY week)
+                   AS next_week
+          FROM uw
+        )
+        SELECT week,
+               cast(count(*) as bigint) AS wau,
+               cast(sum(CASE WHEN week = first_week THEN 1 ELSE 0 END)
+                    as bigint) AS n_new,
+               cast(sum(CASE WHEN prev_week = week - 1 THEN 1 ELSE 0 END)
+                    as bigint) AS n_retained,
+               cast(sum(CASE WHEN week > first_week
+                              AND (prev_week IS NULL
+                                   OR prev_week < week - 1)
+                             THEN 1 ELSE 0 END) as bigint) AS n_resurrected,
+               cast(sum(CASE WHEN next_week IS NULL
+                              OR next_week > week + 1
+                             THEN 1 ELSE 0 END) as bigint)
+                 AS n_churned_after
+        FROM marked
+        GROUP BY week
+        ORDER BY week
+        """,
+    )
+
+
+ORACLE_WAU_GROWTH_ACCOUNTING = """
+WITH uw AS (
+  SELECT user_id, floor(epoch(ts) / 604800)::BIGINT AS week
+  FROM events
+  GROUP BY user_id, floor(epoch(ts) / 604800)::BIGINT
+), marked AS (
+  SELECT user_id, week,
+         min(week) OVER (PARTITION BY user_id) AS first_week,
+         lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+         lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week
+  FROM uw
+)
+SELECT week,
+       count(*)::BIGINT AS wau,
+       sum(CASE WHEN week = first_week THEN 1 ELSE 0 END)::BIGINT AS n_new,
+       sum(CASE WHEN prev_week = week - 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_retained,
+       sum(CASE WHEN week > first_week
+                 AND (prev_week IS NULL OR prev_week < week - 1)
+                THEN 1 ELSE 0 END)::BIGINT AS n_resurrected,
+       sum(CASE WHEN next_week IS NULL OR next_week > week + 1
+                THEN 1 ELSE 0 END)::BIGINT AS n_churned_after
+FROM marked
+GROUP BY week
+ORDER BY week
+"""
+
+
+def q_order_line_status_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table status-integrity audit: an order whose header says
+    fulfilled ('F') should not carry open ('O'-status) lines, and vice
+    versa — per header status, how many orders have lines disagreeing
+    with it and how many are internally MIXED.  `fk_integrity_audit`
+    proves the keys line up; this proves the STATES do — the silent
+    corruption mode where a partial backfill updates headers but not
+    lines, which no key check and no single-table profile can see.
+
+    Scale shape: lineitem folds to one row per orderkey (status set as
+    two booleans, map-side combinable) BEFORE meeting orders on the
+    orderkey join — the join carries |orders| rows on both sides and
+    co-partitions on the join key; output is |statuses| rows."""
+    return _sql(
+        spark, sf_dir, ["orders", "lineitem"],
+        """
+        WITH ls AS (
+          SELECT l_orderkey,
+                 max(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                   AS has_open,
+                 max(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                   AS has_fulfilled
+          FROM lineitem
+          GROUP BY l_orderkey
+        )
+        SELECT o_orderstatus,
+               cast(count(*) as bigint) AS n_orders,
+               cast(sum(CASE WHEN has_open = 1 AND has_fulfilled = 1
+                             THEN 1 ELSE 0 END) as bigint) AS n_mixed_lines,
+               cast(sum(CASE WHEN o_orderstatus = 'F' AND has_open = 1
+                             THEN 1 ELSE 0 END) as bigint)
+                 AS n_closed_with_open_lines,
+               cast(sum(CASE WHEN o_orderstatus = 'O' AND has_fulfilled = 1
+                              AND has_open = 0
+                             THEN 1 ELSE 0 END) as bigint)
+                 AS n_open_fully_shipped,
+               round(cast(sum(CASE WHEN (o_orderstatus = 'F'
+                                         AND has_open = 1)
+                                    OR (o_orderstatus = 'O'
+                                        AND has_fulfilled = 1
+                                        AND has_open = 0)
+                                   THEN 1 ELSE 0 END) as double)
+                     / count(*), 4) AS inconsistent_share
+        FROM orders
+        JOIN ls ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """,
+    )
+
+
+ORACLE_ORDER_LINE_STATUS_CONSISTENCY = """
+WITH ls AS (
+  SELECT l_orderkey,
+         max(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS has_open,
+         max(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+           AS has_fulfilled
+  FROM lineitem
+  GROUP BY l_orderkey
+)
+SELECT o_orderstatus,
+       count(*)::BIGINT AS n_orders,
+       sum(CASE WHEN has_open = 1 AND has_fulfilled = 1
+                THEN 1 ELSE 0 END)::BIGINT AS n_mixed_lines,
+       sum(CASE WHEN o_orderstatus = 'F' AND has_open = 1
+                THEN 1 ELSE 0 END)::BIGINT AS n_closed_with_open_lines,
+       sum(CASE WHEN o_orderstatus = 'O' AND has_fulfilled = 1
+                 AND has_open = 0
+                THEN 1 ELSE 0 END)::BIGINT AS n_open_fully_shipped,
+       round(sum(CASE WHEN (o_orderstatus = 'F' AND has_open = 1)
+                       OR (o_orderstatus = 'O' AND has_fulfilled = 1
+                           AND has_open = 0)
+                      THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+         AS inconsistent_share
+FROM orders
+JOIN ls ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+_FIRST_PERSON = "'i','we','my','our','me','us','mine','ours'"
+_SECOND_PERSON = "'you','your','yours'"
+
+
+def q_register_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linguistic-register fingerprint per source: first-person and
+    second-person pronoun rates (per 1k tokens) and the question-mark
+    rate (per 1k chars).  Instruction/chat corpora run second-person-
+    and question-heavy, encyclopedic corpora run near zero on both —
+    so this table is the cheap mix-auditor that catches a "web" shard
+    that is actually forum Q&A (or vice versa) before `mix_weights`
+    bakes the wrong register balance into a training run.
+
+    Scale shape: tokenisation and both pronoun counts are in-row array
+    HOFs (filter + size over the token array — no Generate, no
+    wordcount shuffle, unlike `jsd_sources` this never materialises a
+    vocabulary); the only exchange is the |sources| fold."""
+    toks = _SPARK_TOKENS.format(x="coalesce(text, '')")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH t AS (
+          SELECT source,
+                 size({toks}) AS n_tok,
+                 size(filter({toks},
+                             w -> w IN ({_FIRST_PERSON}))) AS n_fp,
+                 size(filter({toks},
+                             w -> w IN ({_SECOND_PERSON}))) AS n_sp,
+                 size(regexp_extract_all(coalesce(text, ''), '\\\\?', 0))
+                   AS n_q,
+                 length(coalesce(text, '')) AS n_chars
+          FROM documents
+        )
+        SELECT source,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(n_tok) as bigint) AS n_tokens,
+               round(cast(sum(n_fp) as double)
+                     / greatest(sum(n_tok), 1) * 1000, 4)
+                 AS first_person_per_1k,
+               round(cast(sum(n_sp) as double)
+                     / greatest(sum(n_tok), 1) * 1000, 4)
+                 AS second_person_per_1k,
+               round(cast(sum(n_q) as double)
+                     / greatest(sum(n_chars), 1) * 1000, 4)
+                 AS question_marks_per_1k_chars
+        FROM t
+        GROUP BY source
+        ORDER BY source
+        """,
+    )
+
+
+ORACLE_REGISTER_PROFILE = f"""
+WITH t AS (
+  SELECT source,
+         len({_DUCK_TOKENS.format(x="coalesce(text, '')")}) AS n_tok,
+         len(list_filter({_DUCK_TOKENS.format(x="coalesce(text, '')")},
+                         w -> list_contains([{_FIRST_PERSON}], w)))
+           AS n_fp,
+         len(list_filter({_DUCK_TOKENS.format(x="coalesce(text, '')")},
+                         w -> list_contains([{_SECOND_PERSON}], w)))
+           AS n_sp,
+         len(regexp_extract_all(coalesce(text, ''), '\\?')) AS n_q,
+         length(coalesce(text, '')) AS n_chars
+  FROM documents
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS n_tokens,
+       round(sum(n_fp)::DOUBLE / greatest(sum(n_tok), 1) * 1000, 4)
+         AS first_person_per_1k,
+       round(sum(n_sp)::DOUBLE / greatest(sum(n_tok), 1) * 1000, 4)
+         AS second_person_per_1k,
+       round(sum(n_q)::DOUBLE / greatest(sum(n_chars), 1) * 1000, 4)
+         AS question_marks_per_1k_chars
+FROM t
+GROUP BY source
+ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -20090,6 +20335,13 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "label_centroid_drift": (
         q_label_centroid_drift, ORACLE_LABEL_CENTROID_DRIFT,
     ),
+    "wau_growth_accounting": (
+        q_wau_growth_accounting, ORACLE_WAU_GROWTH_ACCOUNTING,
+    ),
+    "order_line_status_consistency": (
+        q_order_line_status_consistency, ORACLE_ORDER_LINE_STATUS_CONSISTENCY,
+    ),
+    "register_profile": (q_register_profile, ORACLE_REGISTER_PROFILE),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

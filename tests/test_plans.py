@@ -2085,3 +2085,38 @@ def test_label_centroid_drift_no_generate(spark, registry):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert "Generate" not in final
     assert final.count("Scan parquet") == 1
+
+
+def test_wau_growth_accounting_windows_share_user_hash(spark, registry):
+    """One corpus fold to the (user, week) grid; min/lag/lead all ride
+    the user-hash partitioning — no joins at all."""
+    df = registry["wau_growth_accounting"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Window" in final
+
+
+def test_order_line_status_consistency_fold_before_join(spark, registry):
+    """Lineitem collapses to per-orderkey status booleans BEFORE the
+    orderkey join, so the join carries |orders| rows on both sides."""
+    df = registry["order_line_status_consistency"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    fmt = _formatted(df)
+    assert "CartesianProduct" not in final
+    # the aggregate must sit below the join in the plan text
+    assert fmt.index("HashAggregate") < fmt.index("Join") or \
+        "BroadcastHashJoin" in final
+
+
+def test_register_profile_no_generate_single_scan(spark, registry):
+    """Pronoun counts are in-row HOFs over the token array: one scan,
+    no Generate, no wordcount shuffle."""
+    df = registry["register_profile"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Generate" not in final
+    assert "Join" not in final
