@@ -19859,6 +19859,218 @@ ORDER BY source
 """
 
 
+def q_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly power-user curve (the L7 histogram): for each week, how
+    many users were active on exactly d of its days, their share, and
+    the cumulative "share of users active on >= d days" read from the
+    heavy side.  `dau_mau_stickiness` reports ONE engagement ratio per
+    month; this is the full distribution behind it — a stickiness drop
+    looks completely different when the 7/7 core is intact but casual
+    users churned vs when the core itself is thinning, and only the
+    curve distinguishes the two.
+
+    Scale shape: ONE corpus scan folds to the distinct (user, week, day)
+    grid (map-side partial distinct), the per-user day count and the
+    histogram are re-aggregations of that grid, and both share windows
+    run over |weeks| x 7 rows."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH grid AS (
+          SELECT DISTINCT user_id,
+                 cast(floor(unix_timestamp(ts) / 604800) as bigint) AS week,
+                 to_date(ts) AS day
+          FROM events
+        ), ud AS (
+          SELECT user_id, week, count(*) AS active_days
+          FROM grid GROUP BY user_id, week
+        ), hist AS (
+          SELECT week, cast(active_days as bigint) AS active_days,
+                 cast(count(*) as bigint) AS n_users
+          FROM ud GROUP BY week, active_days
+        )
+        SELECT week, active_days, n_users,
+               round(cast(n_users as double)
+                     / sum(n_users) OVER (PARTITION BY week), 4)
+                 AS user_share,
+               round(cast(sum(n_users) OVER (PARTITION BY week
+                                             ORDER BY active_days DESC
+                                             ROWS UNBOUNDED PRECEDING)
+                          as double)
+                     / sum(n_users) OVER (PARTITION BY week), 4)
+                 AS share_at_least
+        FROM hist
+        ORDER BY week, active_days
+        """,
+    )
+
+
+ORACLE_POWER_USER_CURVE = """
+WITH grid AS (
+  SELECT DISTINCT user_id, floor(epoch(ts) / 604800)::BIGINT AS week,
+         ts::DATE AS day
+  FROM events
+), ud AS (
+  SELECT user_id, week, count(*) AS active_days
+  FROM grid GROUP BY user_id, week
+), hist AS (
+  SELECT week, active_days::BIGINT AS active_days,
+         count(*)::BIGINT AS n_users
+  FROM ud GROUP BY week, active_days
+)
+SELECT week, active_days, n_users,
+       round(n_users::DOUBLE / sum(n_users) OVER (PARTITION BY week), 4)
+         AS user_share,
+       round((sum(n_users) OVER (PARTITION BY week
+                                 ORDER BY active_days DESC
+                                 ROWS UNBOUNDED PRECEDING))::DOUBLE
+             / sum(n_users) OVER (PARTITION BY week), 4) AS share_at_least
+FROM hist
+ORDER BY week, active_days
+"""
+
+
+def q_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-lines monetary reconciliation: per order status, how
+    many orders' o_totalprice agrees (within one cent) with the
+    recomputed sum(l_extendedprice * (1-disc) * (1+tax)) over their
+    lines, how many have NO lines at all, and the absolute/relative gap
+    envelope.  `order_line_status_consistency` audits the STATE machine
+    across the same join; this audits the MONEY — the books-don't-
+    balance defect a failed partial load or a double-applied discount
+    introduces, invisible to key checks and single-table profiles.
+
+    Scale shape: lineitem folds to one recomputed total per orderkey
+    map-side BEFORE the LEFT join (the join carries |orders| rows per
+    side, co-partitioned on the order key); output is |statuses| rows.
+    The LEFT join keeps line-less orders visible instead of silently
+    dropping the very rows the audit exists to catch."""
+    return _sql(
+        spark, sf_dir, ["orders", "lineitem"],
+        """
+        WITH lt AS (
+          SELECT l_orderkey,
+                 sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                   AS line_total
+          FROM lineitem
+          GROUP BY l_orderkey
+        )
+        SELECT o_orderstatus,
+               cast(count(*) as bigint) AS n_orders,
+               cast(sum(CASE WHEN line_total IS NULL THEN 1 ELSE 0 END)
+                    as bigint) AS n_no_lines,
+               cast(sum(CASE WHEN abs(o_totalprice - line_total) <= 0.01
+                             THEN 1 ELSE 0 END) as bigint) AS n_reconciled,
+               round(avg(abs(o_totalprice - line_total)), 2) AS avg_abs_gap,
+               round(max(abs(o_totalprice - line_total)), 2) AS max_abs_gap,
+               round(avg(abs(o_totalprice - line_total)
+                         / greatest(o_totalprice, cast(1.0 as double))), 4)
+                 AS avg_rel_gap
+        FROM orders LEFT JOIN lt ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """,
+    )
+
+
+ORACLE_ORDER_TOTAL_RECONCILIATION = """
+WITH lt AS (
+  SELECT l_orderkey,
+         sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS line_total
+  FROM lineitem
+  GROUP BY l_orderkey
+)
+SELECT o_orderstatus,
+       count(*)::BIGINT AS n_orders,
+       sum(CASE WHEN line_total IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_no_lines,
+       sum(CASE WHEN abs(o_totalprice - line_total) <= 0.01
+                THEN 1 ELSE 0 END)::BIGINT AS n_reconciled,
+       round(avg(abs(o_totalprice - line_total)), 2) AS avg_abs_gap,
+       round(max(abs(o_totalprice - line_total)), 2) AS max_abs_gap,
+       round(avg(abs(o_totalprice - line_total)
+                 / greatest(o_totalprice, 1.0::DOUBLE)), 4) AS avg_rel_gap
+FROM orders LEFT JOIN lt ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def q_segment_priority_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment x order-priority contingency audit: observed cell
+    counts vs independence-expected counts, the lift, the Pearson
+    residual per cell, and the table-wide chi-square statistic repeated
+    on every row.  `seasonality_chi2` asks the same independence
+    question of the events axis (type x month); this is the relational
+    twin — if BUILDING customers genuinely file more 1-URGENT orders the
+    residuals say so with magnitude, and if the generator wired priority
+    independent of segment the chi2 says THAT, so downstream mix logic
+    doesn't invent structure that isn't there.
+
+    Scale shape: orders folds to the (custkey, priority) grain map-side
+    BEFORE the custkey join (the join carries one row per customer x
+    priority, not per order, co-partitioned on the key); the
+    marginal/expected windows run over the |segments| x |priorities|
+    cell table (~25 rows).  Expected counts are integer-product /
+    integer-sum in doubles — bit-identical across engines."""
+    return _sql(
+        spark, sf_dir, ["orders", "customer"],
+        """
+        WITH oc AS (
+          SELECT o_custkey, o_orderpriority, count(*) AS n
+          FROM orders GROUP BY o_custkey, o_orderpriority
+        ), cell AS (
+          SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+                 cast(sum(n) as bigint) AS n_orders
+          FROM oc JOIN customer ON c_custkey = o_custkey
+          GROUP BY c_mktsegment, o_orderpriority
+        ), m AS (
+          SELECT segment, priority, n_orders,
+                 cast(sum(n_orders) OVER (PARTITION BY segment) as double)
+                   * sum(n_orders) OVER (PARTITION BY priority)
+                   / sum(n_orders) OVER () AS expected
+          FROM cell
+        )
+        SELECT segment, priority, n_orders,
+               round(expected, 2) AS expected,
+               round(n_orders / expected, 4) AS lift,
+               round((n_orders - expected) / sqrt(expected), 4)
+                 AS pearson_resid,
+               round(sum(pow(n_orders - expected, 2) / expected) OVER (), 2)
+                 AS chi2_total
+        FROM m
+        ORDER BY segment, priority
+        """,
+    )
+
+
+ORACLE_SEGMENT_PRIORITY_AFFINITY = """
+WITH oc AS (
+  SELECT o_custkey, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY o_custkey, o_orderpriority
+), cell AS (
+  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+         sum(n)::BIGINT AS n_orders
+  FROM oc JOIN customer ON c_custkey = o_custkey
+  GROUP BY c_mktsegment, o_orderpriority
+), m AS (
+  SELECT segment, priority, n_orders,
+         (sum(n_orders) OVER (PARTITION BY segment))::DOUBLE
+           * sum(n_orders) OVER (PARTITION BY priority)
+           / sum(n_orders) OVER () AS expected
+  FROM cell
+)
+SELECT segment, priority, n_orders,
+       round(expected, 2) AS expected,
+       round(n_orders / expected, 4) AS lift,
+       round((n_orders - expected) / sqrt(expected), 4) AS pearson_resid,
+       round(sum(pow(n_orders - expected, 2) / expected) OVER (), 2)
+         AS chi2_total
+FROM m
+ORDER BY segment, priority
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -20342,6 +20554,13 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
         q_order_line_status_consistency, ORACLE_ORDER_LINE_STATUS_CONSISTENCY,
     ),
     "register_profile": (q_register_profile, ORACLE_REGISTER_PROFILE),
+    "power_user_curve": (q_power_user_curve, ORACLE_POWER_USER_CURVE),
+    "order_total_reconciliation": (
+        q_order_total_reconciliation, ORACLE_ORDER_TOTAL_RECONCILIATION,
+    ),
+    "segment_priority_affinity": (
+        q_segment_priority_affinity, ORACLE_SEGMENT_PRIORITY_AFFINITY,
+    ),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

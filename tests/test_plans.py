@@ -2120,3 +2120,40 @@ def test_register_profile_no_generate_single_scan(spark, registry):
     assert final.count("Scan parquet") == 1
     assert "Generate" not in final
     assert "Join" not in final
+
+
+def test_power_user_curve_single_scan_no_join(spark, registry):
+    """One scan folds to the distinct (user, week, day) grid; the
+    histogram and both share windows are re-aggregations of it."""
+    df = registry["power_user_curve"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Window" in final
+
+
+def test_order_total_reconciliation_fold_before_join(spark, registry):
+    """Lineitem collapses to one recomputed total per orderkey BEFORE
+    the LEFT join; no cartesian anywhere."""
+    df = registry["order_total_reconciliation"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    fmt = _formatted(df)
+    assert "CartesianProduct" not in final
+    assert fmt.index("HashAggregate") < fmt.index("Join") or \
+        "BroadcastHashJoin" in final
+
+
+def test_segment_priority_affinity_fold_before_join(spark, registry):
+    """Orders folds to (custkey, priority) grain before meeting
+    customer; expected/chi2 windows run over the ~25-cell table."""
+    df = registry["segment_priority_affinity"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    fmt = _formatted(df)
+    assert "CartesianProduct" not in final
+    assert final.count("Scan parquet") == 2
+    assert fmt.index("HashAggregate") < fmt.index("Join") or \
+        "BroadcastHashJoin" in final
+    assert "Window" in final
