@@ -2157,3 +2157,36 @@ def test_segment_priority_affinity_fold_before_join(spark, registry):
     assert fmt.index("HashAggregate") < fmt.index("Join") or \
         "BroadcastHashJoin" in final
     assert "Window" in final
+
+
+def test_benford_value_audit_one_scan_grid_broadcast(spark, registry):
+    """One events scan folds to the digit histogram; the 9-row VALUES
+    grid joins without a cartesian; chi2 windows over 9 rows."""
+    df = registry["benford_value_audit"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "CartesianProduct" not in final
+    assert "Window" in final
+
+
+def test_price_qty_elasticity_zero_join_single_scan(spark, registry):
+    """Five regression moments in one grouped aggregate: one scan, no
+    join, no window."""
+    df = registry["price_qty_elasticity"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Window" not in final
+
+
+def test_fd_violation_audit_five_scans_no_join(spark, registry):
+    """Each FD is an independent distinct-count aggregate; the five
+    tables are unioned, never joined."""
+    df = registry["fd_violation_audit"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 5
+    assert "Join" not in final
+    assert "Union" in final
