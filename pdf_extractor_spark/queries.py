@@ -20321,6 +20321,253 @@ ORACLE_FD_VIOLATION_AUDIT = _FD_BATTERY.format(
 )
 
 
+def q_bracket_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimiter-balance census per source: documents whose parentheses,
+    square brackets, or curly braces don't pair up, and documents with
+    an odd number of double quotes.  Truncated extractions, mid-tag
+    crawl cuts, and template-stitching bugs all leave unbalanced
+    delimiters long before they show up in perplexity — and a source
+    whose imbalance share jumps is the extraction-regression alarm that
+    fires per-ingest, not per-training-run.  Complements
+    `markdown_stats` (structure census) with a WELL-FORMEDNESS census.
+
+    Scale shape: ZERO SHUFFLE until the |sources| fold — every count is
+    the in-row length(x) - length(replace(x, c, '')) idiom (pure
+    codegen, no regex, no token array), so the scan streams."""
+    c = "coalesce(text, '')"
+
+    def n(ch: str) -> str:
+        return f"length({c}) - length(replace({c}, '{ch}', ''))"
+
+    paren = f"abs(({n('(')}) - ({n(')')}))"
+    bracket = f"abs(({n('[')}) - ({n(']')}))"
+    brace = "abs((" + n("{") + ") - (" + n("}") + "))"
+    quote = f"({n(chr(34))}) % 2"
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH t AS (
+          SELECT source,
+                 {paren} AS paren_gap,
+                 {bracket} AS bracket_gap,
+                 {brace} AS brace_gap,
+                 {quote} AS quote_odd
+          FROM documents
+        )
+        SELECT source,
+               cast(count(*) as bigint) AS n_docs,
+               cast(sum(CASE WHEN paren_gap > 0 THEN 1 ELSE 0 END)
+                    as bigint) AS n_paren_bad,
+               cast(sum(CASE WHEN bracket_gap > 0 THEN 1 ELSE 0 END)
+                    as bigint) AS n_bracket_bad,
+               cast(sum(CASE WHEN brace_gap > 0 THEN 1 ELSE 0 END)
+                    as bigint) AS n_brace_bad,
+               cast(sum(quote_odd) as bigint) AS n_quote_odd,
+               round(cast(sum(CASE WHEN paren_gap + bracket_gap + brace_gap
+                                        + quote_odd > 0
+                                   THEN 1 ELSE 0 END) as double)
+                     / count(*), 4) AS unbalanced_share
+        FROM t
+        GROUP BY source
+        ORDER BY source
+        """,
+    )
+
+
+ORACLE_BRACKET_BALANCE_AUDIT = """
+WITH t AS (
+  SELECT source,
+         abs((length(coalesce(text, ''))
+              - length(replace(coalesce(text, ''), '(', '')))
+             - (length(coalesce(text, ''))
+                - length(replace(coalesce(text, ''), ')', ''))))
+           AS paren_gap,
+         abs((length(coalesce(text, ''))
+              - length(replace(coalesce(text, ''), '[', '')))
+             - (length(coalesce(text, ''))
+                - length(replace(coalesce(text, ''), ']', ''))))
+           AS bracket_gap,
+         abs((length(coalesce(text, ''))
+              - length(replace(coalesce(text, ''), '{', '')))
+             - (length(coalesce(text, ''))
+                - length(replace(coalesce(text, ''), '}', ''))))
+           AS brace_gap,
+         (length(coalesce(text, ''))
+          - length(replace(coalesce(text, ''), '"', ''))) % 2 AS quote_odd
+  FROM documents
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN paren_gap > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_paren_bad,
+       sum(CASE WHEN bracket_gap > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_bracket_bad,
+       sum(CASE WHEN brace_gap > 0 THEN 1 ELSE 0 END)::BIGINT
+         AS n_brace_bad,
+       sum(quote_odd)::BIGINT AS n_quote_odd,
+       round(sum(CASE WHEN paren_gap + bracket_gap + brace_gap + quote_odd
+                          > 0
+                      THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+         AS unbalanced_share
+FROM t
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-cohort lifetime-value curve: users grouped by first-active
+    week, and for each week of age the active count, the value summed
+    that week, and the CUMULATIVE value per cohort member — the LTV
+    ramp.  `cohort_retention` says whether cohorts keep showing up;
+    this says whether they keep being WORTH anything, and the
+    cum-value-per-user column is the payback-period number acquisition
+    spend is judged against.
+
+    Scale shape: one corpus fold to the (user, week, value-sum) grid;
+    the cohort stamp is a min() window riding the same user-hash
+    partitioning; the (cohort, age) rollup and the cohort-size /
+    cumulative windows all run on |cohorts| x |ages| rows."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH uw AS (
+          SELECT user_id,
+                 cast(floor(unix_timestamp(ts) / 604800) as bigint) AS week,
+                 sum(value) AS v
+          FROM events
+          GROUP BY user_id, cast(floor(unix_timestamp(ts) / 604800)
+                                 as bigint)
+        ), marked AS (
+          SELECT user_id, week, v,
+                 min(week) OVER (PARTITION BY user_id) AS cohort
+          FROM uw
+        ), agg AS (
+          SELECT cohort, week - cohort AS age_weeks,
+                 cast(count(*) as bigint) AS active_users,
+                 sum(v) AS value_sum
+          FROM marked
+          GROUP BY cohort, week - cohort
+        )
+        SELECT cohort AS cohort_week, age_weeks, active_users,
+               first_value(active_users)
+                 OVER (PARTITION BY cohort ORDER BY age_weeks)
+                 AS cohort_size,
+               round(value_sum, 2) AS value_sum,
+               round(sum(value_sum)
+                       OVER (PARTITION BY cohort ORDER BY age_weeks
+                             ROWS UNBOUNDED PRECEDING)
+                     / first_value(active_users)
+                         OVER (PARTITION BY cohort ORDER BY age_weeks), 4)
+                 AS cum_value_per_user
+        FROM agg
+        ORDER BY cohort_week, age_weeks
+        """,
+    )
+
+
+ORACLE_COHORT_LTV_CURVE = """
+WITH uw AS (
+  SELECT user_id, floor(epoch(ts) / 604800)::BIGINT AS week, sum(value) AS v
+  FROM events
+  GROUP BY user_id, floor(epoch(ts) / 604800)::BIGINT
+), marked AS (
+  SELECT user_id, week, v, min(week) OVER (PARTITION BY user_id) AS cohort
+  FROM uw
+), agg AS (
+  SELECT cohort, week - cohort AS age_weeks,
+         count(*)::BIGINT AS active_users,
+         sum(v) AS value_sum
+  FROM marked
+  GROUP BY cohort, week - cohort
+)
+SELECT cohort AS cohort_week, age_weeks, active_users,
+       first_value(active_users)
+         OVER (PARTITION BY cohort ORDER BY age_weeks) AS cohort_size,
+       round(value_sum, 2) AS value_sum,
+       round(sum(value_sum) OVER (PARTITION BY cohort ORDER BY age_weeks
+                                  ROWS UNBOUNDED PRECEDING)
+             / first_value(active_users)
+                 OVER (PARTITION BY cohort ORDER BY age_weeks), 4)
+         AS cum_value_per_user
+FROM agg
+ORDER BY cohort_week, age_weeks
+"""
+
+
+def q_retail_price_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-vs-realized price reconciliation per brand: each part's
+    realized unit price (sum(extendedprice)/sum(quantity) across its
+    lineitems) divided by its p_retailprice header, folded to brand
+    grain — mean/min/max realization and the share of parts off by more
+    than 10% either way.  The third cross-table audit (status:
+    `order_line_status_consistency`, money: `order_total_reconciliation`,
+    and now PRICE): a brand whose realization drifts has a stale catalog
+    or a unit mismatch, which `part_price_dispersion` (within-part CV)
+    cannot see when every line is consistently wrong.
+
+    Scale shape: lineitem folds to one (ext, qty) pair per partkey
+    map-side BEFORE the partkey join (the join moves |parts| rows per
+    side, co-partitioned); the brand fold is the only other exchange.
+    Zero-qty/zero-retail parts yield NULL ratios via nullif and are
+    excluded from the shares by avg/count semantics, never a divide
+    error."""
+    return _sql(
+        spark, sf_dir, ["lineitem", "part"],
+        """
+        WITH pu AS (
+          SELECT l_partkey,
+                 sum(l_extendedprice) AS ext,
+                 sum(l_quantity) AS qty
+          FROM lineitem
+          GROUP BY l_partkey
+        ), r AS (
+          SELECT p_brand,
+                 (ext / nullif(qty, cast(0.0 as double)))
+                   / nullif(p_retailprice, cast(0.0 as double)) AS ratio
+          FROM pu JOIN part ON p_partkey = l_partkey
+        )
+        SELECT p_brand,
+               cast(count(*) as bigint) AS n_parts,
+               cast(count(ratio) as bigint) AS n_rated,
+               round(avg(ratio), 4) AS mean_realization,
+               round(min(ratio), 4) AS min_realization,
+               round(max(ratio), 4) AS max_realization,
+               round(cast(sum(CASE WHEN abs(ratio - 1.0) > 0.1
+                                   THEN 1 ELSE 0 END) as double)
+                     / greatest(count(ratio), 1), 4) AS off_by_10pct_share
+        FROM r
+        GROUP BY p_brand
+        ORDER BY p_brand
+        """,
+    )
+
+
+ORACLE_RETAIL_PRICE_REALIZATION = """
+WITH pu AS (
+  SELECT l_partkey, sum(l_extendedprice) AS ext, sum(l_quantity) AS qty
+  FROM lineitem
+  GROUP BY l_partkey
+), r AS (
+  SELECT p_brand,
+         (ext / nullif(qty, 0.0::DOUBLE))
+           / nullif(p_retailprice, 0.0::DOUBLE) AS ratio
+  FROM pu JOIN part ON p_partkey = l_partkey
+)
+SELECT p_brand,
+       count(*)::BIGINT AS n_parts,
+       count(ratio)::BIGINT AS n_rated,
+       round(avg(ratio), 4) AS mean_realization,
+       round(min(ratio), 4) AS min_realization,
+       round(max(ratio), 4) AS max_realization,
+       round(sum(CASE WHEN abs(ratio - 1.0) > 0.1 THEN 1 ELSE 0 END)::DOUBLE
+             / greatest(count(ratio), 1), 4) AS off_by_10pct_share
+FROM r
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -20816,6 +21063,13 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
         q_price_qty_elasticity, ORACLE_PRICE_QTY_ELASTICITY,
     ),
     "fd_violation_audit": (q_fd_violation_audit, ORACLE_FD_VIOLATION_AUDIT),
+    "bracket_balance_audit": (
+        q_bracket_balance_audit, ORACLE_BRACKET_BALANCE_AUDIT,
+    ),
+    "cohort_ltv_curve": (q_cohort_ltv_curve, ORACLE_COHORT_LTV_CURVE),
+    "retail_price_realization": (
+        q_retail_price_realization, ORACLE_RETAIL_PRICE_REALIZATION,
+    ),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

@@ -2190,3 +2190,39 @@ def test_fd_violation_audit_five_scans_no_join(spark, registry):
     assert final.count("Scan parquet") == 5
     assert "Join" not in final
     assert "Union" in final
+
+
+def test_bracket_balance_audit_codegen_single_scan(spark, registry):
+    """Delimiter counts are length/replace expressions — one scan, no
+    regex Generate, no join, no window."""
+    df = registry["bracket_balance_audit"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Generate" not in final
+    assert "Window" not in final
+
+
+def test_cohort_ltv_curve_single_scan_windows(spark, registry):
+    """One fold to the (user, week) grid; cohort stamp and cumulative
+    windows ride grouped tables — no joins."""
+    df = registry["cohort_ltv_curve"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Window" in final
+
+
+def test_retail_price_realization_fold_before_join(spark, registry):
+    """Lineitem folds to one (ext, qty) pair per partkey BEFORE the
+    partkey join with part."""
+    df = registry["retail_price_realization"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    fmt = _formatted(df)
+    assert "CartesianProduct" not in final
+    assert final.count("Scan parquet") == 2
+    assert fmt.index("HashAggregate") < fmt.index("Join") or \
+        "BroadcastHashJoin" in final
