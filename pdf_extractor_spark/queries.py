@@ -20568,6 +20568,238 @@ ORDER BY p_brand
 """
 
 
+_PROFILE_COLUMNS = [
+    ("documents", "lang"), ("documents", "source"),
+    ("orders", "o_orderstatus"), ("orders", "o_orderpriority"),
+    ("events", "event_type"),
+    ("lineitem", "l_returnflag"), ("lineitem", "l_linestatus"),
+    ("customer", "c_mktsegment"),
+    ("part", "p_brand"), ("part", "p_type"),
+]
+
+_COLUMN_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{t}.{c}' AS column_name,
+           cast(count(*) as bigint) AS n_rows,
+           cast(count(*) - count({c}) as bigint) AS n_null,
+           round(cast(count(*) - count({c}) as double)
+                 / greatest(count(*), 1), 4) AS null_share,
+           cast(count(DISTINCT {c}) as bigint) AS n_distinct,
+           min({c}) AS min_val,
+           max({c}) AS max_val
+    FROM {t}
+    """
+    for t, c in _PROFILE_COLUMNS
+) + "\nORDER BY column_name"
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null/cardinality column profile — data-profiling 101 over the ten
+    categorical columns every downstream op keys or groups on: row
+    count, NULL count and share, exact distinct count, and the min/max
+    value per column.  A priority column whose n_distinct jumps from 5
+    to 6 ('1-URGENT ' with a trailing space) or a lang column that
+    starts growing NULLs breaks half the catalog silently;
+    `column_bytes_profile` sizes the columns, this one audits their
+    VALUES.  The SQL is deliberately engine-neutral ANSI — the same
+    string runs on Spark and DuckDB, so the parity check exercises two
+    executors, not two dialects.
+
+    Scale shape: one UNION leg per column, each a scalar aggregate over
+    a scan column-pruned to exactly that column (parquet reads one
+    column per leg); no joins, no windows; output is 10 rows."""
+    return _sql(
+        spark, sf_dir,
+        ["documents", "orders", "events", "lineitem", "customer", "part"],
+        _COLUMN_PROFILE_SQL,
+    )
+
+
+ORACLE_COLUMN_PROFILE = _COLUMN_PROFILE_SQL
+
+
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch purchase attribution: each purchase credits the user's
+    most recent NON-purchase event within a 1-hour lookback ('direct'
+    when there is none or it is stale) — the classic marketing
+    attribution table.  `event_funnel` measures whether paths convert;
+    this assigns each conversion to the channel that gets the credit,
+    which is the number budget meetings actually fight over.
+
+    Scale shape: ONE user-hash exchange — both ignore-nulls last_value
+    windows (the carried type and its timestamp share one mask) ride the
+    same (user, time) sort; purchases then fold to a |channels|-row
+    table whose share window is trivial.  No self-join, no range join —
+    the lookback is resolved inside the window frame."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 unix_timestamp(ts) AS sec
+          FROM events
+        ), w AS (
+          SELECT user_id, event_type, sec,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END, true)
+                   OVER (PARTITION BY user_id ORDER BY sec, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS src_type,
+                 last_value(CASE WHEN event_type <> 'purchase'
+                                 THEN sec END, true)
+                   OVER (PARTITION BY user_id ORDER BY sec, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS src_sec
+          FROM e
+        ), p AS (
+          SELECT CASE WHEN src_sec IS NOT NULL AND src_sec >= sec - 3600
+                      THEN src_type ELSE 'direct' END AS channel
+          FROM w WHERE event_type = 'purchase'
+        )
+        SELECT channel,
+               cast(count(*) as bigint) AS n_purchases,
+               round(cast(count(*) as double) / sum(count(*)) OVER (), 4)
+                 AS share
+        FROM p
+        GROUP BY channel
+        ORDER BY channel
+        """,
+    )
+
+
+ORACLE_LAST_TOUCH_ATTRIBUTION = """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         floor(epoch(ts))::BIGINT AS sec
+  FROM events
+), w AS (
+  SELECT user_id, event_type, sec,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY sec, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS src_type,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN sec END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY sec, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS src_sec
+  FROM e
+), p AS (
+  SELECT CASE WHEN src_sec IS NOT NULL AND src_sec >= sec - 3600
+              THEN src_type ELSE 'direct' END AS channel
+  FROM w WHERE event_type = 'purchase'
+)
+SELECT channel,
+       count(*)::BIGINT AS n_purchases,
+       round(count(*)::DOUBLE / sum(count(*)) OVER (), 4) AS share
+FROM p
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+_CROSS_SELL_MIN_SUPPORT = 5
+
+
+def q_brand_cross_sell_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket brand affinity: for brand pairs bought by at least
+    {min_support} common customers, the co-purchase count, each brand's
+    customer reach, the pair support, and the LIFT vs independence —
+    top 20 by lift.  The one classical retail-analytics shape the
+    catalog lacked: `segment_priority_affinity` tests independence of
+    two COLUMNS; this finds the dependent PAIRS inside one column's
+    value set, the recommender seed.
+
+    Scale shape: the 3-table join folds to the distinct (customer,
+    brand) cell table, which is eagerly localCheckpoint-ed and SHARED
+    (the minhash_est_error discipline — Spark inlines CTEs, so without
+    the checkpoint the join subtree would run three times: marginals +
+    both self-join sides).  The self-join fans out at most
+    |brands-per-customer|^2 per customer (bounded by the brand
+    universe, ~25 here), marginals broadcast into the <= |brands|^2
+    pair table, and the customer-universe denominator is one tiny
+    scalar count.  Lift/support are integer products in doubles —
+    bit-identical across engines — rounded BEFORE the rank so the
+    top-20 cut is deterministic (ties broken by brand pair)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pt = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    n_total = float(_t(spark, sf_dir, "customer").count())
+    cell = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(pt, li.l_partkey == pt.p_partkey)
+        .select(F.col("o_custkey").alias("cust"),
+                F.col("p_brand").alias("brand"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bc = cell.groupBy("brand").agg(F.count("*").alias("n_cust"))
+    a = cell.select("cust", F.col("brand").alias("brand_a"))
+    b = cell.select("cust", F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "cust")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    return (
+        pairs
+        .join(F.broadcast(bc.select(F.col("brand").alias("brand_a"),
+                                    F.col("n_cust").alias("n_a"))),
+              "brand_a")
+        .join(F.broadcast(bc.select(F.col("brand").alias("brand_b"),
+                                    F.col("n_cust").alias("n_b"))),
+              "brand_b")
+        .where(F.col("n_both") >= _CROSS_SELL_MIN_SUPPORT)
+        .select(
+            "brand_a", "brand_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(F.col("n_both") / F.lit(n_total), 4).alias("support"),
+            F.round(F.col("n_both") * F.lit(n_total)
+                    / (F.col("n_a") * F.col("n_b")), 4).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+q_brand_cross_sell_lift.__doc__ = q_brand_cross_sell_lift.__doc__.format(
+    min_support=_CROSS_SELL_MIN_SUPPORT
+)
+
+
+ORACLE_BRAND_CROSS_SELL_LIFT = f"""
+WITH cell AS (
+  SELECT DISTINCT o_custkey AS cust, p_brand AS brand
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN part ON p_partkey = l_partkey
+), bc AS (
+  SELECT brand, count(*)::BIGINT AS n_cust FROM cell GROUP BY brand
+), tot AS (
+  SELECT count(*)::DOUBLE AS n_total FROM customer
+), pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*)::BIGINT AS n_both
+  FROM cell a JOIN cell b ON a.cust = b.cust AND a.brand < b.brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b, n_both,
+       ba.n_cust AS n_a, bb.n_cust AS n_b,
+       round(n_both / n_total, 4) AS support,
+       round(n_both * n_total / (ba.n_cust * bb.n_cust), 4) AS lift
+FROM pairs
+JOIN bc ba ON ba.brand = brand_a
+JOIN bc bb ON bb.brand = brand_b
+CROSS JOIN tot
+WHERE n_both >= {_CROSS_SELL_MIN_SUPPORT}
+ORDER BY lift DESC, brand_a, brand_b
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -21069,6 +21301,13 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "cohort_ltv_curve": (q_cohort_ltv_curve, ORACLE_COHORT_LTV_CURVE),
     "retail_price_realization": (
         q_retail_price_realization, ORACLE_RETAIL_PRICE_REALIZATION,
+    ),
+    "column_profile": (q_column_profile, ORACLE_COLUMN_PROFILE),
+    "last_touch_attribution": (
+        q_last_touch_attribution, ORACLE_LAST_TOUCH_ATTRIBUTION,
+    ),
+    "brand_cross_sell_lift": (
+        q_brand_cross_sell_lift, ORACLE_BRAND_CROSS_SELL_LIFT,
     ),
 }
 

@@ -2226,3 +2226,42 @@ def test_retail_price_realization_fold_before_join(spark, registry):
     assert final.count("Scan parquet") == 2
     assert fmt.index("HashAggregate") < fmt.index("Join") or \
         "BroadcastHashJoin" in final
+
+
+def test_column_profile_one_pruned_scan_per_leg(spark, registry):
+    """Ten union legs, each a scalar aggregate over a single-column
+    pruned scan; no joins."""
+    df = registry["column_profile"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 10
+    assert "Join" not in final
+    assert "Union" in final
+
+
+def test_last_touch_attribution_single_exchange(spark, registry):
+    """Both ignore-nulls windows ride one (user, time) sort; one scan,
+    no self-join."""
+    df = registry["last_touch_attribution"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    # the two last_value functions share ONE Window operator; the only
+    # other Window is the share sum over the grouped |channels| table
+    assert final.count("Window") == 2
+    lv_lines = [ln for ln in final.splitlines() if "last_value" in ln]
+    assert len(lv_lines) == 1 and lv_lines[0].count("last_value") == 2
+
+
+def test_brand_cross_sell_checkpoint_and_broadcast_marginals(spark, registry):
+    """The (customer, brand) cell table is checkpointed (plan shows the
+    ExistingRDD scan, not three copies of the 3-table join) and the
+    brand marginals broadcast into the pair table."""
+    df = registry["brand_cross_sell_lift"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    # base parquet scans must NOT appear: the checkpoint cut them off
+    assert "Scan parquet" not in final
+    assert final.count("BroadcastHashJoin") >= 2
