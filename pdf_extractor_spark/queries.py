@@ -20800,6 +20800,236 @@ LIMIT 20
 """
 
 
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard for a deterministic 50/50 user split:
+    users are hashed into two arms (the `dedup_aware_split` md5 idiom),
+    and each week the arm counts, the binomial z-score, and the SRM flag
+    at the conventional |z| > 3.2905 (p < 0.001) threshold are reported.
+    SRM is the first invariant every experimentation platform checks —
+    a flagged week means assignment, logging, or bot filtering broke,
+    and every A/B readout that week is garbage regardless of its
+    p-value.  Run on the synthetic feed it also certifies the hash
+    split itself is unbiased.
+
+    Scale shape: ONE corpus fold to the distinct (week, user, arm) grid
+    — the arm is a pure in-row hash, no assignment table to join — then
+    a |weeks|-row aggregate; z is algebra on two counts."""
+    h = _SPARK_MD5INT.format(x="cast(user_id as string)")
+    return _sql(
+        spark, sf_dir, ["events"],
+        f"""
+        WITH u AS (
+          SELECT DISTINCT
+                 cast(floor(unix_timestamp(ts) / 604800) as bigint) AS week,
+                 user_id,
+                 {h} % 2 AS arm
+          FROM events
+        ), g AS (
+          SELECT week,
+                 sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+                 sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b
+          FROM u GROUP BY week
+        )
+        SELECT week,
+               cast(n_a as bigint) AS n_a,
+               cast(n_b as bigint) AS n_b,
+               round((n_a - n_b)
+                     / sqrt(cast(greatest(n_a + n_b, 1) as double)), 4)
+                 AS z_score,
+               abs(n_a - n_b)
+                 / sqrt(cast(greatest(n_a + n_b, 1) as double)) > 3.2905
+                 AS srm_flag
+        FROM g
+        ORDER BY week
+        """,
+    )
+
+
+ORACLE_SRM_CHECK = f"""
+WITH u AS (
+  SELECT DISTINCT floor(epoch(ts) / 604800)::BIGINT AS week,
+         user_id,
+         {_DUCK_MD5INT.format(x="user_id::VARCHAR")} % 2 AS arm
+  FROM events
+), g AS (
+  SELECT week,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b
+  FROM u GROUP BY week
+)
+SELECT week,
+       n_a::BIGINT AS n_a,
+       n_b::BIGINT AS n_b,
+       round((n_a - n_b) / sqrt(greatest(n_a + n_b, 1)::DOUBLE), 4)
+         AS z_score,
+       abs(n_a - n_b) / sqrt(greatest(n_a + n_b, 1)::DOUBLE) > 3.2905
+         AS srm_flag
+FROM g
+ORDER BY week
+"""
+
+
+_SHIFT_CUT = "1998-06-01 00:00:00"
+
+
+def q_mean_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oaxaca-style decomposition of WHY mean order value moved between
+    the early and late halves of the order history: per priority group,
+    the mix contribution ((share2 - share1) x mean1, the average moved
+    because WHO orders changed) and the within contribution
+    (share2 x (mean2 - mean1), the average moved because the group
+    itself changed), summing exactly to the total delta repeated on
+    every row.  The monitoring question behind it — "did the corpus
+    mean move because sources re-weighted or because a source drifted"
+    — is the one `psi_drift`/`ks_drift` CANNOT answer: they detect the
+    move, this attributes it.
+
+    Scale shape: ONE scan folds to (group, period) sums; the pivot,
+    shares, and the identity-check window all run on |groups| rows."""
+    return _sql(
+        spark, sf_dir, ["orders"],
+        f"""
+        WITH g AS (
+          SELECT o_orderpriority AS grp,
+                 CASE WHEN o_orderdate < timestamp '{_SHIFT_CUT}'
+                      THEN 1 ELSE 2 END AS period,
+                 cast(count(*) as double) AS n,
+                 sum(o_totalprice) AS s
+          FROM orders
+          GROUP BY o_orderpriority,
+                   CASE WHEN o_orderdate < timestamp '{_SHIFT_CUT}'
+                        THEN 1 ELSE 2 END
+        ), p AS (
+          SELECT grp,
+                 sum(CASE WHEN period = 1 THEN n ELSE 0 END) AS n1,
+                 sum(CASE WHEN period = 2 THEN n ELSE 0 END) AS n2,
+                 sum(CASE WHEN period = 1 THEN s ELSE 0 END) AS s1,
+                 sum(CASE WHEN period = 2 THEN s ELSE 0 END) AS s2
+          FROM g GROUP BY grp
+        ), m AS (
+          SELECT grp, n1, n2,
+                 s1 / nullif(n1, cast(0.0 as double)) AS m1,
+                 s2 / nullif(n2, cast(0.0 as double)) AS m2,
+                 n1 / nullif(sum(n1) OVER (), cast(0.0 as double)) AS sh1,
+                 n2 / nullif(sum(n2) OVER (), cast(0.0 as double)) AS sh2,
+                 sum(s2) OVER () / nullif(sum(n2) OVER (),
+                                          cast(0.0 as double))
+                   - sum(s1) OVER () / nullif(sum(n1) OVER (),
+                                              cast(0.0 as double))
+                   AS total_delta
+          FROM p
+        )
+        SELECT grp AS o_orderpriority,
+               cast(n1 as bigint) AS n_early,
+               cast(n2 as bigint) AS n_late,
+               round(m1, 2) AS mean_early,
+               round(m2, 2) AS mean_late,
+               round(sh1, 4) AS share_early,
+               round(sh2, 4) AS share_late,
+               round((sh2 - sh1) * m1, 2) AS mix_contrib,
+               round(sh2 * (m2 - m1), 2) AS within_contrib,
+               round(total_delta, 2) AS total_delta
+        FROM m
+        ORDER BY o_orderpriority
+        """,
+    )
+
+
+ORACLE_MEAN_SHIFT_DECOMPOSITION = f"""
+WITH g AS (
+  SELECT o_orderpriority AS grp,
+         CASE WHEN o_orderdate < TIMESTAMP '{_SHIFT_CUT}'
+              THEN 1 ELSE 2 END AS period,
+         count(*)::DOUBLE AS n,
+         sum(o_totalprice) AS s
+  FROM orders
+  GROUP BY 1, 2
+), p AS (
+  SELECT grp,
+         sum(CASE WHEN period = 1 THEN n ELSE 0 END) AS n1,
+         sum(CASE WHEN period = 2 THEN n ELSE 0 END) AS n2,
+         sum(CASE WHEN period = 1 THEN s ELSE 0 END) AS s1,
+         sum(CASE WHEN period = 2 THEN s ELSE 0 END) AS s2
+  FROM g GROUP BY grp
+), m AS (
+  SELECT grp, n1, n2,
+         s1 / nullif(n1, 0.0) AS m1,
+         s2 / nullif(n2, 0.0) AS m2,
+         n1 / nullif(sum(n1) OVER (), 0.0) AS sh1,
+         n2 / nullif(sum(n2) OVER (), 0.0) AS sh2,
+         sum(s2) OVER () / nullif(sum(n2) OVER (), 0.0)
+           - sum(s1) OVER () / nullif(sum(n1) OVER (), 0.0) AS total_delta
+  FROM p
+)
+SELECT grp AS o_orderpriority,
+       n1::BIGINT AS n_early,
+       n2::BIGINT AS n_late,
+       round(m1, 2) AS mean_early,
+       round(m2, 2) AS mean_late,
+       round(sh1, 4) AS share_early,
+       round(sh2, 4) AS share_late,
+       round((sh2 - sh1) * m1, 2) AS mix_contrib,
+       round(sh2 * (m2 - m1), 2) AS within_contrib,
+       round(total_delta, 2) AS total_delta
+FROM m
+ORDER BY o_orderpriority
+"""
+
+
+_ANOVA_SQL = """
+WITH g AS (
+  SELECT source,
+         cast(count(*) as double) AS n,
+         sum(cast(n_chars as double)) AS s,
+         sum(cast(n_chars as double) * cast(n_chars as double)) AS q
+  FROM documents
+  GROUP BY source
+), t AS (
+  SELECT sum(n) AS nn, sum(s) AS ss, sum(q) AS qq,
+         cast(count(*) as double) AS k,
+         sum(q - s * s / nullif(n, cast(0.0 as double))) AS ssw
+  FROM g
+)
+SELECT cast(nn as bigint) AS n_rows,
+       cast(k as bigint) AS n_groups,
+       round((qq - ss * ss / nullif(nn, cast(0.0 as double)))
+             / nullif(nn, cast(0.0 as double)), 2) AS var_total,
+       round(ssw / nullif(nn, cast(0.0 as double)), 2) AS var_within,
+       round(((qq - ss * ss / nullif(nn, cast(0.0 as double))) - ssw)
+             / nullif(nn, cast(0.0 as double)), 2) AS var_between,
+       round(((qq - ss * ss / nullif(nn, cast(0.0 as double))) - ssw)
+             / nullif(qq - ss * ss / nullif(nn, cast(0.0 as double)),
+                      cast(0.0 as double)), 4) AS eta_squared,
+       round((((qq - ss * ss / nullif(nn, cast(0.0 as double))) - ssw)
+              / nullif(k - 1, cast(0.0 as double)))
+             / nullif(ssw / nullif(nn - k, cast(0.0 as double)),
+                      cast(0.0 as double)), 4) AS f_stat
+FROM t
+"""
+
+
+def q_anova_variance_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA decomposition of document length by source:
+    total/within/between variance, eta-squared (the share of length
+    variance EXPLAINED by source membership), and the F statistic.
+    This is the sampling-design dial `stratified_sample` and
+    `weighted_sample` implicitly bet on — a high eta² means stratifying
+    by source buys real variance reduction (design effect ~ 1 - eta²),
+    a near-zero one means the strata are cosmetic.  `source_length_ttest`
+    compares ONE pair of sources; this scores the whole partition in
+    one number.
+
+    All sums are integer-valued doubles below 2^53, so the moments are
+    bit-exact across engines and the same ANSI string runs on both.
+
+    Scale shape: one map-side-combinable grouped-moment fold to
+    |sources| rows, one scalar fold; no joins, no windows."""
+    return _sql(spark, sf_dir, ["documents"], _ANOVA_SQL)
+
+
+ORACLE_ANOVA_VARIANCE_DECOMPOSITION = _ANOVA_SQL
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -21308,6 +21538,13 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     ),
     "brand_cross_sell_lift": (
         q_brand_cross_sell_lift, ORACLE_BRAND_CROSS_SELL_LIFT,
+    ),
+    "srm_check": (q_srm_check, ORACLE_SRM_CHECK),
+    "mean_shift_decomposition": (
+        q_mean_shift_decomposition, ORACLE_MEAN_SHIFT_DECOMPOSITION,
+    ),
+    "anova_variance_decomposition": (
+        q_anova_variance_decomposition, ORACLE_ANOVA_VARIANCE_DECOMPOSITION,
     ),
 }
 

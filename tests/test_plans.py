@@ -2265,3 +2265,34 @@ def test_brand_cross_sell_checkpoint_and_broadcast_marginals(spark, registry):
     # base parquet scans must NOT appear: the checkpoint cut them off
     assert "Scan parquet" not in final
     assert final.count("BroadcastHashJoin") >= 2
+
+
+def test_srm_check_single_scan_no_join(spark, registry):
+    """Arm assignment is an in-row hash; one fold to the (week, user,
+    arm) grid then a |weeks|-row aggregate."""
+    df = registry["srm_check"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+
+
+def test_mean_shift_decomposition_windows_over_groups(spark, registry):
+    """One scan to (group, period) sums; pivot + identity windows run
+    over |groups| rows, no join."""
+    df = registry["mean_shift_decomposition"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Window" in final
+
+
+def test_anova_decomposition_pure_fold(spark, registry):
+    """Grouped moments then one scalar fold: no join, no window."""
+    df = registry["anova_variance_decomposition"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Window" not in final
