@@ -2296,3 +2296,39 @@ def test_anova_decomposition_pure_fold(spark, registry):
     assert final.count("Scan parquet") == 1
     assert "Join" not in final
     assert "Window" not in final
+
+
+def test_customer_active_streaks_single_scan(spark, registry):
+    """Distinct (customer, month) grid, dense_rank island stamp riding
+    the customer hash, grid re-aggregations — one scan, no join."""
+    df = registry["customer_active_streaks"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Window" in final
+
+
+def test_naive_forecast_backtest_one_sort(spark, registry):
+    """All four lag columns (two values, two contiguity stamps) share
+    ONE Window operator over the (type, hour) sort.  Pinned on the
+    pre-adaptive plan: at tiny SF no hour has a contiguous lag-24
+    predecessor, the result is empty, and AQE legitimately collapses
+    the whole query to an EmptyRelation."""
+    df = registry["naive_forecast_backtest"][0](spark, SF_DIR)
+    static = df._jdf.queryExecution().sparkPlan().toString()
+    assert static.count("Scan parquet") == 1
+    assert "Join" not in static
+    lag_lines = [ln for ln in static.splitlines()
+                 if "lag(" in ln and "Window" in ln]
+    assert len(lag_lines) == 1 and lag_lines[0].count("lag(") == 4
+
+
+def test_order_bundle_profile_no_join(spark, registry):
+    """Lineitem folds to per-order (n_lines, net) map-side; histogram
+    and share window over <= |max bundle| rows."""
+    df = registry["order_bundle_profile"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
