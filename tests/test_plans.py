@@ -2332,3 +2332,38 @@ def test_order_bundle_profile_no_join(spark, registry):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert final.count("Scan parquet") == 1
     assert "Join" not in final
+
+
+def test_cuped_scalar_broadcast_not_global_window(spark, registry):
+    """The cut week is a 1-row broadcast cross join, never a global
+    window over the user grid; the user fold is the only exchange."""
+    df = registry["cuped_variance_reduction"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final
+    assert final.count("Scan parquet") == 2  # metric scan + 1-col min scan
+
+
+def test_ratio_metric_delta_ci_pure_folds(spark, registry):
+    """Arm is an in-row hash; (user, arm) fold then per-arm moments —
+    no join, no window."""
+    df = registry["ratio_metric_delta_ci"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Window" not in final
+
+
+def test_event_trigram_motifs_one_sort(spark, registry):
+    """Both lead columns share ONE Window over the (user, time) sort;
+    the motif fold + rounded-rank limit follow."""
+    df = registry["event_trigram_motifs"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    lead_lines = [ln for ln in final.splitlines()
+                  if "lead(" in ln and "Window" in ln]
+    assert len(lead_lines) == 1 and lead_lines[0].count("lead(") == 2
