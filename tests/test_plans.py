@@ -2367,3 +2367,36 @@ def test_event_trigram_motifs_one_sort(spark, registry):
     lead_lines = [ln for ln in final.splitlines()
                   if "lead(" in ln and "Window" in ln]
     assert len(lead_lines) == 1 and lead_lines[0].count("lead(") == 2
+
+
+def test_hill_tail_index_take_ordered_not_global_sort(spark, registry):
+    """The top-k tail plans as TakeOrderedAndProject (per-partition
+    heaps), never a full global Sort of the corpus."""
+    df = registry["hill_tail_index"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "TakeOrderedAndProject" in final
+    assert "Join" not in final
+    assert final.count("Scan parquet") == 1
+
+
+def test_eb_shrinkage_windows_over_brand_table(spark, registry):
+    """One grouped-moment fold; all EB components are windows over the
+    |brands| table — one scan, no join."""
+    df = registry["eb_shrunken_brand_means"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Window" in final
+
+
+def test_slo_burn_rate_range_windows_over_hours(spark, registry):
+    """Corpus collapses to |hours| rows before the RANGE burn windows;
+    one scan, no join."""
+    df = registry["slo_burn_rate"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "specifiedwindowframe(RangeFrame" in final
