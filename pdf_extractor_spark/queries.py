@@ -21725,6 +21725,324 @@ ORDER BY hour
 """
 
 
+def q_did_aa_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on the A/A hash split: per user the
+    post-minus-pre value delta (cut at min-week + 2, the CUPED cut),
+    per md5 arm the delta moments, and the DiD estimate with its
+    two-sample CI.  Because the arms are a NULL experiment, the honest
+    readout is "CI covers zero" — the platform-validation run every
+    experimentation stack must pass before anyone trusts a real
+    readout from the same machinery (`srm_check` validates assignment
+    counts; this validates the ESTIMATOR).
+
+    Scale shape: 1-row broadcast cut, one user-keyed fold, per-arm
+    moment fold, then a 2-row pivot — no corpus-sized window."""
+    wk = "cast(floor(unix_timestamp(ts) / 604800) as bigint)"
+    h = _SPARK_MD5INT.format(x="cast(user_id as string)")
+    return _sql(
+        spark, sf_dir, ["events"],
+        f"""
+        WITH base AS (
+          SELECT cast(floor(unix_timestamp(min(ts)) / 604800) as bigint)
+                   + 2 AS cut
+          FROM events
+        ), u AS (
+          SELECT user_id, {h} % 2 AS arm,
+                 sum(CASE WHEN {wk} >= cut THEN value ELSE 0.0 END)
+                   - sum(CASE WHEN {wk} < cut THEN value ELSE 0.0 END)
+                   AS delta
+          FROM events CROSS JOIN base
+          GROUP BY user_id, {h} % 2
+        ), m AS (
+          SELECT arm, cast(count(*) as double) AS n,
+                 avg(delta) AS mu,
+                 (sum(delta * delta) - pow(sum(delta), 2) / count(*))
+                   / nullif(cast(count(*) as double) - 1,
+                            cast(0.0 as double)) AS s2
+          FROM u GROUP BY arm
+        ), p AS (
+          SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+                 max(CASE WHEN arm = 1 THEN n END) AS n1,
+                 max(CASE WHEN arm = 0 THEN mu END) AS mu0,
+                 max(CASE WHEN arm = 1 THEN mu END) AS mu1,
+                 max(CASE WHEN arm = 0 THEN s2 END) AS s20,
+                 max(CASE WHEN arm = 1 THEN s2 END) AS s21
+          FROM m
+        )
+        SELECT cast(n0 as bigint) AS n_arm0,
+               cast(n1 as bigint) AS n_arm1,
+               round(mu0, 4) AS mean_delta_arm0,
+               round(mu1, 4) AS mean_delta_arm1,
+               round(mu1 - mu0, 4) AS did_estimate,
+               round(sqrt(s20 / n0 + s21 / n1), 4) AS se,
+               round(mu1 - mu0 - 1.96 * sqrt(s20 / n0 + s21 / n1), 4)
+                 AS ci_lo,
+               round(mu1 - mu0 + 1.96 * sqrt(s20 / n0 + s21 / n1), 4)
+                 AS ci_hi,
+               (abs(mu1 - mu0) <= 1.96 * sqrt(s20 / n0 + s21 / n1))
+                 AS null_respected
+        FROM p
+        """,
+    )
+
+
+ORACLE_DID_AA_VALIDATION = f"""
+WITH base AS (
+  SELECT floor(epoch(min(ts)) / 604800)::BIGINT + 2 AS cut FROM events
+), u AS (
+  SELECT user_id, {_DUCK_MD5INT.format(x="user_id::VARCHAR")} % 2 AS arm,
+         sum(CASE WHEN floor(epoch(ts) / 604800)::BIGINT >= cut
+                  THEN value ELSE 0.0 END)
+           - sum(CASE WHEN floor(epoch(ts) / 604800)::BIGINT < cut
+                      THEN value ELSE 0.0 END) AS delta
+  FROM events CROSS JOIN base
+  GROUP BY 1, 2
+), m AS (
+  SELECT arm, count(*)::DOUBLE AS n,
+         avg(delta) AS mu,
+         (sum(delta * delta) - pow(sum(delta), 2) / count(*))
+           / nullif(count(*)::DOUBLE - 1, 0.0) AS s2
+  FROM u GROUP BY arm
+), p AS (
+  SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+         max(CASE WHEN arm = 1 THEN n END) AS n1,
+         max(CASE WHEN arm = 0 THEN mu END) AS mu0,
+         max(CASE WHEN arm = 1 THEN mu END) AS mu1,
+         max(CASE WHEN arm = 0 THEN s2 END) AS s20,
+         max(CASE WHEN arm = 1 THEN s2 END) AS s21
+  FROM m
+)
+SELECT n0::BIGINT AS n_arm0,
+       n1::BIGINT AS n_arm1,
+       round(mu0, 4) AS mean_delta_arm0,
+       round(mu1, 4) AS mean_delta_arm1,
+       round(mu1 - mu0, 4) AS did_estimate,
+       round(sqrt(s20 / n0 + s21 / n1), 4) AS se,
+       round(mu1 - mu0 - 1.96 * sqrt(s20 / n0 + s21 / n1), 4) AS ci_lo,
+       round(mu1 - mu0 + 1.96 * sqrt(s20 / n0 + s21 / n1), 4) AS ci_hi,
+       (abs(mu1 - mu0) <= 1.96 * sqrt(s20 / n0 + s21 / n1))
+         AS null_respected
+FROM p
+"""
+
+
+# Zelen & Severo 26.2.17 tail polynomial for the standard normal CDF —
+# spelled identically in both engines so p-values agree bit-for-bit up
+# to libm's exp().
+def _normal_tail_p(z: str) -> str:
+    k = f"(1.0 / (1.0 + 0.2316419 * abs({z})))"
+    poly = (
+        f"(0.319381530 * {k} - 0.356563782 * pow({k}, 2)"
+        f" + 1.781477937 * pow({k}, 3) - 1.821255978 * pow({k}, 4)"
+        f" + 1.330274429 * pow({k}, 5))"
+    )
+    return (
+        f"(2.0 * exp(-abs({z}) * abs({z}) / 2.0)"
+        f" / sqrt(2.0 * pi()) * {poly})"
+    )
+
+
+_BH_Q = 0.05
+
+
+def q_bh_discovery_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg-controlled scan for sources whose mean length
+    deviates from the corpus: per source a one-sample z against the
+    grand mean, a two-sided p from the shared normal-tail polynomial,
+    and the BH step-up at q = {q} — the multiple-testing control every
+    "scan all N sources for anomalies" loop needs, because at 20
+    sources the naive p < 0.05 rule fires a false alarm every run by
+    construction.  `source_length_ttest` tests ONE pair honestly; this
+    scans ALL sources honestly.
+
+    Scale shape: one grouped-moment fold to |sources| rows; grand mean,
+    p ranks, and the step-up cutoff are windows over that tiny table."""
+    p_expr = _normal_tail_p("z")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH g AS (
+          SELECT source, cast(count(*) as double) AS n,
+                 avg(cast(n_chars as double)) AS m,
+                 (sum(cast(n_chars as double) * n_chars)
+                  - pow(sum(cast(n_chars as double)), 2) / count(*))
+                 / nullif(cast(count(*) as double) - 1,
+                          cast(0.0 as double)) AS s2
+          FROM documents GROUP BY source
+        ), z AS (
+          SELECT source, n, m,
+                 (m - sum(n * m) OVER () / sum(n) OVER ())
+                   / nullif(sqrt(s2 / n), cast(0.0 as double)) AS z
+          FROM g
+        ), p AS (
+          SELECT source, n, m, z, {p_expr} AS p
+          FROM z WHERE z IS NOT NULL
+        ), r AS (
+          SELECT source, n, m, z, p,
+                 row_number() OVER (ORDER BY p, source) AS i,
+                 count(*) OVER () AS nsrc
+          FROM p
+        ), cut AS (
+          SELECT source, n, m, z, p, i, nsrc,
+                 max(CASE WHEN p <= i * cast({_BH_Q} as double) / nsrc
+                          THEN i ELSE 0 END)
+                   OVER () AS i_star
+          FROM r
+        )
+        SELECT source,
+               cast(n as bigint) AS n_docs,
+               round(m, 2) AS mean_chars,
+               round(z, 4) AS z_score,
+               round(p, 6) AS p_value,
+               round(i * cast({_BH_Q} as double) / nsrc, 6) AS bh_cutoff,
+               (i <= i_star) AS discovery
+        FROM cut
+        ORDER BY p_value, source
+        """,
+    )
+
+
+q_bh_discovery_scan.__doc__ = q_bh_discovery_scan.__doc__.format(q=_BH_Q)
+
+
+ORACLE_BH_DISCOVERY_SCAN = f"""
+WITH g AS (
+  SELECT source, count(*)::DOUBLE AS n,
+         avg(n_chars::DOUBLE) AS m,
+         (sum(n_chars::DOUBLE * n_chars)
+          - pow(sum(n_chars::DOUBLE), 2) / count(*))
+         / nullif(count(*)::DOUBLE - 1, 0.0) AS s2
+  FROM documents GROUP BY source
+), z AS (
+  SELECT source, n, m,
+         (m - sum(n * m) OVER () / sum(n) OVER ())
+           / nullif(sqrt(s2 / n), 0.0) AS z
+  FROM g
+), p AS (
+  SELECT source, n, m, z, {_normal_tail_p("z")} AS p
+  FROM z WHERE z IS NOT NULL
+), r AS (
+  SELECT source, n, m, z, p,
+         row_number() OVER (ORDER BY p, source) AS i,
+         count(*) OVER () AS nsrc
+  FROM p
+), cut AS (
+  SELECT source, n, m, z, p, i, nsrc,
+         max(CASE WHEN p <= i * {_BH_Q} / nsrc THEN i ELSE 0 END) OVER ()
+           AS i_star
+  FROM r
+)
+SELECT source,
+       n::BIGINT AS n_docs,
+       round(m, 2) AS mean_chars,
+       round(z, 4) AS z_score,
+       round(p, 6) AS p_value,
+       round(i * {_BH_Q} / nsrc, 6) AS bh_cutoff,
+       (i <= i_star) AS discovery
+FROM cut
+ORDER BY p_value, source
+"""
+
+
+def q_mann_whitney_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test of 'en' vs 'de' document lengths — the
+    nonparametric two-sample test that stays valid under the heavy
+    tails `hill_tail_index` measures (where `source_length_ttest`'s
+    normality premise is exactly what's broken).  U is computed from
+    the VALUE HISTOGRAM, not ranks over rows: for each distinct length,
+    en-count x (de-counts strictly below + half the tied de-count),
+    summed — identical to midrank U, with the tie-corrected normal
+    sigma.  Everything is integer counting in doubles, bit-identical
+    across engines.
+
+    Scale shape: the corpus folds to one row per distinct length
+    FIRST; the below-cumulative is a window over that histogram (never
+    a rank over corpus rows — the classic MW scale trap); the U fold is
+    scalar."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH h AS (
+          SELECT n_chars AS v,
+                 cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      as double) AS na,
+                 cast(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                      as double) AS nb
+          FROM documents
+          WHERE lang IN ('en', 'de')
+          GROUP BY n_chars
+        ), w AS (
+          SELECT v, na, nb,
+                 coalesce(sum(nb) OVER (ORDER BY v
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING),
+                          cast(0.0 as double)) AS nb_below
+          FROM h
+        ), s AS (
+          SELECT sum(na) AS n1, sum(nb) AS n2,
+                 sum(na * (nb_below + nb / 2)) AS u,
+                 sum(pow(na + nb, 3) - (na + nb)) AS ties
+          FROM w
+        )
+        SELECT cast(n1 as bigint) AS n_en,
+               cast(n2 as bigint) AS n_de,
+               round(u, 1) AS u_stat,
+               round(n1 * n2 / 2, 1) AS u_expected,
+               round((u - n1 * n2 / 2)
+                     / nullif(sqrt(n1 * n2 / 12.0
+                                   * ((n1 + n2 + 1)
+                                      - ties / ((n1 + n2)
+                                                * (n1 + n2 - 1)))),
+                              cast(0.0 as double)), 4) AS z_score,
+               (abs((u - n1 * n2 / 2)
+                    / nullif(sqrt(n1 * n2 / 12.0
+                                  * ((n1 + n2 + 1)
+                                     - ties / ((n1 + n2)
+                                               * (n1 + n2 - 1)))),
+                             cast(0.0 as double))) > 1.96) AS significant
+        FROM s
+        """,
+    )
+
+
+ORACLE_MANN_WHITNEY_LENGTHS = """
+WITH h AS (
+  SELECT n_chars AS v,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS na,
+         sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::DOUBLE AS nb
+  FROM documents
+  WHERE lang IN ('en', 'de')
+  GROUP BY n_chars
+), w AS (
+  SELECT v, na, nb,
+         coalesce(sum(nb) OVER (ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0.0) AS nb_below
+  FROM h
+), s AS (
+  SELECT sum(na) AS n1, sum(nb) AS n2,
+         sum(na * (nb_below + nb / 2)) AS u,
+         sum(pow(na + nb, 3) - (na + nb)) AS ties
+  FROM w
+)
+SELECT n1::BIGINT AS n_en,
+       n2::BIGINT AS n_de,
+       round(u, 1) AS u_stat,
+       round(n1 * n2 / 2, 1) AS u_expected,
+       round((u - n1 * n2 / 2)
+             / nullif(sqrt(n1 * n2 / 12.0
+                           * ((n1 + n2 + 1)
+                              - ties / ((n1 + n2) * (n1 + n2 - 1)))),
+                      0.0), 4) AS z_score,
+       (abs((u - n1 * n2 / 2)
+            / nullif(sqrt(n1 * n2 / 12.0
+                          * ((n1 + n2 + 1)
+                             - ties / ((n1 + n2) * (n1 + n2 - 1)))),
+                     0.0)) > 1.96) AS significant
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -22262,6 +22580,11 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
         q_eb_shrunken_brand_means, ORACLE_EB_SHRUNKEN_BRAND_MEANS,
     ),
     "slo_burn_rate": (q_slo_burn_rate, ORACLE_SLO_BURN_RATE),
+    "did_aa_validation": (q_did_aa_validation, ORACLE_DID_AA_VALIDATION),
+    "bh_discovery_scan": (q_bh_discovery_scan, ORACLE_BH_DISCOVERY_SCAN),
+    "mann_whitney_lengths": (
+        q_mann_whitney_lengths, ORACLE_MANN_WHITNEY_LENGTHS,
+    ),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

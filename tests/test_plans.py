@@ -2400,3 +2400,36 @@ def test_slo_burn_rate_range_windows_over_hours(spark, registry):
     assert final.count("Scan parquet") == 1
     assert "Join" not in final
     assert "specifiedwindowframe(RangeFrame" in final
+
+
+def test_did_aa_validation_no_corpus_window(spark, registry):
+    """Broadcast cut + user fold + 2-row pivot: no Window operator at
+    all, two scans (metric + 1-column min)."""
+    df = registry["did_aa_validation"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    assert final.count("Scan parquet") == 2
+
+
+def test_bh_discovery_windows_over_sources(spark, registry):
+    """Grand mean, p ranks, and the step-up cutoff are all windows over
+    the |sources| table — one scan, no join."""
+    df = registry["bh_discovery_scan"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Window" in final
+
+
+def test_mann_whitney_histogram_not_rank(spark, registry):
+    """U comes from the value histogram: one scan, the cumulative rides
+    the |distinct lengths| table, no corpus-row rank anywhere."""
+    df = registry["mann_whitney_lengths"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    # the only window is the below-cumulative over the histogram
+    assert final.count("Window") == 1
