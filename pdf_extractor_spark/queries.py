@@ -22043,6 +22043,230 @@ FROM s
 """
 
 
+_PERIODS_H = (6, 12, 24, 168)
+
+
+def q_periodogram_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram power of the hourly event series at candidate
+    periods (6h/12h/24h/168h): the squared projection of the centered
+    series onto cos/sin at each period, normalized by total variance —
+    the spectral answer to WHICH seasonality is real.
+    `naive_forecast_backtest` tests one period (24h) by forecasting;
+    this scores the whole candidate set in one pass and catches a
+    12-hour double-peak that a daily-only model would alias away.
+
+    Hours are re-indexed from the series start before the trig so the
+    cos/sin arguments stay small — absolute epoch-hours (~4.7e5) would
+    push libm argument reduction into cross-platform disagreement.
+
+    Scale shape: corpus folds to |hours| rows FIRST; centering is one
+    window over that table; the 4-period grid cross-joins (broadcast)
+    the tiny hour table and folds to 4 rows."""
+    pk = ", ".join(f"({t})" for t in _PERIODS_H)
+    return _sql(
+        spark, sf_dir, ["events"],
+        f"""
+        WITH h AS (
+          SELECT cast(floor(unix_timestamp(ts) / 3600) as bigint) AS hour,
+                 cast(count(*) as double) AS n
+          FROM events
+          GROUP BY cast(floor(unix_timestamp(ts) / 3600) as bigint)
+        ), c AS (
+          SELECT hour - min(hour) OVER () AS t,
+                 n - avg(n) OVER () AS x
+          FROM h
+        )
+        SELECT cast(g.period as int) AS period_hours,
+               cast(count(*) as bigint) AS n_hours,
+               round(pow(sum(x * cos(2 * pi() * t / g.period)), 2)
+                     + pow(sum(x * sin(2 * pi() * t / g.period)), 2), 2)
+                 AS raw_power,
+               round((pow(sum(x * cos(2 * pi() * t / g.period)), 2)
+                      + pow(sum(x * sin(2 * pi() * t / g.period)), 2))
+                     / nullif(count(*) * sum(x * x),
+                              cast(0.0 as double)), 4)
+                 AS normalized_power
+        FROM c CROSS JOIN (SELECT period FROM VALUES {pk}
+                           AS p(period)) g
+        GROUP BY g.period
+        ORDER BY period_hours
+        """,
+    )
+
+
+ORACLE_PERIODOGRAM_PROBE = f"""
+WITH h AS (
+  SELECT floor(epoch(ts) / 3600)::BIGINT AS hour, count(*)::DOUBLE AS n
+  FROM events GROUP BY 1
+), c AS (
+  SELECT hour - min(hour) OVER () AS t, n - avg(n) OVER () AS x FROM h
+)
+SELECT g.period::INT AS period_hours,
+       count(*)::BIGINT AS n_hours,
+       round(pow(sum(x * cos(2 * pi() * t / g.period)), 2)
+             + pow(sum(x * sin(2 * pi() * t / g.period)), 2), 2)
+         AS raw_power,
+       round((pow(sum(x * cos(2 * pi() * t / g.period)), 2)
+              + pow(sum(x * sin(2 * pi() * t / g.period)), 2))
+             / nullif(count(*) * sum(x * x), 0.0), 4) AS normalized_power
+FROM c CROSS JOIN (SELECT unnest([{', '.join(map(str, _PERIODS_H))}])
+                   AS period) g
+GROUP BY g.period
+ORDER BY period_hours
+"""
+
+
+def q_overdispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-model diagnostics per event type: the per-active-user event
+    count's mean, sample variance, dispersion index (var/mean — 1 for
+    Poisson), the implied negative-binomial size r = m^2/(var - m), and
+    the dispersion z-score.  Every rate model and anomaly threshold in
+    the catalog implicitly assumes SOME count distribution; this says
+    which one is defensible — an overdispersed type needs NB-width
+    alert bands or `rate_anomaly` pages on every burst.
+
+    Scale shape: one (type, user) fold with map-side combine, one
+    moment fold per type; counts are conditional on the user being
+    active in the type (zero-inflated users are a different question,
+    noted, not smuggled in)."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH u AS (
+          SELECT event_type, user_id, cast(count(*) as double) AS n
+          FROM events GROUP BY event_type, user_id
+        ), m AS (
+          SELECT event_type,
+                 cast(count(*) as double) AS k,
+                 avg(n) AS mu,
+                 (sum(n * n) - pow(sum(n), 2) / count(*))
+                   / nullif(cast(count(*) as double) - 1,
+                            cast(0.0 as double)) AS s2
+          FROM u GROUP BY event_type
+        )
+        SELECT event_type,
+               cast(k as bigint) AS n_active_users,
+               round(mu, 4) AS mean_per_user,
+               round(s2, 4) AS var_per_user,
+               round(s2 / nullif(mu, cast(0.0 as double)), 4)
+                 AS dispersion_index,
+               round(mu * mu / nullif(s2 - mu, cast(0.0 as double)), 4)
+                 AS nb_size_r,
+               round((s2 / nullif(mu, cast(0.0 as double)) - 1)
+                     * sqrt((k - 1) / 2), 4) AS dispersion_z,
+               (s2 > mu) AS overdispersed
+        FROM m
+        ORDER BY event_type
+        """,
+    )
+
+
+ORACLE_OVERDISPERSION_CHECK = """
+WITH u AS (
+  SELECT event_type, user_id, count(*)::DOUBLE AS n
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type,
+         count(*)::DOUBLE AS k,
+         avg(n) AS mu,
+         (sum(n * n) - pow(sum(n), 2) / count(*))
+           / nullif(count(*)::DOUBLE - 1, 0.0) AS s2
+  FROM u GROUP BY event_type
+)
+SELECT event_type,
+       k::BIGINT AS n_active_users,
+       round(mu, 4) AS mean_per_user,
+       round(s2, 4) AS var_per_user,
+       round(s2 / nullif(mu, 0.0), 4) AS dispersion_index,
+       round(mu * mu / nullif(s2 - mu, 0.0), 4) AS nb_size_r,
+       round((s2 / nullif(mu, 0.0) - 1) * sqrt((k - 1) / 2), 4)
+         AS dispersion_z,
+       (s2 > mu) AS overdispersed
+FROM m
+ORDER BY event_type
+"""
+
+
+def q_capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Lincoln-Petersen + Chapman) estimate of the
+    user population from two weekly "capture" samples — the first and
+    second observed weeks — HELD AGAINST the measured all-time distinct
+    count the synthetic corpus lets us actually compute.  The estimator
+    matters at 100 TB because "how many users exist" is usually only
+    observable in samples (two crawls, two log shards); the coverage
+    column here measures how far the two-sample estimate lands from
+    truth under real inter-week correlation, which is exactly the bias
+    the method's independence assumption hides.
+
+    Scale shape: ONE user-keyed fold computes each user's week-A flag,
+    week-B flag, and existence; every count and both estimators are one
+    scalar fold over that table; the week base is a 1-row broadcast."""
+    wk = "cast(floor(unix_timestamp(ts) / 604800) as bigint)"
+    return _sql(
+        spark, sf_dir, ["events"],
+        f"""
+        WITH base AS (
+          SELECT cast(floor(unix_timestamp(min(ts)) / 604800) as bigint)
+            AS wa
+          FROM events
+        ), u AS (
+          SELECT user_id,
+                 max(CASE WHEN {wk} = wa THEN 1 ELSE 0 END) AS in_a,
+                 max(CASE WHEN {wk} = wa + 1 THEN 1 ELSE 0 END) AS in_b
+          FROM events CROSS JOIN base
+          GROUP BY user_id
+        ), s AS (
+          SELECT cast(sum(in_a) as double) AS n1,
+                 cast(sum(in_b) as double) AS n2,
+                 cast(sum(in_a * in_b) as double) AS m,
+                 cast(count(*) as double) AS total
+          FROM u
+        )
+        SELECT cast(n1 as bigint) AS n_week_a,
+               cast(n2 as bigint) AS n_week_b,
+               cast(m as bigint) AS n_both,
+               round(n1 * n2 / nullif(m, cast(0.0 as double)), 2)
+                 AS lincoln_petersen,
+               round((n1 + 1) * (n2 + 1) / (m + 1) - 1, 2) AS chapman,
+               cast(n1 + n2 - m as bigint) AS observed_two_week,
+               cast(total as bigint) AS observed_all_time,
+               round(((n1 + 1) * (n2 + 1) / (m + 1) - 1)
+                     / nullif(total, cast(0.0 as double)), 4)
+                 AS chapman_coverage_of_truth
+        FROM s
+        """,
+    )
+
+
+ORACLE_CAPTURE_RECAPTURE_USERS = """
+WITH base AS (
+  SELECT floor(epoch(min(ts)) / 604800)::BIGINT AS wa FROM events
+), u AS (
+  SELECT user_id,
+         max(CASE WHEN floor(epoch(ts) / 604800)::BIGINT = wa
+                  THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN floor(epoch(ts) / 604800)::BIGINT = wa + 1
+                  THEN 1 ELSE 0 END) AS in_b
+  FROM events CROSS JOIN base
+  GROUP BY user_id
+), s AS (
+  SELECT sum(in_a)::DOUBLE AS n1, sum(in_b)::DOUBLE AS n2,
+         sum(in_a * in_b)::DOUBLE AS m, count(*)::DOUBLE AS total
+  FROM u
+)
+SELECT n1::BIGINT AS n_week_a,
+       n2::BIGINT AS n_week_b,
+       m::BIGINT AS n_both,
+       round(n1 * n2 / nullif(m, 0.0), 2) AS lincoln_petersen,
+       round((n1 + 1) * (n2 + 1) / (m + 1) - 1, 2) AS chapman,
+       (n1 + n2 - m)::BIGINT AS observed_two_week,
+       total::BIGINT AS observed_all_time,
+       round(((n1 + 1) * (n2 + 1) / (m + 1) - 1) / nullif(total, 0.0), 4)
+         AS chapman_coverage_of_truth
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -22584,6 +22808,13 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "bh_discovery_scan": (q_bh_discovery_scan, ORACLE_BH_DISCOVERY_SCAN),
     "mann_whitney_lengths": (
         q_mann_whitney_lengths, ORACLE_MANN_WHITNEY_LENGTHS,
+    ),
+    "periodogram_probe": (q_periodogram_probe, ORACLE_PERIODOGRAM_PROBE),
+    "overdispersion_check": (
+        q_overdispersion_check, ORACLE_OVERDISPERSION_CHECK,
+    ),
+    "capture_recapture_users": (
+        q_capture_recapture_users, ORACLE_CAPTURE_RECAPTURE_USERS,
     ),
 }
 

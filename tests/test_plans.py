@@ -2433,3 +2433,34 @@ def test_mann_whitney_histogram_not_rank(spark, registry):
     assert "Join" not in final
     # the only window is the below-cumulative over the histogram
     assert final.count("Window") == 1
+
+
+def test_periodogram_trig_over_hour_table(spark, registry):
+    """Corpus folds to |hours| first; the 4-period grid cross-joins the
+    tiny hour table broadcast — no corpus-sized cartesian."""
+    df = registry["periodogram_probe"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Window" in final  # centering over the hour table
+    assert "BroadcastNestedLoopJoin" in final or "CartesianProduct" not in final
+
+
+def test_overdispersion_pure_folds(spark, registry):
+    """(type, user) fold then per-type moments — no join, no window."""
+    df = registry["overdispersion_check"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Window" not in final
+
+
+def test_capture_recapture_single_user_fold(spark, registry):
+    """Week flags and existence come from ONE user-keyed fold; the week
+    base is a 1-row broadcast — no corpus window."""
+    df = registry["capture_recapture_users"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "Window" not in final
+    assert final.count("Scan parquet") == 2  # user fold + 1-col min scan
