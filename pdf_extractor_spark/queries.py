@@ -22267,6 +22267,260 @@ FROM s
 """
 
 
+def q_km_survival_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user survival by week-age with honest right-
+    censoring: a user's event time is their last-seen age, but users
+    still active in the final observed week are CENSORED, not churned —
+    the correction `cohort_retention` (raw shares) cannot make, and the
+    reason naive churn curves always overstate churn near the data
+    edge.  The survival product is computed as exp(sum(ln(1 - d/r)))
+    over a cumulative window — the SQL spelling of a running product —
+    with the factor floored at 1e-15 so a total-death age rounds to
+    0.0 instead of tripping ln(0) (NULL on Spark, error on DuckDB).
+
+    Scale shape: ONE user-keyed fold to (last-seen age, censored); the
+    per-age death/censor counts, the reverse-cumulative risk set, and
+    the log-sum survival window all run over <=|max age| rows; the
+    global final week is a 1-row broadcast."""
+    wk = "cast(floor(unix_timestamp(ts) / 604800) as bigint)"
+    return _sql(
+        spark, sf_dir, ["events"],
+        f"""
+        WITH last_wk AS (
+          SELECT cast(floor(unix_timestamp(max(ts)) / 604800) as bigint)
+            AS w_end
+          FROM events
+        ), u AS (
+          SELECT user_id,
+                 max({wk}) - min({wk}) AS t,
+                 CASE WHEN max({wk}) = max(w_end) THEN 1 ELSE 0 END AS cens
+          FROM events CROSS JOIN last_wk
+          GROUP BY user_id
+        ), ages AS (
+          SELECT t AS age_weeks,
+                 cast(count(*) as double) AS n_at_age,
+                 cast(sum(1 - cens) as double) AS d,
+                 cast(sum(cens) as bigint) AS n_censored
+          FROM u GROUP BY t
+        ), risk AS (
+          SELECT age_weeks, n_at_age, d, n_censored,
+                 sum(n_at_age) OVER (ORDER BY age_weeks DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS r
+          FROM ages
+        )
+        SELECT age_weeks,
+               cast(r as bigint) AS n_at_risk,
+               cast(d as bigint) AS n_churned,
+               n_censored,
+               round(exp(sum(ln(greatest(1 - d / r,
+                                         cast(1e-15 as double))))
+                         OVER (ORDER BY age_weeks
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)), 4) AS km_survival
+        FROM risk
+        ORDER BY age_weeks
+        """,
+    )
+
+
+ORACLE_KM_SURVIVAL_WEEKLY = """
+WITH last_wk AS (
+  SELECT floor(epoch(max(ts)) / 604800)::BIGINT AS w_end FROM events
+), u AS (
+  SELECT user_id,
+         max(floor(epoch(ts) / 604800)::BIGINT)
+           - min(floor(epoch(ts) / 604800)::BIGINT) AS t,
+         CASE WHEN max(floor(epoch(ts) / 604800)::BIGINT) = max(w_end)
+              THEN 1 ELSE 0 END AS cens
+  FROM events CROSS JOIN last_wk
+  GROUP BY user_id
+), ages AS (
+  SELECT t AS age_weeks,
+         count(*)::DOUBLE AS n_at_age,
+         sum(1 - cens)::DOUBLE AS d,
+         sum(cens)::BIGINT AS n_censored
+  FROM u GROUP BY t
+), risk AS (
+  SELECT age_weeks, n_at_age, d, n_censored,
+         sum(n_at_age) OVER (ORDER BY age_weeks DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS r
+  FROM ages
+)
+SELECT age_weeks,
+       r::BIGINT AS n_at_risk,
+       d::BIGINT AS n_churned,
+       n_censored,
+       round(exp(sum(ln(greatest(1 - d / r, 1e-15::DOUBLE)))
+                 OVER (ORDER BY age_weeks
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)), 4) AS km_survival
+FROM risk
+ORDER BY age_weeks
+"""
+
+
+def q_kendall_tau_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b agreement between two source rankings — by volume
+    (doc count) and by mean document length — with full tie
+    corrections: concordant/discordant pair counts over all source
+    pairs and the tau-b coefficient.  `signal_rank_correlation` asks
+    whether two per-document signals agree; this asks whether two
+    SOURCE-LEVEL orderings agree, the question behind "can I use volume
+    as a proxy for content profile when allocating review budget".
+    Rank-based, so the heavy length tails can't dominate.
+
+    Scale shape: the corpus folds to |sources| rows once per self-join
+    side (two column-pruned scans — the pair table needs two
+    references and |sources|^2 is tiny); pair classification and the
+    tau algebra are one fold over ~|sources|^2/2 rows."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH g AS (
+          SELECT source, cast(count(*) as double) AS x,
+                 avg(cast(n_chars as double)) AS y
+          FROM documents GROUP BY source
+        ), pairs AS (
+          SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                      THEN 1 ELSE 0 END AS conc,
+                 CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                      THEN 1 ELSE 0 END AS disc,
+                 CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tie_x,
+                 CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS tie_y
+          FROM g a JOIN g b ON a.source < b.source
+        ), s AS (
+          SELECT cast(count(*) as double) AS n_pairs,
+                 cast(sum(conc) as double) AS c,
+                 cast(sum(disc) as double) AS d,
+                 cast(sum(tie_x) as double) AS tx,
+                 cast(sum(tie_y) as double) AS ty
+          FROM pairs
+        )
+        SELECT cast(n_pairs as bigint) AS n_pairs,
+               cast(c as bigint) AS concordant,
+               cast(d as bigint) AS discordant,
+               cast(tx as bigint) AS ties_volume,
+               cast(ty as bigint) AS ties_length,
+               round((c - d) / nullif(sqrt((n_pairs - tx)
+                                           * (n_pairs - ty)),
+                                      cast(0.0 as double)), 4)
+                 AS kendall_tau_b
+        FROM s
+        """,
+    )
+
+
+ORACLE_KENDALL_TAU_SOURCES = """
+WITH g AS (
+  SELECT source, count(*)::DOUBLE AS x, avg(n_chars::DOUBLE) AS y
+  FROM documents GROUP BY source
+), pairs AS (
+  SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END AS conc,
+         CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END AS disc,
+         CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tie_x,
+         CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS tie_y
+  FROM g a JOIN g b ON a.source < b.source
+), s AS (
+  SELECT count(*)::DOUBLE AS n_pairs,
+         sum(conc)::DOUBLE AS c, sum(disc)::DOUBLE AS d,
+         sum(tie_x)::DOUBLE AS tx, sum(tie_y)::DOUBLE AS ty
+  FROM pairs
+)
+SELECT n_pairs::BIGINT AS n_pairs,
+       c::BIGINT AS concordant,
+       d::BIGINT AS discordant,
+       tx::BIGINT AS ties_volume,
+       ty::BIGINT AS ties_length,
+       round((c - d) / nullif(sqrt((n_pairs - tx) * (n_pairs - ty)), 0.0),
+             4) AS kendall_tau_b
+FROM s
+"""
+
+
+def q_jackknife_source_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-robust (leave-one-source-out jackknife) confidence
+    interval for the corpus mean document length, against the naive
+    i.i.d. standard error.  Documents within a source are correlated —
+    same crawler, same template, same era — so the i.i.d. SE every
+    dashboard implicitly quotes is too small; the SE inflation column
+    measures by exactly how much, which is the honest error bar for any
+    per-corpus headline statistic.  Delete-one means are computed in
+    closed form ((S - s_i)/(N - n_i)), no resampling pass.
+
+    Scale shape: one grouped-moment fold to |sources| rows; totals,
+    delete-one means, and both SEs are windows over that tiny table."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH g AS (
+          SELECT source, cast(count(*) as double) AS n,
+                 sum(cast(n_chars as double)) AS s,
+                 sum(cast(n_chars as double) * n_chars) AS q
+          FROM documents GROUP BY source
+        ), w AS (
+          SELECT source, n, s,
+                 sum(n) OVER () AS nn, sum(s) OVER () AS ss,
+                 sum(q) OVER () AS qq,
+                 cast(count(*) OVER () as double) AS k,
+                 (sum(s) OVER () - s) / nullif(sum(n) OVER () - n,
+                                               cast(0.0 as double))
+                   AS loo_mean
+          FROM g
+        ), j AS (
+          SELECT max(nn) AS nn, max(ss) AS ss, max(qq) AS qq, max(k) AS k,
+                 sum(pow(loo_mean, 2)) - pow(sum(loo_mean), 2) / count(*)
+                   AS ssd
+          FROM w
+        )
+        SELECT cast(nn as bigint) AS n_docs,
+               cast(k as bigint) AS n_sources,
+               round(ss / nn, 2) AS corpus_mean,
+               round(sqrt((qq / nn - pow(ss / nn, 2)) / nn), 4)
+                 AS naive_se,
+               round(sqrt((k - 1) / k * ssd), 4) AS jackknife_se,
+               round(sqrt((k - 1) / k * ssd)
+                     / nullif(sqrt((qq / nn - pow(ss / nn, 2)) / nn),
+                              cast(0.0 as double)), 4) AS se_inflation,
+               round(ss / nn - 1.96 * sqrt((k - 1) / k * ssd), 2) AS ci_lo,
+               round(ss / nn + 1.96 * sqrt((k - 1) / k * ssd), 2) AS ci_hi
+        FROM j
+        """,
+    )
+
+
+ORACLE_JACKKNIFE_SOURCE_CI = """
+WITH g AS (
+  SELECT source, count(*)::DOUBLE AS n,
+         sum(n_chars::DOUBLE) AS s,
+         sum(n_chars::DOUBLE * n_chars) AS q
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, n, s,
+         sum(n) OVER () AS nn, sum(s) OVER () AS ss, sum(q) OVER () AS qq,
+         (count(*) OVER ())::DOUBLE AS k,
+         (sum(s) OVER () - s) / nullif(sum(n) OVER () - n, 0.0) AS loo_mean
+  FROM g
+), j AS (
+  SELECT max(nn) AS nn, max(ss) AS ss, max(qq) AS qq, max(k) AS k,
+         sum(pow(loo_mean, 2)) - pow(sum(loo_mean), 2) / count(*) AS ssd
+  FROM w
+)
+SELECT nn::BIGINT AS n_docs,
+       k::BIGINT AS n_sources,
+       round(ss / nn, 2) AS corpus_mean,
+       round(sqrt((qq / nn - pow(ss / nn, 2)) / nn), 4) AS naive_se,
+       round(sqrt((k - 1) / k * ssd), 4) AS jackknife_se,
+       round(sqrt((k - 1) / k * ssd)
+             / nullif(sqrt((qq / nn - pow(ss / nn, 2)) / nn), 0.0), 4)
+         AS se_inflation,
+       round(ss / nn - 1.96 * sqrt((k - 1) / k * ssd), 2) AS ci_lo,
+       round(ss / nn + 1.96 * sqrt((k - 1) / k * ssd), 2) AS ci_hi
+FROM j
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -22815,6 +23069,13 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     ),
     "capture_recapture_users": (
         q_capture_recapture_users, ORACLE_CAPTURE_RECAPTURE_USERS,
+    ),
+    "km_survival_weekly": (q_km_survival_weekly, ORACLE_KM_SURVIVAL_WEEKLY),
+    "kendall_tau_sources": (
+        q_kendall_tau_sources, ORACLE_KENDALL_TAU_SOURCES,
+    ),
+    "jackknife_source_ci": (
+        q_jackknife_source_ci, ORACLE_JACKKNIFE_SOURCE_CI,
     ),
 }
 

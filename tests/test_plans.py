@@ -2464,3 +2464,36 @@ def test_capture_recapture_single_user_fold(spark, registry):
     final = _plan(df).split("== Initial Plan ==")[0]
     assert "Window" not in final
     assert final.count("Scan parquet") == 2  # user fold + 1-col min scan
+
+
+def test_km_survival_windows_over_age_table(spark, registry):
+    """User fold -> per-age counts; risk set and log-sum survival ride
+    the <=|max age| table; end week is a 1-row broadcast."""
+    df = registry["km_survival_weekly"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 2  # user fold + 1-col max scan
+    assert "Window" in final
+
+
+def test_kendall_tau_pairs_on_tiny_table(spark, registry):
+    """The self-join runs on the |sources| aggregate (two column-pruned
+    scans), never a corpus-row pair table."""
+    df = registry["kendall_tau_sources"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    # Spark reuses the grouped-aggregate exchange for the second join
+    # side when it can (1 scan); 2 column-pruned scans is the ceiling
+    assert final.count("Scan parquet") in (1, 2)
+
+
+def test_jackknife_single_scan_windows(spark, registry):
+    """Delete-one means come from windows over the |sources| moments —
+    one scan, no join, no scalar-subquery re-execution."""
+    df = registry["jackknife_source_ci"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Window" in final
