@@ -336,3 +336,86 @@ def dedup_stream_vs_corpus(
         .join(digests, "turn_digest", "left_anti")
         .drop("turn_digest")
     )
+
+
+def error_budget_stream(
+    transcripts: DataFrame,
+    budget: float = 0.01,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "10 minutes",
+    bad: "F.Column | None" = None,
+) -> DataFrame:
+    """Sliding-window error-budget monitor — the streaming twin of the
+    batch `slo_burn_rate` catalog op: per (window, slide) bucket the
+    arriving-turn count, the bad-turn count, the bad share, the burn
+    rate against ``budget``, and the alert flag.  SLIDING windows (the
+    capability `windowed_turn_rates`' tumbling grid lacks) are what a
+    pager wants: a burst straddling a tumbling boundary halves into two
+    innocent buckets, while a 15-minute slide sees it whole.
+
+    ``bad`` defaults to the cheap arrival-corruption predicate (NULL or
+    empty text); pass any Column to monitor a different failure class.
+
+    State/scale: one state row per open (window) bucket — window/slide
+    of 1h/15m means each event lands in 4 buckets, state is bounded by
+    watermark horizon x 4, and buckets finalize (append mode) once the
+    watermark passes their end."""
+    bad_col = bad if bad is not None else (
+        F.col("text").isNull() | (F.length(F.col("text")) == 0)
+    )
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.when(bad_col, 1).otherwise(0)).alias("n_bad"),
+        )
+        .select(
+            "w.start", "w.end", "n_turns", "n_bad",
+            F.round(F.col("n_bad") / F.col("n_turns"), 4).alias("bad_share"),
+            F.round(F.col("n_bad") / F.col("n_turns") / F.lit(budget), 4)
+              .alias("burn_rate"),
+            (F.col("n_bad") / F.col("n_turns") > F.lit(budget))
+              .alias("over_budget"),
+        )
+    )
+
+
+def join_turn_annotation_streams(
+    turns: DataFrame,
+    annotations: DataFrame,
+    max_delay: str = "30 minutes",
+    wm_turns: str = "10 minutes",
+    wm_annotations: str = "10 minutes",
+) -> DataFrame:
+    """STREAM-STREAM interval join — the last Structured Streaming join
+    mode the module lacked: arriving turns pick up annotation rows
+    (human labels, tool acks, safety verdicts) for the same (conv_id,
+    turn_idx) that arrive within ``max_delay`` AFTER the turn's event
+    time.  The batch analog is a plain equi-join; on streams the time
+    bound is not an optimization but the CORRECTNESS contract — without
+    it Spark must hold every turn forever waiting for a possible future
+    match, and state grows with stream lifetime.
+
+    Both sides are watermarked and the join condition carries the
+    event-time interval, so Spark derives state-eviction watermarks for
+    BOTH state stores: a turn's state drops once ``ann_ts`` could no
+    longer land inside its window, an annotation's once its turn could
+    no longer arrive.  Inner-join rows emit as soon as both sides are
+    present (no watermark wait on the emit path).
+
+    ``annotations`` schema contract: ``conv_id string, turn_idx int,
+    ann_ts timestamp`` plus any payload columns; payloads ride along
+    un-inspected."""
+    t = turns.withWatermark("ts", wm_turns).alias("t")
+    a = annotations.withWatermark("ann_ts", wm_annotations).alias("a")
+    return t.join(
+        a,
+        F.expr(
+            "t.conv_id = a.conv_id AND t.turn_idx = a.turn_idx"
+            " AND a.ann_ts >= t.ts"
+            f" AND a.ann_ts <= t.ts + interval {max_delay}"
+        ),
+        "inner",
+    ).drop(a.conv_id).drop(a.turn_idx)

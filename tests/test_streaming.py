@@ -597,3 +597,112 @@ def test_session_window_splits_on_silence_and_flushes_on_watermark(
     assert a.loc[1, "start"] == base + pd.Timedelta(seconds=7200)
     # the watermark-advancer's own session is still open: nothing emitted
     assert (out.conv_id == "conv-Z").sum() == 0
+
+
+def test_error_budget_stream_sliding_windows_and_flags(spark, tmp_path):
+    """Sliding 1h/15m windows: a bad-turn burst shows in EVERY window
+    covering it; the burn rate and over-budget flag follow the share;
+    a far-future sentinel advances the watermark so windows finalize."""
+    import datetime as dt
+
+    from pdf_extractor_spark.streaming.ingest import error_budget_stream
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def turn(i, ts, text):
+        return ("c-%06d" % i, 0, "user", text, "", ts)
+
+    rows = []
+    # 20:00-20:05 burst: 8 good + 2 bad -> bad share 0.2 in every
+    # covering window
+    base = t0 + dt.timedelta(hours=20)
+    for i in range(8):
+        rows.append(turn(i, base + dt.timedelta(minutes=i % 5), "ok text"))
+    rows.append(turn(8, base + dt.timedelta(minutes=1), ""))
+    rows.append(turn(9, base + dt.timedelta(minutes=2), None))
+    # watermark sentinel far in the future finalizes everything above
+    rows.append(turn(99, t0 + dt.timedelta(days=2), "sentinel"))
+    spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    ).coalesce(1).write.parquet(in_dir)
+
+    q = (
+        error_budget_stream(stream_transcripts(spark, in_dir), budget=0.1)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(out_dir).orderBy("start").collect()
+    burst = [r for r in out if r["n_turns"] == 10]
+    # 1h window sliding by 15m -> the 5-minute burst sits whole in 4
+    assert len(burst) == 4
+    for r in burst:
+        assert r["n_bad"] == 2
+        assert r["bad_share"] == 0.2
+        assert r["burn_rate"] == 2.0
+        assert r["over_budget"] is True
+    assert all(r["over_budget"] is False
+               for r in out if r["n_turns"] == 1)  # the sentinel windows
+
+
+def test_stream_stream_interval_join_matches_within_bound(spark, tmp_path):
+    """Turns join annotations arriving within 30 minutes AFTER the turn;
+    an annotation outside the bound (or before the turn) never emits."""
+    import datetime as dt
+
+    from pdf_extractor_spark.streaming.ingest import (
+        join_turn_annotation_streams,
+    )
+
+    turns_dir = str(tmp_path / "turns")
+    ann_dir = str(tmp_path / "ann")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    spark.createDataFrame(
+        [
+            ("c-1", 0, "user", "hello", "", t0),
+            ("c-1", 1, "assistant", "hi", "", t0 + dt.timedelta(minutes=1)),
+            ("c-2", 0, "user", "lonely", "", t0),
+        ],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    ).coalesce(1).write.parquet(turns_dir)
+    spark.createDataFrame(
+        [
+            ("c-1", 0, t0 + dt.timedelta(minutes=5), "safe"),     # in bound
+            ("c-1", 1, t0 + dt.timedelta(hours=2), "late"),       # too late
+            ("c-2", 0, t0 - dt.timedelta(minutes=5), "early"),    # before
+        ],
+        "conv_id string, turn_idx int, ann_ts timestamp, label string",
+    ).coalesce(1).write.parquet(ann_dir)
+
+    ann_stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, ann_ts timestamp, label string"
+        ).parquet(ann_dir)
+    )
+    q = (
+        join_turn_annotation_streams(
+            stream_transcripts(spark, turns_dir), ann_stream
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(out_dir).collect()
+    assert len(out) == 1
+    assert (out[0]["conv_id"], out[0]["turn_idx"], out[0]["label"]) == (
+        "c-1", 0, "safe")
