@@ -22521,6 +22521,229 @@ FROM j
 """
 
 
+_MDE_HORIZONS = (1, 2, 4, 8)
+
+
+def q_mde_planning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-detectable-effect planning curve from MEASURED traffic:
+    the per-user-week value variance and the users-per-week arrival
+    rate feed the standard two-sample power formula
+    (z_alpha/2 + z_power = 1.96 + 0.8416, 95% / 80%), giving the
+    absolute and relative MDE for 1/2/4/8-week experiment horizons with
+    a 50/50 split.  This is the planning table that says whether a
+    proposed A/B can even see the effect it hopes for — the natural
+    next question after `cuped_variance_reduction` says how much
+    variance is removable and `ratio_metric_delta_ci` prices the
+    uncertainty.
+
+    Horizon projection assumes the observed users-per-week rate holds
+    (stated, not hidden); n per arm = rate x weeks / 2.
+
+    Scale shape: one fold to the (user, week) value grid, one moment
+    fold, then a 4-row horizon grid cross-joined broadcast."""
+    pk = ", ".join(f"({h})" for h in _MDE_HORIZONS)
+    return _sql(
+        spark, sf_dir, ["events"],
+        f"""
+        WITH grid AS (
+          SELECT user_id,
+                 cast(floor(unix_timestamp(ts) / 604800) as bigint) AS week,
+                 sum(value) AS v
+          FROM events
+          GROUP BY user_id, cast(floor(unix_timestamp(ts) / 604800)
+                                 as bigint)
+        ), m AS (
+          SELECT cast(count(*) as double) AS k,
+                 avg(v) AS mu,
+                 (sum(v * v) - pow(sum(v), 2) / count(*))
+                   / nullif(cast(count(*) as double) - 1,
+                            cast(0.0 as double)) AS s2,
+                 cast(count(DISTINCT week) as double) AS n_weeks
+          FROM grid
+        )
+        SELECT cast(g.h as int) AS horizon_weeks,
+               cast(round(k / n_weeks * g.h / 2, 0) as bigint)
+                 AS users_per_arm,
+               round(mu, 4) AS weekly_mean,
+               round(2.8016 * sqrt(2 * s2 / (k / n_weeks * g.h / 2)), 4)
+                 AS mde_abs,
+               round(2.8016 * sqrt(2 * s2 / (k / n_weeks * g.h / 2))
+                     / nullif(mu, cast(0.0 as double)), 4) AS mde_rel
+        FROM m CROSS JOIN (SELECT h FROM VALUES {pk} AS t(h)) g
+        ORDER BY horizon_weeks
+        """,
+    )
+
+
+ORACLE_MDE_PLANNING_CURVE = f"""
+WITH grid AS (
+  SELECT user_id, floor(epoch(ts) / 604800)::BIGINT AS week, sum(value) AS v
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT count(*)::DOUBLE AS k,
+         avg(v) AS mu,
+         (sum(v * v) - pow(sum(v), 2) / count(*))
+           / nullif(count(*)::DOUBLE - 1, 0.0) AS s2,
+         count(DISTINCT week)::DOUBLE AS n_weeks
+  FROM grid
+)
+SELECT g.h::INT AS horizon_weeks,
+       round(k / n_weeks * g.h / 2, 0)::BIGINT AS users_per_arm,
+       round(mu, 4) AS weekly_mean,
+       round(2.8016 * sqrt(2 * s2 / (k / n_weeks * g.h / 2)), 4) AS mde_abs,
+       round(2.8016 * sqrt(2 * s2 / (k / n_weeks * g.h / 2))
+             / nullif(mu, 0.0), 4) AS mde_rel
+FROM m CROSS JOIN (SELECT unnest([{', '.join(map(str, _MDE_HORIZONS))}])
+                   AS h) g
+ORDER BY horizon_weeks
+"""
+
+
+def q_median_ci_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% CI for the median document length via the
+    binomial order-statistic bounds: ranks floor((n - 1.96 sqrt(n))/2)
+    and ceil((n + 1.96 sqrt(n))/2 + 1) bracket the median with ~95%
+    coverage NO MATTER the distribution — the honest error bar for the
+    p50 every dashboard quotes, valid under exactly the heavy tails
+    (`hill_tail_index`) that break normal-theory intervals.  All three
+    order statistics are picked off the value-histogram cumulative, the
+    `mann_whitney_lengths` discipline — never a corpus-row rank.
+
+    Scale shape: one fold to the length histogram, one cumulative
+    window over it, one scalar fold of min-above-rank aggregates."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH h AS (
+          SELECT n_chars AS v, cast(count(*) as double) AS c
+          FROM documents GROUP BY n_chars
+        ), w AS (
+          SELECT v, c,
+                 sum(c) OVER (ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+                 sum(c) OVER () AS n
+          FROM h
+        )
+        SELECT cast(max(n) as bigint) AS n_docs,
+               min(CASE WHEN cum >= ceil(n / 2) THEN v END) AS median,
+               min(CASE WHEN cum >= floor((n - 1.96 * sqrt(n)) / 2)
+                        THEN v END) AS ci_lo,
+               min(CASE WHEN cum >= least(ceil((n + 1.96 * sqrt(n)) / 2)
+                                          + 1, n)
+                        THEN v END) AS ci_hi
+        FROM w
+        """,
+    )
+
+
+ORACLE_MEDIAN_CI_BINOMIAL = """
+WITH h AS (
+  SELECT n_chars AS v, count(*)::DOUBLE AS c
+  FROM documents GROUP BY n_chars
+), w AS (
+  SELECT v, c,
+         sum(c) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         sum(c) OVER () AS n
+  FROM h
+)
+SELECT max(n)::BIGINT AS n_docs,
+       min(CASE WHEN cum >= ceil(n / 2) THEN v END) AS median,
+       min(CASE WHEN cum >= floor((n - 1.96 * sqrt(n)) / 2)
+                THEN v END) AS ci_lo,
+       min(CASE WHEN cum >= least(ceil((n + 1.96 * sqrt(n)) / 2) + 1, n)
+                THEN v END) AS ci_hi
+FROM w
+"""
+
+
+_EULER_GAMMA = 0.5772156649015329
+
+
+def q_extreme_value_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value (Gumbel, method-of-moments) fit to the daily peak
+    hourly event load, with 30-day and 365-day return levels — the
+    capacity-planning number "what peak should I provision for" that no
+    percentile of OBSERVED load can give, because the provisioning
+    question is about peaks you haven't seen yet.
+    `window_load_percentiles` describes the load seen; this
+    extrapolates the block-maxima law (beta = s sqrt(6)/pi,
+    mu = m - gamma beta; return level mu - beta ln(-ln(1 - 1/T))).
+
+    Scale shape: corpus -> hourly counts -> daily maxima -> one moment
+    fold; every stage is a shrinking keyed aggregate."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        f"""
+        WITH h AS (
+          SELECT cast(floor(unix_timestamp(ts) / 3600) as bigint) AS hour,
+                 cast(count(*) as double) AS n
+          FROM events
+          GROUP BY cast(floor(unix_timestamp(ts) / 3600) as bigint)
+        ), d AS (
+          SELECT cast(floor(hour / 24) as bigint) AS day, max(n) AS peak
+          FROM h GROUP BY cast(floor(hour / 24) as bigint)
+        ), m AS (
+          SELECT cast(count(*) as double) AS k,
+                 avg(peak) AS mn,
+                 sqrt((sum(peak * peak) - pow(sum(peak), 2) / count(*))
+                      / nullif(cast(count(*) as double) - 1,
+                               cast(0.0 as double))) AS sd,
+                 max(peak) AS obs_max
+          FROM d
+        )
+        SELECT cast(k as bigint) AS n_days,
+               round(mn, 2) AS daily_peak_mean,
+               round(sd, 2) AS daily_peak_sd,
+               round(sd * sqrt(6.0) / pi(), 2) AS gumbel_beta,
+               round(mn - {_EULER_GAMMA} * sd * sqrt(6.0) / pi(), 2)
+                 AS gumbel_mu,
+               cast(obs_max as bigint) AS observed_max,
+               round(mn - {_EULER_GAMMA} * sd * sqrt(6.0) / pi()
+                     - sd * sqrt(6.0) / pi()
+                       * ln(-ln(1.0 - 1.0 / 30.0)), 2)
+                 AS return_level_30d,
+               round(mn - {_EULER_GAMMA} * sd * sqrt(6.0) / pi()
+                     - sd * sqrt(6.0) / pi()
+                       * ln(-ln(1.0 - 1.0 / 365.0)), 2)
+                 AS return_level_365d
+        FROM m
+        """,
+    )
+
+
+ORACLE_EXTREME_VALUE_LOAD = f"""
+WITH h AS (
+  SELECT floor(epoch(ts) / 3600)::BIGINT AS hour, count(*)::DOUBLE AS n
+  FROM events GROUP BY 1
+), d AS (
+  SELECT floor(hour / 24)::BIGINT AS day, max(n) AS peak FROM h GROUP BY 1
+), m AS (
+  SELECT count(*)::DOUBLE AS k,
+         avg(peak) AS mn,
+         sqrt((sum(peak * peak) - pow(sum(peak), 2) / count(*))
+              / nullif(count(*)::DOUBLE - 1, 0.0)) AS sd,
+         max(peak) AS obs_max
+  FROM d
+)
+SELECT k::BIGINT AS n_days,
+       round(mn, 2) AS daily_peak_mean,
+       round(sd, 2) AS daily_peak_sd,
+       round(sd * sqrt(6.0) / pi(), 2) AS gumbel_beta,
+       round(mn - {_EULER_GAMMA} * sd * sqrt(6.0) / pi(), 2) AS gumbel_mu,
+       obs_max::BIGINT AS observed_max,
+       round(mn - {_EULER_GAMMA} * sd * sqrt(6.0) / pi()
+             - sd * sqrt(6.0) / pi() * ln(-ln(1.0 - 1.0 / 30.0)), 2)
+         AS return_level_30d,
+       round(mn - {_EULER_GAMMA} * sd * sqrt(6.0) / pi()
+             - sd * sqrt(6.0) / pi() * ln(-ln(1.0 - 1.0 / 365.0)), 2)
+         AS return_level_365d
+FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -23077,6 +23300,9 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "jackknife_source_ci": (
         q_jackknife_source_ci, ORACLE_JACKKNIFE_SOURCE_CI,
     ),
+    "mde_planning_curve": (q_mde_planning_curve, ORACLE_MDE_PLANNING_CURVE),
+    "median_ci_binomial": (q_median_ci_binomial, ORACLE_MEDIAN_CI_BINOMIAL),
+    "extreme_value_load": (q_extreme_value_load, ORACLE_EXTREME_VALUE_LOAD),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04

@@ -2497,3 +2497,34 @@ def test_jackknife_single_scan_windows(spark, registry):
     assert final.count("Scan parquet") == 1
     assert "Join" not in final
     assert "Window" in final
+
+
+def test_mde_planning_scalar_cross_join(spark, registry):
+    """One (user, week) fold + one moment fold; the horizon grid is a
+    broadcast VALUES cross join — no window anywhere."""
+    df = registry["mde_planning_curve"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Window" not in final
+
+
+def test_median_ci_histogram_cumulative(spark, registry):
+    """Order statistics come off the length-histogram cumulative — one
+    scan, one window, no join, no corpus-row rank."""
+    df = registry["median_ci_binomial"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Window" in final
+
+
+def test_extreme_value_shrinking_folds(spark, registry):
+    """Corpus -> hours -> days -> one row: pure keyed aggregates."""
+    df = registry["extreme_value_load"][0](spark, SF_DIR)
+    df.collect()
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+    assert "Window" not in final
