@@ -22744,6 +22744,221 @@ FROM m
 """
 
 
+_T_CLOSENESS = 0.2
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third leg of the release-gate trio
+    (`k_anonymity` counts users per QI cell, `l_diversity_audit` counts
+    distinct sensitive values; neither catches a cell whose sensitive
+    DISTRIBUTION is skewed, e.g. a 99%-'error' cell that leaks what its
+    few users were doing).  Per QI cell (hour-of-day x value band) the
+    total-variation distance between the cell's event-type distribution
+    and the global one, including the mass of types ABSENT from the
+    cell (TVD = (sum |p_cell - p_global| + leftover global mass)/2),
+    with violations at the conventional t = {t}.
+
+    Scale shape: one fold to (cell, type) counts; cell totals, global
+    type mass, and the TVD terms are windows over that bounded grid
+    (|hours| x |bands| x |types|); the verdict is one scalar fold."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        f"""
+        WITH ct AS (
+          SELECT cast(hour(ts) as bigint) AS hod,
+                 cast(floor(value / 10) as bigint) AS band,
+                 event_type,
+                 cast(count(*) as double) AS n
+          FROM events
+          GROUP BY hour(ts), floor(value / 10), event_type
+        ), w AS (
+          SELECT hod, band, event_type, n,
+                 n / sum(n) OVER (PARTITION BY hod, band) AS pc,
+                 sum(n) OVER (PARTITION BY event_type)
+                   / sum(n) OVER () AS pg,
+                 sum(n) OVER (PARTITION BY hod, band) AS cell_n
+          FROM ct
+        ), cells AS (
+          SELECT hod, band, max(cell_n) AS cell_n,
+                 (sum(abs(pc - pg)) + (1 - sum(pg))) / 2 AS tvd
+          FROM w GROUP BY hod, band
+        )
+        SELECT cast(count(*) as bigint) AS n_cells,
+               cast(sum(cell_n) as bigint) AS n_rows,
+               round(max(tvd), 4) AS max_tvd,
+               round(avg(tvd), 4) AS avg_tvd,
+               cast(sum(CASE WHEN tvd > {_T_CLOSENESS} THEN 1 ELSE 0 END)
+                    as bigint) AS cells_above_t,
+               cast(sum(CASE WHEN tvd > {_T_CLOSENESS} THEN cell_n
+                             ELSE 0 END) as bigint) AS rows_above_t,
+               round(sum(CASE WHEN tvd > {_T_CLOSENESS} THEN cell_n
+                              ELSE 0 END)
+                     / nullif(sum(cell_n), cast(0.0 as double)), 4)
+                 AS risk_rate
+        FROM cells
+        """,
+    )
+
+
+q_t_closeness.__doc__ = q_t_closeness.__doc__.format(t=_T_CLOSENESS)
+
+
+ORACLE_T_CLOSENESS = f"""
+WITH ct AS (
+  SELECT hour(ts)::BIGINT AS hod,
+         floor(value / 10)::BIGINT AS band,
+         event_type,
+         count(*)::DOUBLE AS n
+  FROM events
+  GROUP BY 1, 2, 3
+), w AS (
+  SELECT hod, band, event_type, n,
+         n / sum(n) OVER (PARTITION BY hod, band) AS pc,
+         sum(n) OVER (PARTITION BY event_type) / sum(n) OVER () AS pg,
+         sum(n) OVER (PARTITION BY hod, band) AS cell_n
+  FROM ct
+), cells AS (
+  SELECT hod, band, max(cell_n) AS cell_n,
+         (sum(abs(pc - pg)) + (1 - sum(pg))) / 2 AS tvd
+  FROM w GROUP BY hod, band
+)
+SELECT count(*)::BIGINT AS n_cells,
+       sum(cell_n)::BIGINT AS n_rows,
+       round(max(tvd), 4) AS max_tvd,
+       round(avg(tvd), 4) AS avg_tvd,
+       sum(CASE WHEN tvd > {_T_CLOSENESS} THEN 1 ELSE 0 END)::BIGINT
+         AS cells_above_t,
+       sum(CASE WHEN tvd > {_T_CLOSENESS} THEN cell_n ELSE 0 END)::BIGINT
+         AS rows_above_t,
+       round(sum(CASE WHEN tvd > {_T_CLOSENESS} THEN cell_n ELSE 0 END)
+             / nullif(sum(cell_n), 0.0), 4) AS risk_rate
+FROM cells
+"""
+
+
+_DP_EPSILONS = (0.1, 1.0)
+
+
+def q_dp_count_error_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy noise planning against MEASURED group sizes:
+    for each source and each epsilon in the grid, the Laplace scale a
+    sensitivity-1 count query needs (b = 1/eps), the expected absolute
+    noise (= b), the relative error against the source's actual count,
+    and whether the noised count stays within 1%.  The governance
+    family's forward-looking member: `k_anonymity`/`t_closeness` audit
+    what a release leaks, this prices what protecting it costs in
+    accuracy — small sources fall off the releasable list exactly here.
+
+    Scale shape: one |sources| fold cross-joined with the 2-row epsilon
+    grid (broadcast); all algebra on the tiny product table."""
+    pk = ", ".join(f"({e})" for e in _DP_EPSILONS)
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH g AS (
+          SELECT source, cast(count(*) as double) AS n
+          FROM documents GROUP BY source
+        )
+        SELECT source,
+               cast(n as bigint) AS n_docs,
+               cast(e.eps as double) AS epsilon,
+               round(1.0 / e.eps, 4) AS laplace_scale,
+               round(1.0 / e.eps / n, 6) AS expected_rel_error,
+               (1.0 / e.eps / n <= 0.01) AS within_1pct
+        FROM g CROSS JOIN (SELECT eps FROM VALUES {pk} AS t(eps)) e
+        ORDER BY source, epsilon
+        """,
+    )
+
+
+ORACLE_DP_COUNT_ERROR_PLANNING = f"""
+WITH g AS (
+  SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source
+)
+SELECT source,
+       n::BIGINT AS n_docs,
+       e.eps::DOUBLE AS epsilon,
+       round(1.0 / e.eps, 4) AS laplace_scale,
+       round(1.0 / e.eps / n, 6) AS expected_rel_error,
+       (1.0 / e.eps / n <= 0.01) AS within_1pct
+FROM g CROSS JOIN (SELECT unnest([{', '.join(map(str, _DP_EPSILONS))}])
+                   AS eps) e
+ORDER BY source, epsilon
+"""
+
+
+def q_cluster_source_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance mix of near-duplicate clusters: for every multi-doc
+    LSH connected component, how many distinct sources it spans, folded
+    to a sources-per-cluster histogram.  One-source clusters are
+    re-crawls (dedup freely); cross-source clusters are syndication or
+    mirror networks — dropping all-but-one silently biases the source
+    mix `mix_weights` later optimizes, so this is the number to read
+    BEFORE `dedup_canonical` picks keepers.
+
+    Scale shape: rides `dedup_clusters`' pointer-doubling lineage (one
+    action per iteration, checkpointed); the source stamp is one
+    doc_id-keyed join; the histogram folds the |clusters| table.
+    Cites reference parity: the reference has no clustering at all
+    (single-document pipeline) — engine addition."""
+    cl = q_dedup_clusters(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    per_cluster = (
+        cl.join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_docs"),
+             F.countDistinct("source").alias("n_sources"))
+        .where(F.col("n_docs") >= 2)
+    )
+    total = per_cluster.select(
+        F.count("*").alias("t_clusters"),
+        F.sum("n_docs").alias("t_docs"),
+    )
+    return (
+        per_cluster.groupBy("n_sources")
+        .agg(F.count("*").alias("n_clusters"),
+             F.sum("n_docs").cast("bigint").alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("n_sources").cast("bigint").alias("n_sources"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            "n_docs",
+            F.round(F.col("n_clusters") / F.col("t_clusters"), 4)
+              .alias("cluster_share"),
+        )
+        .orderBy("n_sources")
+    )
+
+
+ORACLE_CLUSTER_SOURCE_PURITY = (
+    ORACLE_DEDUP_CLUSTERS.replace(
+        "SELECT src AS doc_id, min(dst) AS cluster_id,\n"
+        "       min(dst) = src AS is_keeper\n"
+        "FROM reach GROUP BY src",
+        ",\ncl AS (\n"
+        "  SELECT src AS doc_id, min(dst) AS cluster_id\n"
+        "  FROM reach GROUP BY src\n"
+        "),\n"
+        "per_cluster AS (\n"
+        "  SELECT cl.cluster_id, count(*)::BIGINT AS n_docs,\n"
+        "         count(DISTINCT d.source)::BIGINT AS n_sources\n"
+        "  FROM cl JOIN documents d ON d.doc_id = cl.doc_id\n"
+        "  GROUP BY cl.cluster_id\n"
+        "  HAVING count(*) >= 2\n"
+        "),\n"
+        "tot AS (\n"
+        "  SELECT count(*)::DOUBLE AS t_clusters FROM per_cluster\n"
+        ")\n"
+        "SELECT n_sources, count(*)::BIGINT AS n_clusters,\n"
+        "       sum(n_docs)::BIGINT AS n_docs,\n"
+        "       round(count(*) / t_clusters, 4) AS cluster_share\n"
+        "FROM per_cluster CROSS JOIN tot\n"
+        "GROUP BY n_sources, t_clusters\n"
+        "ORDER BY n_sources",
+    )
+)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -23303,6 +23518,13 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "mde_planning_curve": (q_mde_planning_curve, ORACLE_MDE_PLANNING_CURVE),
     "median_ci_binomial": (q_median_ci_binomial, ORACLE_MEDIAN_CI_BINOMIAL),
     "extreme_value_load": (q_extreme_value_load, ORACLE_EXTREME_VALUE_LOAD),
+    "t_closeness": (q_t_closeness, ORACLE_T_CLOSENESS),
+    "dp_count_error_planning": (
+        q_dp_count_error_planning, ORACLE_DP_COUNT_ERROR_PLANNING,
+    ),
+    "cluster_source_purity": (
+        q_cluster_source_purity, ORACLE_CLUSTER_SOURCE_PURITY,
+    ),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04
