@@ -22959,6 +22959,277 @@ ORACLE_CLUSTER_SOURCE_PURITY = (
 )
 
 
+def q_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T decomposition of document-length inequality into a
+    BETWEEN-source and a WITHIN-source component.  `token_gini` prices
+    total inequality but cannot say whether it comes from sources having
+    different typical lengths (fixable by re-weighting the mix) or from
+    variance inside each source (fixable only by per-source filtering) —
+    Theil's T is the standard inequality index that decomposes exactly:
+    T = Σ_g (s_g/s)·ln(μ_g/μ) + Σ_g (s_g/s)·T_g (between + within).
+
+    Scale shape: one |sources| groupBy over (count, Σx, Σx·ln x) partial
+    aggregates — the per-doc ln never leaves the map side; every later
+    term is algebra on the tiny per-source table (T_g = Σx·ln x / Σx −
+    ln μ_g, so no second corpus pass).  Engine addition (no reference
+    analog; the reference is a single-document pipeline)."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        """
+        WITH d AS (
+          SELECT source, cast(n_chars as double) AS x
+          FROM documents WHERE n_chars > 0
+        ), g AS (
+          SELECT source,
+                 cast(count(*) as double) AS n_g,
+                 sum(x) AS s_g,
+                 sum(x * ln(x)) AS sl_g
+          FROM d GROUP BY source
+        ), t AS (
+          SELECT sum(n_g) AS n, sum(s_g) AS s, sum(sl_g) AS sl,
+                 cast(count(*) as double) AS k
+          FROM g
+        )
+        SELECT n_docs, n_sources, theil_total, theil_between, theil_within,
+               round(theil_between
+                     / nullif(theil_total, cast(0.0 as double)), 4)
+                 AS between_share
+        FROM (
+          SELECT cast(t.n as bigint) AS n_docs,
+                 cast(t.k as bigint) AS n_sources,
+                 round(t.sl / t.s - ln(t.s / t.n), 4) AS theil_total,
+                 round(sum((g.s_g / t.s)
+                           * ln((g.s_g / g.n_g) / (t.s / t.n))), 4)
+                   AS theil_between,
+                 round(sum((g.s_g / t.s)
+                           * (g.sl_g / g.s_g - ln(g.s_g / g.n_g))), 4)
+                   AS theil_within
+          FROM g CROSS JOIN t
+          GROUP BY t.n, t.s, t.sl, t.k
+        )
+        """,
+    )
+
+
+ORACLE_THEIL_INEQUALITY = """
+WITH d AS (
+  SELECT source, n_chars::DOUBLE AS x FROM documents WHERE n_chars > 0
+), g AS (
+  SELECT source, count(*)::DOUBLE AS n_g, sum(x) AS s_g,
+         sum(x * ln(x)) AS sl_g
+  FROM d GROUP BY source
+), t AS (
+  SELECT sum(n_g) AS n, sum(s_g) AS s, sum(sl_g) AS sl,
+         count(*)::DOUBLE AS k
+  FROM g
+)
+SELECT n_docs, n_sources, theil_total, theil_between, theil_within,
+       round(theil_between / nullif(theil_total, 0.0), 4) AS between_share
+FROM (
+  SELECT t.n::BIGINT AS n_docs,
+         t.k::BIGINT AS n_sources,
+         round(t.sl / t.s - ln(t.s / t.n), 4) AS theil_total,
+         round(sum((g.s_g / t.s) * ln((g.s_g / g.n_g) / (t.s / t.n))), 4)
+           AS theil_between,
+         round(sum((g.s_g / t.s) * (g.sl_g / g.s_g - ln(g.s_g / g.n_g))), 4)
+           AS theil_within
+  FROM g CROSS JOIN t
+  GROUP BY t.n, t.s, t.sl, t.k
+) q
+"""
+
+
+_CUSUM_K = 0.5   # slack per step, in reference-sd units (detects ~1-sd shifts)
+_CUSUM_H = 5.0   # alarm threshold, standard SPC choice
+
+
+def q_cusum_count_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM monitor over daily event counts: standardize each
+    day against the FIRST-HALF (burn-in) mean/sd, then S_d = max(0,
+    S_(d-1) + z_d − k) with alarm at S > h — the sequential
+    change-detector that fires on small persistent shifts `rate_anomaly`'s
+    per-day z-test misses (k={k}, h={h}).  The recursion is rewritten as
+    the prefix identity S_d = M_d − min(0, min_(j≤d) M_j) with
+    M_d = Σ(z_i − k), so no iterative state is needed.
+
+    Scale shape: the corpus collapses to one |days| fold; burn-in moments
+    come from explicit Σ/Σx² sums on that tiny table (cross-engine-stable,
+    the extreme_value_load idiom); the CUSUM is two windows over |days|
+    rows.  Engine addition."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        f"""
+        WITH dly AS (
+          SELECT cast(floor(unix_timestamp(ts) / 86400) as bigint) AS day,
+                 cast(count(*) as double) AS c
+          FROM events GROUP BY floor(unix_timestamp(ts) / 86400)
+        ), ord AS (
+          SELECT day, c,
+                 row_number() OVER (ORDER BY day) AS rn,
+                 count(*) OVER () AS nd
+          FROM dly
+        ), ref AS (
+          SELECT cast(max(nd) as bigint) AS nd,
+                 cast(sum(CASE WHEN rn <= ceil(nd / 2.0) THEN 1
+                               ELSE 0 END) as double) AS bn,
+                 sum(CASE WHEN rn <= ceil(nd / 2.0) THEN c ELSE 0 END)
+                   AS bs,
+                 sum(CASE WHEN rn <= ceil(nd / 2.0) THEN c * c ELSE 0 END)
+                   AS bss
+          FROM ord
+        ), mom AS (
+          SELECT nd, bn, bs / bn AS mu,
+                 sqrt((bss - bs * bs / bn) / nullif(bn - 1,
+                      cast(0.0 as double))) AS sd
+          FROM ref
+        ), m AS (
+          SELECT o.day, o.rn, r.nd, r.bn, r.mu, r.sd,
+                 sum((o.c - r.mu) / nullif(r.sd, cast(0.0 as double))
+                     - {_CUSUM_K})
+                   OVER (ORDER BY o.rn
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS mm
+          FROM ord o CROSS JOIN mom r
+        ), s AS (
+          SELECT day, nd, bn, mu, sd,
+                 round(mm - least(cast(0.0 as double),
+                                  min(mm) OVER (ORDER BY rn
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)), 4) AS cusum
+          FROM m
+        )
+        SELECT cast(max(nd) as bigint) AS n_days,
+               cast(max(bn) as bigint) AS burn_days,
+               round(max(mu), 4) AS ref_mean,
+               round(max(sd), 4) AS ref_sd,
+               round(max(cusum), 4) AS max_cusum,
+               cast(sum(CASE WHEN cusum > {_CUSUM_H} THEN 1 ELSE 0 END)
+                    as bigint) AS alarm_days,
+               min(CASE WHEN cusum > {_CUSUM_H} THEN day END)
+                 AS first_alarm_day
+        FROM s
+        """,
+    )
+
+
+q_cusum_count_monitor.__doc__ = q_cusum_count_monitor.__doc__.format(
+    k=_CUSUM_K, h=_CUSUM_H)
+
+
+ORACLE_CUSUM_COUNT_MONITOR = f"""
+WITH dly AS (
+  SELECT floor(epoch(ts) / 86400)::BIGINT AS day, count(*)::DOUBLE AS c
+  FROM events GROUP BY 1
+), ord AS (
+  SELECT day, c, row_number() OVER (ORDER BY day) AS rn,
+         count(*) OVER () AS nd
+  FROM dly
+), ref AS (
+  SELECT max(nd)::BIGINT AS nd,
+         sum(CASE WHEN rn <= ceil(nd / 2.0) THEN 1 ELSE 0 END)::DOUBLE AS bn,
+         sum(CASE WHEN rn <= ceil(nd / 2.0) THEN c ELSE 0 END) AS bs,
+         sum(CASE WHEN rn <= ceil(nd / 2.0) THEN c * c ELSE 0 END) AS bss
+  FROM ord
+), mom AS (
+  SELECT nd, bn, bs / bn AS mu,
+         sqrt((bss - bs * bs / bn) / nullif(bn - 1, 0.0)) AS sd
+  FROM ref
+), m AS (
+  SELECT o.day, o.rn, r.nd, r.bn, r.mu, r.sd,
+         sum((o.c - r.mu) / nullif(r.sd, 0.0) - {_CUSUM_K})
+           OVER (ORDER BY o.rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mm
+  FROM ord o CROSS JOIN mom r
+), s AS (
+  SELECT day, nd, bn, mu, sd,
+         round(mm - least(0.0, min(mm) OVER (ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+           AS cusum
+  FROM m
+)
+SELECT max(nd)::BIGINT AS n_days,
+       max(bn)::BIGINT AS burn_days,
+       round(max(mu), 4) AS ref_mean,
+       round(max(sd), 4) AS ref_sd,
+       round(max(cusum), 4) AS max_cusum,
+       sum(CASE WHEN cusum > {_CUSUM_H} THEN 1 ELSE 0 END)::BIGINT
+         AS alarm_days,
+       min(CASE WHEN cusum > {_CUSUM_H} THEN day END) AS first_alarm_day
+FROM s
+"""
+
+
+def q_unseen_vocab_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing unseen-probability mass and Chao1 richness for the
+    corpus vocabulary: P(next token is a NEW type) ≈ N1/N (hapax count
+    over token count) and total-vocabulary estimate Chao1 = V +
+    N1·(N1−1)/(2·(N2+1)).  The planning number behind `vocab_prune_plan`
+    and `vocab_coverage_curve`: it says how much type mass MORE crawl
+    would surface, i.e. whether the vocabulary has converged or the
+    corpus is still discovering its tail.
+
+    Scale shape: one corpus wordcount shuffle (the zipf_fit pattern),
+    then a single fold over the vocab table — frequency-of-frequencies
+    needs only f=1/f=2 indicator sums, never a second pass.  Engine
+    addition."""
+    toks = _SPARK_TOKENS.format(x="text")
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH wc AS (
+          SELECT tok, cast(count(*) as double) AS f
+          FROM (SELECT explode({toks}) AS tok FROM documents)
+          GROUP BY tok
+        ), agg AS (
+          SELECT cast(count(*) as double) AS v,
+                 sum(f) AS n,
+                 sum(CASE WHEN f = 1 THEN 1.0 ELSE 0.0 END) AS n1,
+                 sum(CASE WHEN f = 2 THEN 1.0 ELSE 0.0 END) AS n2
+          FROM wc
+        )
+        SELECT cast(n as bigint) AS n_tokens,
+               cast(v as bigint) AS vocab_size,
+               cast(n1 as bigint) AS hapax_types,
+               cast(n2 as bigint) AS dis_types,
+               round(n1 / nullif(n, cast(0.0 as double)), 6)
+                 AS p_unseen_gt,
+               round(1.0 - n1 / nullif(n, cast(0.0 as double)), 6)
+                 AS coverage_gt,
+               round(v + n1 * (n1 - 1.0) / (2.0 * (n2 + 1.0)), 2)
+                 AS chao1_richness,
+               round((n1 * (n1 - 1.0) / (2.0 * (n2 + 1.0)))
+                     / nullif(v, cast(0.0 as double)), 4)
+                 AS undiscovered_ratio
+        FROM agg
+        """,
+    )
+
+
+ORACLE_UNSEEN_VOCAB_MASS = f"""
+WITH wc AS (
+  SELECT tok, count(*)::DOUBLE AS f
+  FROM (SELECT unnest({_DUCK_TOKENS.format(x='text')}) AS tok
+        FROM documents)
+  GROUP BY tok
+), agg AS (
+  SELECT count(*)::DOUBLE AS v, sum(f) AS n,
+         sum(CASE WHEN f = 1 THEN 1.0 ELSE 0.0 END) AS n1,
+         sum(CASE WHEN f = 2 THEN 1.0 ELSE 0.0 END) AS n2
+  FROM wc
+)
+SELECT n::BIGINT AS n_tokens,
+       v::BIGINT AS vocab_size,
+       n1::BIGINT AS hapax_types,
+       n2::BIGINT AS dis_types,
+       round(n1 / nullif(n, 0.0), 6) AS p_unseen_gt,
+       round(1.0 - n1 / nullif(n, 0.0), 6) AS coverage_gt,
+       round(v + n1 * (n1 - 1.0) / (2.0 * (n2 + 1.0)), 2) AS chao1_richness,
+       round((n1 * (n1 - 1.0) / (2.0 * (n2 + 1.0))) / nullif(v, 0.0), 4)
+         AS undiscovered_ratio
+FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -23525,6 +23796,11 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "cluster_source_purity": (
         q_cluster_source_purity, ORACLE_CLUSTER_SOURCE_PURITY,
     ),
+    "theil_inequality": (q_theil_inequality, ORACLE_THEIL_INEQUALITY),
+    "cusum_count_monitor": (
+        q_cusum_count_monitor, ORACLE_CUSUM_COUNT_MONITOR,
+    ),
+    "unseen_vocab_mass": (q_unseen_vocab_mass, ORACLE_UNSEEN_VOCAB_MASS),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04
