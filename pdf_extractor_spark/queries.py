@@ -23230,6 +23230,285 @@ FROM agg
 """
 
 
+def q_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher chained price indices year-over-year
+    from lineitem: per (part, year) the realized unit price (Σ extended
+    price / Σ quantity) and quantity, then for each consecutive-year pair
+    over parts traded in BOTH years, Laspeyres = Σp₁q₀/Σp₀q₀ (base-year
+    basket), Paasche = Σp₁q₁/Σp₀q₁ (current basket), Fisher = √(L·P).
+    The macro companion to `price_qty_elasticity`'s per-part micro fit:
+    it separates true price movement from basket-mix shift.
+
+    Scale shape: ONE (partkey, year) aggregate is the only corpus-sized
+    shuffle; the year-pair self-join runs on that already-reduced table
+    keyed by partkey; each index is a per-year ratio-of-sums fold."""
+    return _sql(
+        spark, sf_dir, ["lineitem"],
+        """
+        WITH py AS (
+          SELECT l_partkey AS pk,
+                 cast(year(l_shipdate) as bigint) AS yr,
+                 sum(l_extendedprice) / sum(l_quantity) AS p,
+                 sum(l_quantity) AS q
+          FROM lineitem
+          GROUP BY l_partkey, year(l_shipdate)
+        )
+        SELECT cast(c.yr as bigint) AS year,
+               cast(count(*) as bigint) AS n_parts,
+               round(sum(c.p * b.q) / sum(b.p * b.q), 4) AS laspeyres,
+               round(sum(c.p * c.q) / sum(b.p * c.q), 4) AS paasche,
+               round(sqrt((sum(c.p * b.q) / sum(b.p * b.q))
+                          * (sum(c.p * c.q) / sum(b.p * c.q))), 4)
+                 AS fisher
+        FROM py c JOIN py b ON b.pk = c.pk AND b.yr = c.yr - 1
+        GROUP BY c.yr
+        ORDER BY year
+        """,
+    )
+
+
+ORACLE_PRICE_INDEX_FISHER = """
+WITH py AS (
+  SELECT l_partkey AS pk, year(l_shipdate)::BIGINT AS yr,
+         sum(l_extendedprice) / sum(l_quantity) AS p,
+         sum(l_quantity) AS q
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT c.yr::BIGINT AS year,
+       count(*)::BIGINT AS n_parts,
+       round(sum(c.p * b.q) / sum(b.p * b.q), 4) AS laspeyres,
+       round(sum(c.p * c.q) / sum(b.p * c.q), 4) AS paasche,
+       round(sqrt((sum(c.p * b.q) / sum(b.p * b.q))
+                  * (sum(c.p * c.q) / sum(b.p * c.q))), 4) AS fisher
+FROM py c JOIN py b ON b.pk = c.pk AND b.yr = c.yr - 1
+GROUP BY c.yr
+ORDER BY year
+"""
+
+
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend over daily event counts: the median of all
+    pairwise slopes (cⱼ−cᵢ)/(dayⱼ−dayᵢ), which tolerates up to ~29%
+    outlier days where `regr_slope`'s OLS line is dragged by a single
+    traffic spike — both slopes are reported so the gap itself is the
+    outlier signal.  Median = explicit lower order statistic
+    (rn = ceil(n/2) over ORDER BY slope), not an interpolating quantile,
+    so both engines pick the same realized value.
+
+    Scale shape: the corpus collapses to one |days| fold; the pairwise
+    set is |days|²/2 rows of a TINY table (30 days → 435 pairs, broadcast
+    nested-loop by construction); medians are windows over that."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        """
+        WITH dly AS (
+          SELECT cast(floor(unix_timestamp(ts) / 86400) as bigint) AS day,
+                 cast(count(*) as double) AS c
+          FROM events GROUP BY floor(unix_timestamp(ts) / 86400)
+        ), pairs AS (
+          SELECT (b.c - a.c) / (b.day - a.day) AS slope
+          FROM dly a JOIN dly b ON b.day > a.day
+        ), med AS (
+          SELECT slope AS ts_slope
+          FROM (SELECT slope,
+                       row_number() OVER (ORDER BY slope) AS rn,
+                       count(*) OVER () AS cnt
+                FROM pairs)
+          WHERE rn = cast(ceil(cnt / 2.0) as bigint)
+        ), icept AS (
+          SELECT r AS ts_intercept
+          FROM (SELECT d.c - m.ts_slope * d.day AS r,
+                       row_number() OVER (ORDER BY d.c - m.ts_slope * d.day)
+                         AS rn,
+                       count(*) OVER () AS cnt
+                FROM dly d CROSS JOIN med m)
+          WHERE rn = cast(ceil(cnt / 2.0) as bigint)
+        ), ols AS (
+          SELECT cast(count(*) as bigint) AS n_days,
+                 round(regr_slope(c, day), 4) AS ols_slope
+          FROM dly
+        )
+        SELECT o.n_days,
+               cast(o.n_days * (o.n_days - 1) / 2 as bigint) AS n_pairs,
+               round(m.ts_slope, 4) AS ts_slope,
+               round(i.ts_intercept, 4) AS ts_intercept,
+               o.ols_slope,
+               round(abs(o.ols_slope - round(m.ts_slope, 4)), 4)
+                 AS slope_gap,
+               CASE WHEN round(m.ts_slope, 4) > 0 THEN 'up'
+                    WHEN round(m.ts_slope, 4) < 0 THEN 'down'
+                    ELSE 'flat' END AS trend
+        FROM ols o CROSS JOIN med m CROSS JOIN icept i
+        """,
+    )
+
+
+ORACLE_THEIL_SEN_TREND = """
+WITH dly AS (
+  SELECT floor(epoch(ts) / 86400)::BIGINT AS day, count(*)::DOUBLE AS c
+  FROM events GROUP BY 1
+), pairs AS (
+  SELECT (b.c - a.c) / (b.day - a.day) AS slope
+  FROM dly a JOIN dly b ON b.day > a.day
+), med AS (
+  SELECT slope AS ts_slope
+  FROM (SELECT slope, row_number() OVER (ORDER BY slope) AS rn,
+               count(*) OVER () AS cnt
+        FROM pairs) q
+  WHERE rn = ceil(cnt / 2.0)::BIGINT
+), icept AS (
+  SELECT r AS ts_intercept
+  FROM (SELECT d.c - m.ts_slope * d.day AS r,
+               row_number() OVER (ORDER BY d.c - m.ts_slope * d.day) AS rn,
+               count(*) OVER () AS cnt
+        FROM dly d CROSS JOIN med m) q
+  WHERE rn = ceil(cnt / 2.0)::BIGINT
+), ols AS (
+  SELECT count(*)::BIGINT AS n_days, round(regr_slope(c, day), 4) AS ols_slope
+  FROM dly
+)
+SELECT o.n_days,
+       (o.n_days * (o.n_days - 1) / 2)::BIGINT AS n_pairs,
+       round(m.ts_slope, 4) AS ts_slope,
+       round(i.ts_intercept, 4) AS ts_intercept,
+       o.ols_slope,
+       round(abs(o.ols_slope - round(m.ts_slope, 4)), 4) AS slope_gap,
+       CASE WHEN round(m.ts_slope, 4) > 0 THEN 'up'
+            WHEN round(m.ts_slope, 4) < 0 THEN 'down'
+            ELSE 'flat' END AS trend
+FROM ols o CROSS JOIN med m CROSS JOIN icept i
+"""
+
+
+_WILSON_Z = 1.96
+
+
+def q_wilson_funnel_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`event_funnel`'s conversion rates with Wilson 95% score intervals:
+    point rates on 150 users are ±8pp noise, and a product decision made
+    on the bare ratio confuses sampling error with a real funnel change.
+    Wilson (not Wald) because funnel tails are small-n/extreme-p exactly
+    where Wald's ±z√(p(1−p)/n) collapses to zero width.
+
+    Scale shape: identical single-scan three-window funnel as
+    `event_funnel` (one user_id exchange, one sort); the Wilson algebra
+    runs on the 1-row aggregate fanned to one row per transition."""
+    return _sql(
+        spark, sf_dir, ["events"],
+        f"""
+        WITH w1 AS (
+          SELECT user_id, ts, event_id, event_type,
+                 min(CASE WHEN event_type = 'view' THEN ts END) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS t_view
+          FROM events
+        ), w2 AS (
+          SELECT *,
+                 min(CASE WHEN event_type = 'click' AND ts > t_view
+                          THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS t_click
+          FROM w1
+        ), w3 AS (
+          SELECT *,
+                 min(CASE WHEN event_type = 'purchase' AND ts > t_click
+                          THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS t_purchase
+          FROM w2
+        ), per_user AS (
+          SELECT user_id, min(t_view) AS t_view, min(t_click) AS t_click,
+                 min(t_purchase) AS t_purchase
+          FROM w3 GROUP BY user_id
+        ), agg AS (
+          SELECT cast(count(t_view) as double) AS v,
+                 cast(count(t_click) as double) AS c,
+                 cast(count(t_purchase) as double) AS p
+          FROM per_user
+        ), steps AS (
+          SELECT 'view->click' AS step, v AS nb,
+                 nullif(v, cast(0.0 as double)) AS nz, c AS nc FROM agg
+          UNION ALL
+          SELECT 'click->purchase' AS step, c AS nb,
+                 nullif(c, cast(0.0 as double)) AS nz, p AS nc FROM agg
+        )
+        SELECT step,
+               cast(nb as bigint) AS n_base,
+               cast(nc as bigint) AS n_converted,
+               round(nc / nz, 4) AS rate,
+               round(((nc / nz + {_WILSON_Z} * {_WILSON_Z} / (2 * nz))
+                      - {_WILSON_Z}
+                        * sqrt((nc / nz) * (1 - nc / nz) / nz
+                               + {_WILSON_Z} * {_WILSON_Z}
+                                 / (4 * nz * nz)))
+                     / (1 + {_WILSON_Z} * {_WILSON_Z} / nz), 4)
+                 AS wilson_lo,
+               round(((nc / nz + {_WILSON_Z} * {_WILSON_Z} / (2 * nz))
+                      + {_WILSON_Z}
+                        * sqrt((nc / nz) * (1 - nc / nz) / nz
+                               + {_WILSON_Z} * {_WILSON_Z}
+                                 / (4 * nz * nz)))
+                     / (1 + {_WILSON_Z} * {_WILSON_Z} / nz), 4)
+                 AS wilson_hi
+        FROM steps
+        ORDER BY step
+        """,
+    )
+
+
+ORACLE_WILSON_FUNNEL_CI = f"""
+WITH w1 AS (
+  SELECT user_id, ts, event_id, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS t_view
+  FROM events
+), w2 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS t_click
+  FROM w1
+), w3 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS t_purchase
+  FROM w2
+), per_user AS (
+  SELECT user_id, min(t_view) AS t_view, min(t_click) AS t_click,
+         min(t_purchase) AS t_purchase
+  FROM w3 GROUP BY user_id
+), agg AS (
+  SELECT count(t_view)::DOUBLE AS v, count(t_click)::DOUBLE AS c,
+         count(t_purchase)::DOUBLE AS p
+  FROM per_user
+), steps AS (
+  SELECT 'view->click' AS step, v AS nb, nullif(v, 0.0) AS nz, c AS nc
+  FROM agg
+  UNION ALL
+  SELECT 'click->purchase' AS step, c AS nb, nullif(c, 0.0) AS nz, p AS nc
+  FROM agg
+)
+SELECT step,
+       nb::BIGINT AS n_base,
+       nc::BIGINT AS n_converted,
+       round(nc / nz, 4) AS rate,
+       round(((nc / nz + {_WILSON_Z} * {_WILSON_Z} / (2 * nz))
+              - {_WILSON_Z} * sqrt((nc / nz) * (1 - nc / nz) / nz
+                                   + {_WILSON_Z} * {_WILSON_Z}
+                                     / (4 * nz * nz)))
+             / (1 + {_WILSON_Z} * {_WILSON_Z} / nz), 4) AS wilson_lo,
+       round(((nc / nz + {_WILSON_Z} * {_WILSON_Z} / (2 * nz))
+              + {_WILSON_Z} * sqrt((nc / nz) * (1 - nc / nz) / nz
+                                   + {_WILSON_Z} * {_WILSON_Z}
+                                     / (4 * nz * nz)))
+             / (1 + {_WILSON_Z} * {_WILSON_Z} / nz), 4) AS wilson_hi
+FROM steps
+ORDER BY step
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -23801,6 +24080,9 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
         q_cusum_count_monitor, ORACLE_CUSUM_COUNT_MONITOR,
     ),
     "unseen_vocab_mass": (q_unseen_vocab_mass, ORACLE_UNSEEN_VOCAB_MASS),
+    "price_index_fisher": (q_price_index_fisher, ORACLE_PRICE_INDEX_FISHER),
+    "theil_sen_trend": (q_theil_sen_trend, ORACLE_THEIL_SEN_TREND),
+    "wilson_funnel_ci": (q_wilson_funnel_ci, ORACLE_WILSON_FUNNEL_CI),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04
