@@ -23509,6 +23509,318 @@ ORDER BY step
 """
 
 
+_KFOLD_K = 5
+
+
+def q_stratified_kfold_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {k}-fold CV assignment over documents (md5(doc_id)
+    mod {k} — the `dedup_aware_split` hash idiom) with a per-fold balance
+    audit: language chi-square vs the pooled mix, the largest language
+    share deviation, and the fold's mean-length deviation from global.
+    `split_label_balance` audits the EMBEDDING eval folds (vec_id % 5 on
+    labels); this plans cross-validation on the raw corpus, where a fold
+    skewed in language or length silently biases every per-fold metric.
+
+    Scale shape: the fold key is a map-only hash expression; one
+    (fold, lang) grid aggregate is the only shuffle; pooled shares and
+    global moments are windows over the ≤ {k}·|langs| grid."""
+    fold = _SPARK_MD5INT.format(x="cast(doc_id as string)") + f" % {_KFOLD_K}"
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH a AS (
+          SELECT cast({fold} as int) AS fold, lang, n_chars
+          FROM documents
+        ), fl AS (
+          SELECT fold, lang, cast(count(*) as bigint) AS n,
+                 sum(n_chars) AS sc
+          FROM a GROUP BY fold, lang
+        ), shares AS (
+          SELECT fold, lang, n, sc,
+                 sum(n) OVER (PARTITION BY fold) AS fold_n,
+                 sum(sc) OVER (PARTITION BY fold) AS fold_sc,
+                 sum(n) OVER (PARTITION BY lang) AS lang_n,
+                 sum(n) OVER () AS total_n,
+                 sum(sc) OVER () AS total_sc
+          FROM fl
+        )
+        SELECT fold,
+               cast(max(fold_n) as bigint) AS n_docs,
+               round(max(fold_n) / cast(max(total_n) as double), 4)
+                 AS size_share,
+               cast(count(*) as bigint) AS n_langs,
+               round(sum(
+                 (n - fold_n * lang_n / cast(total_n as double))
+                 * (n - fold_n * lang_n / cast(total_n as double))
+                 / (fold_n * lang_n / cast(total_n as double))), 4)
+                 AS chi2_vs_pooled,
+               round(max(abs(n / cast(fold_n as double)
+                             - lang_n / cast(total_n as double))), 4)
+                 AS max_share_dev,
+               round(max(fold_sc) / cast(max(fold_n) as double), 2)
+                 AS mean_chars,
+               round(max(fold_sc) / cast(max(fold_n) as double)
+                     / (max(total_sc) / cast(max(total_n) as double))
+                     - 1.0, 4) AS chars_dev
+        FROM shares
+        GROUP BY fold
+        ORDER BY fold
+        """,
+    )
+
+
+q_stratified_kfold_plan.__doc__ = q_stratified_kfold_plan.__doc__.format(
+    k=_KFOLD_K)
+
+
+ORACLE_STRATIFIED_KFOLD_PLAN = f"""
+WITH a AS (
+  SELECT ({_DUCK_MD5INT.format(x="doc_id::VARCHAR")} % {_KFOLD_K})::INT
+           AS fold,
+         lang, n_chars
+  FROM documents
+), fl AS (
+  SELECT fold, lang, count(*)::BIGINT AS n, sum(n_chars) AS sc
+  FROM a GROUP BY fold, lang
+), shares AS (
+  SELECT fold, lang, n, sc,
+         sum(n) OVER (PARTITION BY fold) AS fold_n,
+         sum(sc) OVER (PARTITION BY fold) AS fold_sc,
+         sum(n) OVER (PARTITION BY lang) AS lang_n,
+         sum(n) OVER () AS total_n,
+         sum(sc) OVER () AS total_sc
+  FROM fl
+)
+SELECT fold,
+       max(fold_n)::BIGINT AS n_docs,
+       round(max(fold_n) / max(total_n)::DOUBLE, 4) AS size_share,
+       count(*)::BIGINT AS n_langs,
+       round(sum((n - fold_n * lang_n / total_n::DOUBLE)
+                 * (n - fold_n * lang_n / total_n::DOUBLE)
+                 / (fold_n * lang_n / total_n::DOUBLE)), 4)
+         AS chi2_vs_pooled,
+       round(max(abs(n / fold_n::DOUBLE - lang_n / total_n::DOUBLE)), 4)
+         AS max_share_dev,
+       round(max(fold_sc) / max(fold_n)::DOUBLE, 2) AS mean_chars,
+       round(max(fold_sc) / max(fold_n)::DOUBLE
+             / (max(total_sc) / max(total_n)::DOUBLE) - 1.0, 4)
+         AS chars_dev
+FROM shares
+GROUP BY fold
+ORDER BY fold
+"""
+
+
+_MCNEMAR_LEN_MIN = 200
+_MCNEMAR_DIGIT_MAX = 0.2
+
+
+def q_mcnemar_filter_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired comparison of two keep-filters on the SAME
+    documents: the length gate (n_chars ≥ {L}) vs the digit-density gate
+    (digits/non-space ≤ {D}).  Because both run on identical rows, the
+    unpaired chi-square is wrong — only the DISCORDANT cells carry
+    information, and McNemar's continuity-corrected
+    (|b−c|−1)²/(b+c) > 3.8415 says whether the filters genuinely disagree
+    or just overlap noisily.  The decision input for retiring one gate.
+
+    Scale shape: both predicates are map-only expressions over one scan;
+    the 2×2 table is a single fold — no shuffle carries text."""
+    return _sql(
+        spark, sf_dir, ["documents"],
+        f"""
+        WITH d AS (
+          SELECT (n_chars >= {_MCNEMAR_LEN_MIN}) AS ka,
+                 (size(regexp_extract_all(coalesce(text, ''), '[0-9]', 0))
+                  / cast(greatest(size(regexp_extract_all(
+                        coalesce(text, ''), '[^ \\t\\n]', 0)), 1) as double)
+                  <= {_MCNEMAR_DIGIT_MAX}) AS kb
+          FROM documents
+        ), cells AS (
+          SELECT cast(count(*) as bigint) AS n,
+                 cast(sum(CASE WHEN ka AND kb THEN 1 ELSE 0 END)
+                      as bigint) AS both_keep,
+                 cast(sum(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END)
+                      as bigint) AS only_len,
+                 cast(sum(CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END)
+                      as bigint) AS only_digit,
+                 cast(sum(CASE WHEN NOT ka AND NOT kb THEN 1 ELSE 0 END)
+                      as bigint) AS neither
+          FROM d
+        )
+        SELECT n, both_keep, only_len, only_digit, neither,
+               round((both_keep + neither)
+                     / cast(n as double), 4) AS agreement,
+               round((abs(only_len - only_digit) - 1)
+                     * (abs(only_len - only_digit) - 1)
+                     / nullif(cast(only_len + only_digit as double),
+                              cast(0.0 as double)), 4) AS mcnemar_chi2,
+               coalesce((abs(only_len - only_digit) - 1)
+                        * (abs(only_len - only_digit) - 1)
+                        / nullif(cast(only_len + only_digit as double),
+                                 cast(0.0 as double))
+                        > 3.8415, false) AS filters_differ
+        FROM cells
+        """,
+    )
+
+
+q_mcnemar_filter_pair.__doc__ = q_mcnemar_filter_pair.__doc__.format(
+    L=_MCNEMAR_LEN_MIN, D=_MCNEMAR_DIGIT_MAX)
+
+
+ORACLE_MCNEMAR_FILTER_PAIR = f"""
+WITH d AS (
+  SELECT (n_chars >= {_MCNEMAR_LEN_MIN}) AS ka,
+         (len(regexp_extract_all(coalesce(text, ''), '[0-9]'))
+          / greatest(len(regexp_extract_all(coalesce(text, ''),
+                         '[^ \\t\\n]')), 1)::DOUBLE
+          <= {_MCNEMAR_DIGIT_MAX}) AS kb
+  FROM documents
+), cells AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN ka AND kb THEN 1 ELSE 0 END)::BIGINT AS both_keep,
+         sum(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END)::BIGINT AS only_len,
+         sum(CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END)::BIGINT
+           AS only_digit,
+         sum(CASE WHEN NOT ka AND NOT kb THEN 1 ELSE 0 END)::BIGINT
+           AS neither
+  FROM d
+)
+SELECT n, both_keep, only_len, only_digit, neither,
+       round((both_keep + neither) / n::DOUBLE, 4) AS agreement,
+       round((abs(only_len - only_digit) - 1)
+             * (abs(only_len - only_digit) - 1)
+             / nullif((only_len + only_digit)::DOUBLE, 0.0), 4)
+         AS mcnemar_chi2,
+       coalesce((abs(only_len - only_digit) - 1)
+                * (abs(only_len - only_digit) - 1)
+                / nullif((only_len + only_digit)::DOUBLE, 0.0)
+                > 3.8415, false) AS filters_differ
+FROM cells
+"""
+
+
+def q_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between document length and digit
+    density — the monotone-association check behind the filter pair:
+    Pearson on raw values is dominated by the length tail, while
+    Spearman on average ranks answers "do longer documents actually
+    carry more numeric noise?"  Ranks use the mid-rank convention via
+    value-group ECDFs, so ties are exact, and both Spearman and the raw
+    Pearson are reported — their gap is the nonlinearity/outlier signal.
+
+    Scale shape: ONE corpus scan folds to the (length, density-milli)
+    grid with counts, materialized once (eager localCheckpoint — the
+    unigram_drift idiom; a CTE spelling re-scans the corpus per
+    consumer); average ranks are windows over the tiny grid and the
+    correlations are weighted-moment folds on it — the per-doc table is
+    never ranked globally (a 10^12-row single-partition sort otherwise)."""
+    grid = _sql(
+        spark, sf_dir, ["documents"],
+        """
+        SELECT cast(n_chars as double) AS x,
+               round(size(regexp_extract_all(coalesce(text, ''),
+                                             '[0-9]', 0))
+                     / cast(greatest(size(regexp_extract_all(
+                           coalesce(text, ''), '[^ \\t\\n]', 0)), 1)
+                            as double), 3) AS y,
+               cast(count(*) as double) AS n
+        FROM documents
+        GROUP BY 1, 2
+        """,
+    ).localCheckpoint(eager=True)
+    grid.createOrReplaceTempView("sp_grid")
+    return grid.sparkSession.sql(
+        """
+        WITH rx AS (
+          SELECT x, sum(n) AS nx,
+                 sum(sum(n)) OVER (ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - (sum(n) - 1) / 2.0 AS arx
+          FROM sp_grid GROUP BY x
+        ), ry AS (
+          SELECT y, sum(n) AS ny,
+                 sum(sum(n)) OVER (ORDER BY y
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - (sum(n) - 1) / 2.0 AS ary
+          FROM sp_grid GROUP BY y
+        ), m AS (
+          SELECT sum(g.n) AS w,
+                 sum(g.n * rx.arx) AS sx, sum(g.n * ry.ary) AS sy,
+                 sum(g.n * rx.arx * rx.arx) AS sxx,
+                 sum(g.n * ry.ary * ry.ary) AS syy,
+                 sum(g.n * rx.arx * ry.ary) AS sxy,
+                 sum(g.n * g.x) AS vx, sum(g.n * g.y) AS vy,
+                 sum(g.n * g.x * g.x) AS vxx,
+                 sum(g.n * g.y * g.y) AS vyy,
+                 sum(g.n * g.x * g.y) AS vxy,
+                 cast(count(distinct g.x) as bigint) AS n_x_values,
+                 cast(count(distinct g.y) as bigint) AS n_y_values
+          FROM sp_grid g
+          JOIN rx ON rx.x = g.x
+          JOIN ry ON ry.y = g.y
+        )
+        SELECT cast(w as bigint) AS n_docs,
+               n_x_values, n_y_values,
+               round((w * sxy - sx * sy)
+                     / nullif(sqrt((w * sxx - sx * sx)
+                                   * (w * syy - sy * sy)),
+                              cast(0.0 as double)), 4) AS spearman_rho,
+               round((w * vxy - vx * vy)
+                     / nullif(sqrt((w * vxx - vx * vx)
+                                   * (w * vyy - vy * vy)),
+                              cast(0.0 as double)), 4) AS pearson_raw
+        FROM m
+        """,
+    )
+
+
+ORACLE_SPEARMAN_RANK_CORR = """
+WITH grid AS (
+  SELECT n_chars::DOUBLE AS x,
+         round(len(regexp_extract_all(coalesce(text, ''), '[0-9]'))
+               / greatest(len(regexp_extract_all(coalesce(text, ''),
+                              '[^ \\t\\n]')), 1)::DOUBLE, 3) AS y,
+         count(*)::DOUBLE AS n
+  FROM documents GROUP BY 1, 2
+), rx AS (
+  SELECT x, sum(n) AS nx,
+         sum(sum(n)) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (sum(n) - 1) / 2.0 AS arx
+  FROM grid GROUP BY x
+), ry AS (
+  SELECT y, sum(n) AS ny,
+         sum(sum(n)) OVER (ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - (sum(n) - 1) / 2.0 AS ary
+  FROM grid GROUP BY y
+), m AS (
+  SELECT sum(g.n) AS w,
+         sum(g.n * rx.arx) AS sx, sum(g.n * ry.ary) AS sy,
+         sum(g.n * rx.arx * rx.arx) AS sxx,
+         sum(g.n * ry.ary * ry.ary) AS syy,
+         sum(g.n * rx.arx * ry.ary) AS sxy,
+         sum(g.n * g.x) AS vx, sum(g.n * g.y) AS vy,
+         sum(g.n * g.x * g.x) AS vxx, sum(g.n * g.y * g.y) AS vyy,
+         sum(g.n * g.x * g.y) AS vxy,
+         count(DISTINCT g.x)::BIGINT AS n_x_values,
+         count(DISTINCT g.y)::BIGINT AS n_y_values
+  FROM grid g JOIN rx ON rx.x = g.x JOIN ry ON ry.y = g.y
+)
+SELECT w::BIGINT AS n_docs,
+       n_x_values, n_y_values,
+       round((w * sxy - sx * sy)
+             / nullif(sqrt((w * sxx - sx * sx) * (w * syy - sy * sy)),
+                      0.0), 4) AS spearman_rho,
+       round((w * vxy - vx * vy)
+             / nullif(sqrt((w * vxx - vx * vx) * (w * vyy - vy * vy)),
+                      0.0), 4) AS pearson_raw
+FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -24083,6 +24395,13 @@ _QUERY_DEFS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[
     "price_index_fisher": (q_price_index_fisher, ORACLE_PRICE_INDEX_FISHER),
     "theil_sen_trend": (q_theil_sen_trend, ORACLE_THEIL_SEN_TREND),
     "wilson_funnel_ci": (q_wilson_funnel_ci, ORACLE_WILSON_FUNNEL_CI),
+    "stratified_kfold_plan": (
+        q_stratified_kfold_plan, ORACLE_STRATIFIED_KFOLD_PLAN,
+    ),
+    "mcnemar_filter_pair": (
+        q_mcnemar_filter_pair, ORACLE_MCNEMAR_FILTER_PAIR,
+    ),
+    "spearman_rank_corr": (q_spearman_rank_corr, ORACLE_SPEARMAN_RANK_CORR),
 }
 
 # Round-5 driver window: 50 queries never present in CORRECTNESS_r01..r04
