@@ -1,148 +1,192 @@
 """Round-5 batch-30 operators on crafted inputs, verified against
-independent Python computations: neyman_allocation (optimal stratified
-budget vs proportional), chebyshev_tail_audit (observed sigma-tail mass
-vs the 1/k^2 and Gaussian references), jarque_bera_lognormal (moment
-algebra and the closed-form chi2(2) p-value)."""
+independent Python computations that re-derive the hash-deterministic
+designs from hashlib.md5: poisson_bootstrap_ci (Poisson(1)-weight
+replicate means + normal CI), permutation_test_lengths (binomial
+randomization p-value for the two-source mean gap, third source must be
+ignored), page_hinkley_monitor (running-mean PH walk with a crafted
+level shift; stable series stays quiet)."""
 
 from __future__ import annotations
 
+import datetime as dt
+import hashlib
 import math
 
+import pandas as pd
+
 from pdf_extractor_spark.queries import (
-    _CHEB_GRID,
-    _NEYMAN_BUDGET,
-    q_chebyshev_tail_audit,
-    q_jarque_bera_lognormal,
-    q_neyman_allocation,
+    _BOOT_B,
+    _PERM_B,
+    _PH_DELTA,
+    _PH_LAMBDA,
+    _POIS1_CUM,
+    q_page_hinkley_monitor,
+    q_permutation_test_lengths,
+    q_poisson_bootstrap_ci,
 )
 
+_EPOCH = dt.datetime(1970, 1, 1)
 
-def _write_docs(spark, path, rows):
-    # rows: (source, n_chars)
+
+def _write_documents(spark, path, rows):
+    # rows: (doc_id, n_chars, source)
+    pdf = pd.DataFrame(rows, columns=["doc_id", "n_chars", "source"])
+    pdf["text"] = pdf["n_chars"].map(lambda n: "a" * int(n))
+    pdf["lang"] = "en"
     spark.createDataFrame(
-        [(i, "t", "en", s, n) for i, (s, n) in enumerate(rows, 1)],
+        pdf[["doc_id", "text", "lang", "source", "n_chars"]],
         "doc_id bigint, text string, lang string, source string,"
         " n_chars bigint",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
 
 
-# ----------------------------------------------------------- neyman_allocation
+def _write_daily_counts(spark, path, counts):
+    rows, eid = [], 0
+    for d, c in enumerate(counts):
+        for i in range(c):
+            eid += 1
+            rows.append((eid, _EPOCH + dt.timedelta(days=d, seconds=i),
+                         1, "view", 0.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
 
 
-def test_neyman_shifts_budget_to_noisy_stratum(spark, tmp_path):
-    rows = ([("a", n) for n in (100, 200, 300, 400)]
-            + [("b", 100)] * 4)
-    _write_docs(spark, tmp_path, rows)
-    out = {r["source"]: r for r in
-           q_neyman_allocation(spark, str(tmp_path)).collect()}
-    sd_a = math.sqrt(sum((x - 250) ** 2
-                         for x in (100, 200, 300, 400)) / 3)
-    a, b = out["a"], out["b"]
-    assert (a["n_docs"], b["n_docs"]) == (4, 4)
-    assert a["sd_chars"] == round(sd_a, 2) and b["sd_chars"] == 0.0
-    assert a["share"] == b["share"] == 0.5
-    # proportional: 500/500; Neyman: ALL budget to the noisy stratum
-    assert a["prop_alloc"] == b["prop_alloc"] == _NEYMAN_BUDGET // 2
-    assert a["neyman_alloc"] == _NEYMAN_BUDGET
-    assert b["neyman_alloc"] == 0
-    assert a["alloc_shift"] == _NEYMAN_BUDGET // 2
-    # V_prop = .25*sd^2/500, V_ney = .25*sd^2/1000 -> gain 2x, on all rows
-    assert a["design_gain"] == b["design_gain"] == 2.0
+def _md5int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
-def test_neyman_equal_variance_reduces_to_proportional(spark, tmp_path):
-    rows = ([("a", n) for n in (100, 300)] + [("b", n) for n in (500, 700)])
-    _write_docs(spark, tmp_path, rows)
-    out = {r["source"]: r for r in
-           q_neyman_allocation(spark, str(tmp_path)).collect()}
-    for r in out.values():
-        assert r["neyman_alloc"] == r["prop_alloc"] == _NEYMAN_BUDGET // 2
-        assert r["alloc_shift"] == 0
-        assert r["design_gain"] == 1.0
+def _pois_weight(u: float) -> int:
+    for k, c in enumerate(_POIS1_CUM):
+        if u < c:
+            return k
+    return 5
 
 
-# -------------------------------------------------------- chebyshev_tail_audit
+# ----------------------------------------------------------- poisson_bootstrap
 
 
-def test_chebyshev_observed_vs_bounds(spark, tmp_path):
-    xs = [100.0] * 96 + [1000.0] * 4
-    _write_docs(spark, tmp_path, [("s", int(x)) for x in xs])
-    w = len(xs)
-    mu = sum(xs) / w
-    sd = math.sqrt(sum((x - mu) ** 2 for x in xs) / (w - 1))
-    out = {r["k"]: r for r in
-           q_chebyshev_tail_audit(spark, str(tmp_path)).collect()}
-    assert set(out) == {k for k, _ in _CHEB_GRID}
-    for k, gauss in _CHEB_GRID:
-        r = out[k]
-        obs = sum(1 for x in xs if abs(x - mu) > k * sd) / w
-        assert r["threshold_lo"] == round(mu - k * sd, 2)
-        assert r["threshold_hi"] == round(mu + k * sd, 2)
-        assert r["observed_share"] == round(obs, 6)
-        assert r["chebyshev_bound"] == round(1 / k ** 2, 6)
-        assert r["gaussian_ref"] == gauss
-        assert r["vs_gaussian"] == round(obs / gauss, 4)
-        assert bool(r["heavier_than_gaussian"]) == (obs > gauss)
-    # Chebyshev's theorem holds on any input
-    for r in out.values():
-        assert r["observed_share"] <= r["chebyshev_bound"]
-    # this crafted spike IS heavier than Gaussian at k=3 but not k=2
-    assert bool(out[3]["heavier_than_gaussian"]) is True
-    assert bool(out[2]["heavier_than_gaussian"]) is False
+def test_poisson_bootstrap_matches_hash_mirror(spark, tmp_path):
+    lens = [100, 150, 200, 250, 300, 320, 340, 380, 420, 500,
+            90, 110, 130, 170, 190, 210, 230, 270, 290, 310]
+    _write_documents(
+        spark, tmp_path,
+        [(i + 1, ln, "s") for i, ln in enumerate(lens)])
+    r = q_poisson_bootstrap_ci(spark, str(tmp_path)).collect()[0]
+    means = []
+    for b in range(_BOOT_B):
+        sw = swx = 0.0
+        for i, ln in enumerate(lens):
+            w = _pois_weight(_md5int(f"{i + 1}:{b}") / 4294967296.0)
+            sw += w
+            swx += w * float(ln)
+        means.append(swx / sw if sw else None)
+    ms = [m for m in means if m is not None]
+    nb = float(len(ms))
+    sm, smm = sum(ms), sum(m * m for m in ms)
+    se = math.sqrt((smm - sm * sm / nb) / (nb - 1))
+    mean = sum(map(float, lens)) / len(lens)
+    assert r["n_docs"] == 20 and r["n_replicates"] == _BOOT_B
+    assert r["mean_chars"] == round(mean, 4)
+    assert r["boot_se"] == round(se, 4)
+    assert r["ci_lo"] == round(mean - 1.96 * se, 4)
+    assert r["ci_hi"] == round(mean + 1.96 * se, 4)
+    assert r["boot_min"] == round(min(ms), 4)
+    assert r["boot_max"] == round(max(ms), 4)
+    # the envelope must bracket the point estimate
+    assert r["boot_min"] < r["mean_chars"] < r["boot_max"]
+    assert r["ci_lo"] < r["mean_chars"] < r["ci_hi"]
 
 
-def test_chebyshev_tight_distribution_has_empty_tails(spark, tmp_path):
-    _write_docs(spark, tmp_path, [("s", n) for n in (99, 100, 101) * 10])
-    for r in q_chebyshev_tail_audit(spark, str(tmp_path)).collect():
-        assert r["observed_share"] == 0.0
-        assert bool(r["heavier_than_gaussian"]) is False
+# ------------------------------------------------------ permutation_test_lengths
 
 
-# ------------------------------------------------------- jarque_bera_lognormal
+def test_permutation_test_two_sources_only(spark, tmp_path):
+    # sources a (short) and b (long) differ hugely; source z is noise
+    # that must NOT enter (only the two lexically-first sources count)
+    rows = ([(i, 100 + i, "a") for i in range(1, 9)]
+            + [(i, 900 + i, "b") for i in range(9, 17)]
+            + [(99, 55555, "z")])
+    _write_documents(spark, tmp_path, rows)
+    r = q_permutation_test_lengths(spark, str(tmp_path)).collect()[0]
+    assert (r["source_a"], r["source_b"]) == ("a", "b")
+    mean_a = sum(100 + i for i in range(1, 9)) / 8
+    mean_b = sum(900 + i for i in range(9, 17)) / 8
+    assert r["mean_a"] == round(mean_a, 4)
+    assert r["mean_b"] == round(mean_b, 4)
+    assert r["observed_diff"] == round(mean_a - mean_b, 4)
+    xs = {i: 100.0 + i for i in range(1, 9)}
+    xs.update({i: 900.0 + i for i in range(9, 17)})
+    n_ext, diffs = 0, []
+    for b in range(_PERM_B):
+        ga = [x for d, x in xs.items()
+              if _md5int(f"{d}|{b}") % 2 == 0]
+        gb = [x for d, x in xs.items()
+              if _md5int(f"{d}|{b}") % 2 == 1]
+        d = (sum(ga) / len(ga) if ga else None) \
+            - (sum(gb) / len(gb) if gb else None)
+        diffs.append(d)
+        if abs(d) >= abs(mean_a - mean_b):
+            n_ext += 1
+    assert r["n_more_extreme"] == n_ext
+    assert r["n_permutations"] == _PERM_B
+    assert r["p_value"] == round((n_ext + 1) / (_PERM_B + 1), 4)
+    nb = float(len(diffs))
+    sd, sdd = sum(diffs), sum(d * d for d in diffs)
+    assert r["perm_diff_sd"] == round(
+        math.sqrt((sdd - sd * sd / nb) / (nb - 1)), 4)
+    # a ~800-char real gap must be beyond every random relabeling
+    assert r["p_value"] <= round(1 / (_PERM_B + 1), 4) + 1e-9
 
 
-def _python_jb(lengths):
-    ls = [math.log(x) for x in lengths if x > 0]
-    w = len(ls)
-    m1 = sum(ls) / w
-    m2 = sum(x ** 2 for x in ls) / w
-    m3 = sum(x ** 3 for x in ls) / w
-    m4 = sum(x ** 4 for x in ls) / w
-    u2 = m2 - m1 ** 2
-    u3 = m3 - 3 * m1 * m2 + 2 * m1 ** 3
-    u4 = m4 - 4 * m1 * m3 + 6 * m1 ** 2 * m2 - 3 * m1 ** 4
-    s = u3 / u2 ** 1.5
-    k = u4 / u2 ** 2 - 3
-    jb = w / 6 * (s ** 2 + k ** 2 / 4)
-    return w, s, k, jb, math.exp(-jb / 2)
+# -------------------------------------------------------- page_hinkley_monitor
 
 
-def test_jb_moment_algebra_matches_python(spark, tmp_path):
-    lengths = [10, 20, 40, 80, 160, 5000, 30, 60]   # skewed in log space
-    _write_docs(spark, tmp_path, [("s", n) for n in lengths])
-    w, s, k, jb, p = _python_jb(lengths)
-    r = q_jarque_bera_lognormal(spark, str(tmp_path)).collect()[0]
-    assert r["n_docs"] == w
-    assert r["skewness"] == round(s, 4)
-    assert r["excess_kurtosis"] == round(k, 4)
-    assert r["jb_stat"] == round(jb, 4)
-    assert r["p_value"] == round(p, 6)
-    assert bool(r["lognormal_ok"]) == (p > 0.05)
+def _ph_mirror(counts):
+    xs = [float(c) for c in counts]
+    mean = sum(xs) / len(xs)
+    zs = [x / mean for x in xs]
+    out, u = [], 0.0
+    v, umin, vmin, zsum = 0.0, 0.0, 0.0, 0.0
+    umin = vmin = float("inf")
+    first = None
+    for t, z in enumerate(zs, 1):
+        zsum += z
+        zbar = zsum / t
+        u += z - zbar - _PH_DELTA
+        v += zbar - z - _PH_DELTA
+        umin, vmin = min(umin, u), min(vmin, v)
+        inc, dec = u - umin, v - vmin
+        state = ("rate_up" if inc > _PH_LAMBDA
+                 else "rate_down" if dec > _PH_LAMBDA else "stable")
+        if state != "stable" and first is None:
+            first = t
+        out.append((t, inc, dec, state))
+    return out, first
 
 
-def test_jb_geometric_ladder_is_log_symmetric(spark, tmp_path):
-    # exact geometric progression -> log lengths equally spaced -> S = 0
-    lengths = [10, 100, 1000, 10000, 100000]
-    _write_docs(spark, tmp_path, [("s", n) for n in lengths])
-    r = q_jarque_bera_lognormal(spark, str(tmp_path)).collect()[0]
-    assert r["skewness"] == 0.0
-    # uniform-in-log is platykurtic, not leptokurtic
-    assert r["excess_kurtosis"] < 0
-    assert bool(r["lognormal_ok"]) is True   # tiny n -> JB small
+def test_page_hinkley_detects_level_shift(spark, tmp_path):
+    counts = [10] * 10 + [25] * 6
+    _write_daily_counts(spark, tmp_path, counts)
+    out = q_page_hinkley_monitor(spark, str(tmp_path)).collect()
+    mirror, first = _ph_mirror(counts)
+    assert len(out) == len(counts)
+    for r, (t, inc, dec, state) in zip(out, mirror):
+        assert r["day_index"] == t
+        assert r["ph_increase"] == round(inc, 4)
+        assert r["ph_decrease"] == round(dec, 4)
+        assert r["state"] == state
+        assert r["first_alarm_day"] == (1 if t == first else 0)
+    # the jump must raise a rate_up alarm shortly after day 10
+    assert first is not None and 11 <= first <= 13
+    assert out[first - 1]["state"] == "rate_up"
 
 
-def test_jb_excludes_nonpositive_lengths(spark, tmp_path):
-    _write_docs(spark, tmp_path,
-                [("s", 0)] + [("s", n) for n in (10, 100, 1000)])
-    r = q_jarque_bera_lognormal(spark, str(tmp_path)).collect()[0]
-    assert r["n_docs"] == 3
+def test_page_hinkley_stable_series_stays_quiet(spark, tmp_path):
+    counts = [12, 13, 11, 12, 14, 12, 11, 13, 12, 12]
+    _write_daily_counts(spark, tmp_path, counts)
+    out = q_page_hinkley_monitor(spark, str(tmp_path)).collect()
+    assert all(r["state"] == "stable" for r in out)
+    assert all(r["first_alarm_day"] == 0 for r in out)
