@@ -79,7 +79,10 @@ def test_poisson_bootstrap_matches_hash_mirror(spark, tmp_path):
     for b in range(_BOOT_B):
         sw = swx = 0.0
         for i, ln in enumerate(lens):
-            w = _pois_weight(_md5int(f"{i + 1}:{b}") / 4294967296.0)
+            # four 32-bit uniforms sliced per md5 digest
+            hx = hashlib.md5(f"{i + 1}:{b // 4}".encode()).hexdigest()
+            u = int(hx[8 * (b % 4):8 * (b % 4) + 8], 16) / 4294967296.0
+            w = _pois_weight(u)
             sw += w
             swx += w * float(ln)
         means.append(swx / sw if sw else None)
@@ -119,12 +122,14 @@ def test_permutation_test_two_sources_only(spark, tmp_path):
     assert r["observed_diff"] == round(mean_a - mean_b, 4)
     xs = {i: 100.0 + i for i in range(1, 9)}
     xs.update({i: 900.0 + i for i in range(9, 17)})
+    def bit(doc, b):
+        # 32 relabeling bits sliced per md5 digest
+        return (_md5int(f"{doc}|{b // 32}") >> (b % 32)) & 1
+
     n_ext, diffs = 0, []
     for b in range(_PERM_B):
-        ga = [x for d, x in xs.items()
-              if _md5int(f"{d}|{b}") % 2 == 0]
-        gb = [x for d, x in xs.items()
-              if _md5int(f"{d}|{b}") % 2 == 1]
+        ga = [x for d, x in xs.items() if bit(d, b) == 0]
+        gb = [x for d, x in xs.items() if bit(d, b) == 1]
         d = (sum(ga) / len(ga) if ga else None) \
             - (sum(gb) / len(gb) if gb else None)
         diffs.append(d)
