@@ -76,13 +76,16 @@ def test_daily_table_ops_ride_checkpointed_idx(spark, registry):
 
 def test_secret_scan_prefilter_before_shuffle(spark, registry):
     """Candidate filter sits under the Generate chain; shuffles are
-    candidate-sized.  Two scans at most: the token pass plus the
-    per-source doc counts (Spark may subsume one into a reused
-    stage)."""
-    final = _final(registry["secret_token_scan"][0](spark, SF_DIR))
-    assert 1 <= final.count("Scan parquet") <= 2
-    assert "Generate" in final
-    assert "CartesianProduct" not in final
+    candidate-sized.  Two scans: the token pass plus the per-source doc
+    counts.  (This plan is long enough that toString() truncates, so
+    the pin reads the complete formatted explain.)"""
+    df = registry["secret_token_scan"][0](spark, SF_DIR)
+    df.collect()
+    fmt = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert 1 <= fmt.count("Scan parquet") <= 2
+    assert "Generate" in fmt
+    assert "CartesianProduct" not in fmt
 
 
 def test_pr_curve_single_scan_window_pass(spark, registry):
