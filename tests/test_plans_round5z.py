@@ -83,8 +83,9 @@ def test_secret_scan_prefilter_before_shuffle(spark, registry):
     df.collect()
     fmt = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted")
-    assert 1 <= fmt.count("Scan parquet") <= 2
-    assert "Generate" in fmt
+    final_tree = fmt.split("== Initial Plan ==")[0]
+    assert 1 <= final_tree.count("Scan parquet") <= 2
+    assert "Generate" in final_tree
     assert "CartesianProduct" not in fmt
 
 
