@@ -219,3 +219,60 @@ def test_embedding_arrow_ops_no_generate(spark, registry):
         final = _final(df)
         assert "Generate" not in final, name
         assert "CartesianProduct" not in final, name
+
+
+def test_ksample_gates_single_fold_then_checkpoint(spark, registry):
+    """mood/ansari-bradley ride the checkpointed (source, n_chars, c)
+    fold (zero scans in the returned plan); bartlett is pure moment
+    algebra over ONE corpus scan."""
+    for name in ("mood_median_test", "ansari_bradley_scale"):
+        final = _final(registry[name][0](spark, SF_DIR))
+        assert final.count("Scan parquet") == 0, name
+        assert "CartesianProduct" not in final, name
+    final = _final(registry["bartlett_variance"][0](spark, SF_DIR))
+    assert final.count("Scan parquet") == 1
+    assert "Window" not in final  # moments only, no order statistics
+
+
+def test_daily_monitor_ops_ride_checkpointed_daily(spark, registry):
+    """cox-stuart / p-chart / lead-lag / xi all fold events to the
+    |days| table eagerly; the returned plan never re-reads events."""
+    for name in ("cox_stuart_trend", "p_chart_monitor", "lead_lag_ccf",
+                 "chatterjee_xi_daily"):
+        final = _final(registry[name][0](spark, SF_DIR))
+        assert final.count("Scan parquet") == 0, name
+        assert "CartesianProduct" not in final, name
+
+
+def test_conv_protocol_ops_single_scan(spark, registry):
+    """Retry bursts / dangling audit: one corpus scan, lag + running-sum
+    windows over the conv-hash partitioning, no cartesian products.
+    Vocab drift adds the token Generate but still reads parquet once."""
+    for name, needs_generate in (("tool_retry_bursts", False),
+                                 ("dangling_tool_audit", False),
+                                 ("conv_vocab_drift", True)):
+        final = _final(registry[name][0](spark, SF_DIR))
+        assert final.count("Scan parquet") == 1, name
+        assert "CartesianProduct" not in final, name
+        assert "Window" in final, name
+        if needs_generate:
+            assert "Generate" in final, name
+
+
+def test_clustering_agreement_rides_contingency_checkpoint(spark,
+                                                           registry):
+    """Every index is algebra over the checkpointed contingency — the
+    embedding vectors never shuffle and never reappear."""
+    final = _final(registry["clustering_external_agreement"][0](
+        spark, SF_DIR))
+    assert final.count("Scan parquet") == 0
+    assert "CartesianProduct" not in final
+
+
+def test_mrr_single_matched_set_window(spark, registry):
+    """The rank window runs over the query-matched tf set; the corpus
+    is tokenized once (one scan feeding tl/dl/tf via reuse or a bounded
+    re-read — never more than the bm25_topk lineage itself)."""
+    final = _final(registry["mrr_eval"][0](spark, SF_DIR))
+    assert final.count("CartesianProduct") == 0
+    assert "Window" in final
