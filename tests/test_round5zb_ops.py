@@ -1,242 +1,283 @@
 """Round-5 batch-30 operators on crafted inputs, verified against
-independent Python computations: lid_mle (Levina-Bickel MLE vs a brute
-force reimplementation incl. a closed-form 1-D manifold), ess_weight
-diagnostics (Kish ESS + clip sweep vs hand algebra), block_bootstrap
-daily CI (vs a sequential Python resampler on the same md5 seeds)."""
+independent Python computations: query_likelihood_topk (Dirichlet
+query-likelihood vs a from-scratch LM scorer incl. the background cost
+of missing terms), yule_k_richness (Yule's K / Simpson's D / Herdan's C
+vs direct frequency-spectrum arithmetic), variance_ratio_test
+(Lo-MacKinlay VR + homoskedastic z vs a sequential implementation).
+Plan pins for all three live at the bottom."""
 
 from __future__ import annotations
 
 import datetime as dt
-import hashlib
 import math
+import re
+from statistics import variance
 
 from pdf_extractor_spark.queries import (
-    _BB_BLOCK_LEN,
-    _BB_HI_RANK,
-    _BB_LO_RANK,
-    _BB_REPS,
-    _ESS_CLIP_CAPS,
-    _LID_K,
-    _LID_SAMPLE_MOD,
-    q_block_bootstrap_daily_ci,
-    q_ess_weight_diagnostics,
-    q_lid_mle,
+    _QL_MU,
+    q_query_likelihood_topk,
+    q_variance_ratio_test,
+    q_yule_k_richness,
 )
 
 _EPOCH = dt.datetime(1970, 1, 1)
 
 
-def _md5int(s: str) -> int:
-    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-
-
-def _write_embeddings(spark, path, vecs):
-    """vecs: {vec_id: list[float]} padded to 8 dims."""
-    dim = max(len(v) for v in vecs.values())
-    rows = [(i, [float(x) for x in v] + [0.0] * (dim - len(v)), 0)
-            for i, v in sorted(vecs.items())]
-    spark.createDataFrame(
-        rows, "vec_id bigint, embedding array<float>, label int",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/embeddings.parquet")
-
-
 def _write_docs(spark, path, rows):
-    """rows: (source, text)."""
+    """rows: (text, lang, source) tuples; n_chars = len(text)."""
     spark.createDataFrame(
-        [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(rows, 1)],
+        [(i, t, l, s, len(t)) for i, (t, l, s) in enumerate(rows, 1)],
         "doc_id bigint, text string, lang string, source string,"
         " n_chars bigint",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
 
 
-def _write_daily_counts(spark, path, counts):
-    rows, eid = [], 0
-    for d, c in enumerate(counts):
-        for i in range(c):
-            eid += 1
-            rows.append(
-                (eid, _EPOCH + dt.timedelta(days=d, seconds=i), 1,
-                 "view", 0.0, "{}"))
+def _write_events(spark, path, rows):
+    """rows: (user_id, second_offset, event_type)."""
     spark.createDataFrame(
-        rows,
+        [(i, _EPOCH + dt.timedelta(seconds=s), u, et, 0.0, "{}")
+         for i, (u, s, et) in enumerate(rows, 1)],
         "event_id bigint, ts timestamp, user_id bigint, event_type string,"
         " value double, props string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
 
 
-# --------------------------------------------------------------------- lid_mle
+def _toks(text):
+    return [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
 
 
-def _lid_py(vecs):
-    """Brute-force Levina-Bickel over the op's exact rules."""
-    ids = sorted(vecs)
-    qids = [i for i in ids if i % _LID_SAMPLE_MOD == 0]
-    lids = []
-    for q in qids:
-        cand = []
-        for j in ids:
-            if j == q:
-                continue
-            d2 = round(sum((a - b) ** 2
-                           for a, b in zip(vecs[q], vecs[j])), 4)
-            if d2 > 0:
-                cand.append((d2, j))
-        cand.sort()
-        top = cand[:_LID_K]
-        if len(top) != _LID_K:
+# ----------------------------------------------------- query_likelihood_topk
+
+
+_QL_TERMS = ("spark", "scan", "dup")
+
+
+def _ql_expected(texts):
+    """(doc_id, score, rank) rows under the op's exact definitions."""
+    toks = {i: _toks(t) for i, t in enumerate(texts, 1)}
+    total_len = sum(len(ts) for ts in toks.values())
+    tf = {
+        (i, q): sum(1 for w in ts if w == q)
+        for i, ts in toks.items() for q in _QL_TERMS
+    }
+    cf = {q: sum(tf[(i, q)] for i in toks) for q in _QL_TERMS}
+    cand = [i for i in toks if any(tf[(i, q)] for q in _QL_TERMS)]
+    scored = []
+    for i in cand:
+        s = sum(
+            math.log((tf[(i, q)] + _QL_MU * cf[q] / total_len)
+                     / (len(toks[i]) + _QL_MU))
+            for q in _QL_TERMS
+        )
+        scored.append((i, round(s, 4)))
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    return [(i, s, r) for r, (i, s) in enumerate(scored[:10], 1)]
+
+
+def test_query_likelihood_matches_python_lm(spark, tmp_path):
+    texts = [
+        "spark spark spark scan dup filler words here",        # all terms
+        "spark " + "pad " * 60,                                 # long, 1 hit
+        "scan dup scan dup",                                    # short, dense
+        "nothing relevant in this document at all",             # no term
+        "dup",                                                  # minimal doc
+        "spark scan " + "x " * 10,
+    ]
+    _write_docs(spark, tmp_path, [(t, "en", "a") for t in texts])
+    got = [
+        (r.doc_id, r.ql_score, r.rank)
+        for r in q_query_likelihood_topk(spark, str(tmp_path)).collect()
+    ]
+    exp = _ql_expected(texts)
+    assert got == exp
+    # the no-term document never becomes a candidate
+    assert 4 not in {i for i, _, _ in got}
+    # every candidate with >= 1 term is present (6 docs, 5 candidates)
+    assert len(got) == 5
+
+
+def test_query_likelihood_missing_term_pays_background(spark, tmp_path):
+    """A doc with huge tf on ONE term still pays the background cost on
+    the other two: with equal lengths, a doc holding all three terms
+    outranks a doc stuffing one."""
+    texts = [
+        "spark spark spark spark spark pad pad pad",   # stuffed, 1 term
+        "spark scan dup pad pad pad pad pad",          # balanced, 3 terms
+    ]
+    _write_docs(spark, tmp_path, [(t, "en", "a") for t in texts])
+    rows = q_query_likelihood_topk(spark, str(tmp_path)).collect()
+    assert [r.doc_id for r in rows] == [2, 1]
+    assert rows == [
+        tuple(r) for r in q_query_likelihood_topk(
+            spark, str(tmp_path)).collect()
+    ]  # deterministic
+
+
+def test_query_likelihood_top10_cap(spark, tmp_path):
+    _write_docs(
+        spark, tmp_path,
+        [(f"spark filler{i} " + "w " * i, "en", "a") for i in range(14)],
+    )
+    rows = q_query_likelihood_topk(spark, str(tmp_path)).collect()
+    assert len(rows) == 10
+    assert [r.rank for r in rows] == list(range(1, 11))
+    scores = [r.ql_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+# --------------------------------------------------------- yule_k_richness
+
+
+def _yule_expected(rows):
+    """rows: (text, source) -> {source: (n, v, k, d, c)} per the op."""
+    freqs: dict[str, dict[str, int]] = {}
+    for text, src in rows:
+        f = freqs.setdefault(src, {})
+        for w in _toks(text):
+            f[w] = f.get(w, 0) + 1
+    out = {}
+    for src, f in freqs.items():
+        n = sum(f.values())
+        if n <= 1:
             continue
-        dk = max(d2 for d2, _ in top)
-        slog = sum(math.log(d2) for d2, _ in top)
-        lsum = 0.5 * (_LID_K * math.log(dk) - slog)
-        if lsum > 0:
-            lids.append((_LID_K - 1) / lsum)
-    lids_sorted = sorted(lids)
-    low_med = lids_sorted[(len(lids_sorted) - 1) // 2] if lids else None
-    return {
-        "n_sample": len(qids),
-        "n_valid": len(lids),
-        "mean_lid": round(sum(lids) / len(lids), 4) if lids else None,
-        "median_lid": round(low_med, 4) if lids else None,
+        v = len(f)
+        sumf2 = sum(x * x for x in f.values())
+        sumff = sum(x * (x - 1) for x in f.values())
+        out[src] = (
+            n, v,
+            round(10000.0 * (sumf2 - n) / (n * n), 4),
+            round(sumff / (n * (n - 1.0)), 6),
+            round(math.log(v) / math.log(n), 4),
+        )
+    return out
+
+
+def test_yule_k_matches_python_spectrum(spark, tmp_path):
+    rows = [
+        ("the cat sat on the mat the cat", "a"),
+        ("dogs bark dogs bark dogs", "a"),
+        ("every word here is completely unique tokens", "b"),
+    ]
+    _write_docs(spark, tmp_path, [(t, "en", s) for t, s in rows])
+    got = {
+        r.source: (r.n_tokens, r.vocab, r.yule_k, r.simpson_d, r.herdan_c)
+        for r in q_yule_k_richness(spark, str(tmp_path)).collect()
     }
+    assert got == _yule_expected(rows)
+    # all-distinct source: K = 10^4 (V - N)/N^2 with V = N -> 0, D = 0
+    assert got["b"][2] == 0.0
+    assert got["b"][3] == 0.0
+    # repetitive source scores strictly richer-in-repeats on both
+    assert got["a"][2] > got["b"][2]
+    assert got["a"][3] > got["b"][3]
 
 
-def test_lid_one_dimensional_manifold(spark, tmp_path):
-    # query at 0 with neighbors 1..6 on a line: distances known in
-    # closed form; LID of a 1-D manifold sample
-    vecs = {0: [0.0]}
-    for pos, vid in zip(range(1, 7), [1, 2, 3, 5, 6, 7]):
-        vecs[vid] = [float(pos)]
-    _write_embeddings(spark, tmp_path, vecs)
-    r = q_lid_mle(spark, str(tmp_path)).collect()[0]
-    # closed form: T_j^2 = j^2 -> lsum = 0.5 * sum ln(36/j^2)
-    lsum = 0.5 * sum(math.log(36.0 / (j * j)) for j in range(1, 6))
-    want = round((_LID_K - 1) / lsum, 4)
-    assert r["n_sample"] == 1 and r["n_valid"] == 1
-    assert r["k"] == _LID_K
-    assert r["mean_lid"] == want
-    assert r["median_lid"] == want
-    # a 1-D sample's MLE dimension is ~1, far below ambient
-    assert 0.5 < r["mean_lid"] < 2.0
+def test_yule_k_single_token_source_excluded(spark, tmp_path):
+    """A source with N <= 1 has no defined D (0/0) and is dropped by the
+    HAVING guard instead of emitting NaN."""
+    rows = [("solo", "tiny"), ("the cat the cat", "big")]
+    _write_docs(spark, tmp_path, [(t, "en", s) for t, s in rows])
+    got = q_yule_k_richness(spark, str(tmp_path)).collect()
+    assert [r.source for r in got] == ["big"]
+    assert got[0].n_tokens == 4
+    assert got[0].vocab == 2
 
 
-def test_lid_matches_bruteforce_on_mixed_cloud(spark, tmp_path):
-    # deterministic pseudo-random cloud: some points on a line, some
-    # spread over 4 dims -> mixed local dimensionality
-    vecs = {}
-    for i in range(24):
-        if i % 2 == 0:
-            vecs[i] = [float(i), 0.0, 0.0, 0.0]
-        else:
-            h = [(_md5int(f"v:{i}:{d}") % 1000) / 100.0 for d in range(4)]
-            vecs[i] = h
-    _write_embeddings(spark, tmp_path, vecs)
-    want = _lid_py(vecs)
-    r = q_lid_mle(spark, str(tmp_path)).collect()[0]
-    assert r["n_sample"] == want["n_sample"]
-    assert r["n_valid"] == want["n_valid"]
-    assert r["mean_lid"] == want["mean_lid"]
-    assert r["median_lid"] == want["median_lid"]
+# ------------------------------------------------------ variance_ratio_test
 
 
-def test_lid_degenerate_all_equal_distances_excluded(spark, tmp_path):
-    # query 0 sees 6 neighbors all at distance 1 (unit basis vectors of
-    # opposite signs on 3 axes) -> lsum == 0 -> excluded as degenerate
-    vecs = {
-        0: [0.0, 0.0, 0.0],
-        1: [1.0, 0.0, 0.0], 2: [-1.0, 0.0, 0.0],
-        3: [0.0, 1.0, 0.0], 5: [0.0, -1.0, 0.0],
-        6: [0.0, 0.0, 1.0], 7: [0.0, 0.0, -1.0],
-    }
-    _write_embeddings(spark, tmp_path, vecs)
-    r = q_lid_mle(spark, str(tmp_path)).collect()[0]
-    assert r["n_sample"] == 1
-    assert r["n_valid"] == 0
-    assert r["mean_lid"] is None and r["median_lid"] is None
+def _vr_expected(day_counts):
+    """Sequential VR(q)/z for q in (2, 4) from per-day event counts."""
+    xs = [math.log(c) for c in day_counts]
+    d1 = [b - a for a, b in zip(xs, xs[1:])]
+    v1, n1 = variance(d1), len(d1)
+    out = []
+    for q in (2, 4):
+        dq = [xs[i] - xs[i - q] for i in range(q, len(xs))]
+        vr = variance(dq) / (q * v1)
+        z = (vr - 1.0) / math.sqrt(
+            2.0 * (2.0 * q - 1.0) * (q - 1.0) / (3.0 * q * n1))
+        regime = ("mean_reverting" if z < -2.0
+                  else "trending" if z > 2.0
+                  else "random_walk_consistent")
+        out.append((q, n1, round(vr, 4), round(z, 4), regime))
+    return out
 
 
-# ------------------------------------------------------ ess_weight_diagnostics
+def _events_for_counts(day_counts):
+    rows = []
+    for d, c in enumerate(day_counts):
+        rows.extend((1, d * 86400 + i, "view") for i in range(c))
+    return rows
 
 
-def test_ess_balanced_sources_full_ess(spark, tmp_path):
-    rows = [("a", "w " * 10)] * 8 + [("b", "w " * 40)] * 2
-    _write_docs(spark, tmp_path, rows)
-    out = q_ess_weight_diagnostics(spark, str(tmp_path)).collect()
-    assert len(out) == len(_ESS_CLIP_CAPS)
-    for r in out:
-        assert r["n_docs"] == 10
-        assert r["ess"] == 10.0       # equal token mass -> weights 1
-        assert r["ess_ratio"] == 1.0
-        assert r["clipped_mass"] == 0.0
-        assert r["max_weight_after"] == 1.0
+def test_variance_ratio_matches_python(spark, tmp_path):
+    counts = [10, 14, 9, 22, 15, 18, 25, 13, 30, 17, 21, 12]
+    _write_events(spark, tmp_path, _events_for_counts(counts))
+    got = [tuple(r) for r in
+           q_variance_ratio_test(spark, str(tmp_path)).collect()]
+    assert got == _vr_expected(counts)
 
 
-def test_ess_skewed_sources_matches_hand_algebra(spark, tmp_path):
-    # a: 9 docs x 10 tokens (90), b: 1 doc x 10 tokens (10); T=100, S=2
-    rows = [("a", "tok " * 10)] * 9 + [("b", "tok " * 10)]
-    _write_docs(spark, tmp_path, rows)
-    wa, wb = (100 / 2) / 90, (100 / 2) / 10   # 0.5556, 5.0
-    out = {r["clip_label"]: r
-           for r in q_ess_weight_diagnostics(spark, str(tmp_path)).collect()}
-    for label, cap in _ESS_CLIP_CAPS:
-        ca, cb = min(wa, cap), min(wb, cap)
-        sw = 9 * ca + cb
-        sw2 = 9 * ca * ca + cb * cb
-        raw = 9 * wa + wb
-        r = out[label]
-        assert r["ess"] == round(sw * sw / sw2, 2)
-        assert r["ess_ratio"] == round(sw * sw / sw2 / 10, 4)
-        assert r["clipped_mass"] == round(
-            (9 * (wa - ca) + (wb - cb)) / raw, 4)
-        assert r["max_weight_after"] == round(max(ca, cb), 4)
-    # clipping trades rebalancing mass for ESS, monotonically
-    assert (out["cap_1"]["ess"] >= out["cap_2"]["ess"]
-            >= out["cap_5"]["ess"] >= out["uncapped"]["ess"])
-    assert out["uncapped"]["clipped_mass"] == 0.0
+def test_variance_ratio_alternating_series_mean_reverts(spark, tmp_path):
+    """A strictly alternating series: q-diffs at even lag cancel, so
+    VR(2) and VR(4) collapse toward 0 and the z flags mean reversion."""
+    counts = [10, 100] * 10
+    _write_events(spark, tmp_path, _events_for_counts(counts))
+    rows = {r.q: r for r in
+            q_variance_ratio_test(spark, str(tmp_path)).collect()}
+    exp = {q: dict(zip(("q", "n1", "vr", "z", "regime"), e))
+           for q, e in zip((2, 4), _vr_expected(counts))}
+    for q in (2, 4):
+        assert rows[q].vr == exp[q]["vr"]
+        assert rows[q].vr < 0.2
+        assert rows[q].regime == "mean_reverting"
 
 
-# ---------------------------------------------------- block_bootstrap_daily_ci
+def test_variance_ratio_trending_series(spark, tmp_path):
+    """Persistent-run growth (~+10%/day then ~+60%/day): log-diffs are
+    positively autocorrelated, so q-diff variance compounds -> VR > 1
+    at both horizons and the z flags the trend."""
+    counts = [10, 11, 12, 13, 15, 16, 26, 42, 67, 107, 171, 274]
+    _write_events(spark, tmp_path, _events_for_counts(counts))
+    rows = {r.q: r for r in
+            q_variance_ratio_test(spark, str(tmp_path)).collect()}
+    exp = _vr_expected(counts)
+    assert [tuple(rows[q]) for q in (2, 4)] == exp
+    assert rows[4].vr > 1.0
+    assert rows[4].regime == "trending"
 
 
-def _bb_py(counts):
-    y = list(counts)
-    n = len(y)
-    ll = _BB_BLOCK_LEN
-    means = []
-    for r in range(_BB_REPS):
-        tot = 0
-        for j in range((n + ll - 1) // ll):
-            start = _md5int(f"bb:{r}:{j}") % n
-            for o in range(ll):
-                if j * ll + o < n:
-                    tot += y[(start + o) % n]
-        means.append((tot / n, r))
-    means.sort()
-    return {
-        "n_days": n,
-        "mean_daily": round(sum(y) / n, 4),
-        "ci_lo": round(means[_BB_LO_RANK - 1][0], 4),
-        "ci_hi": round(means[_BB_HI_RANK - 1][0], 4),
-    }
+# ------------------------------------------------------------- plan shapes
+
+SF_DIR = "/root/testdata/sf0.001"
 
 
-def test_block_bootstrap_matches_sequential_python(spark, tmp_path):
-    counts = [3, 5, 2, 8, 13, 1, 7, 4, 9, 6, 2, 11]
-    _write_daily_counts(spark, tmp_path, counts)
-    want = _bb_py(counts)
-    r = q_block_bootstrap_daily_ci(spark, str(tmp_path)).collect()[0]
-    assert r["n_days"] == want["n_days"]
-    assert r["block_len"] == _BB_BLOCK_LEN
-    assert r["n_reps"] == _BB_REPS
-    assert r["mean_daily"] == want["mean_daily"]
-    assert r["ci_lo"] == want["ci_lo"]
-    assert r["ci_hi"] == want["ci_hi"]
-    assert r["ci_lo"] <= r["mean_daily"] <= r["ci_hi"]
+def _final(df) -> str:
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
 
 
-def test_block_bootstrap_constant_series_degenerate_ci(spark, tmp_path):
-    counts = [4] * 9
-    _write_daily_counts(spark, tmp_path, counts)
-    r = q_block_bootstrap_daily_ci(spark, str(tmp_path)).collect()[0]
-    assert r["mean_daily"] == 4.0
-    assert r["ci_lo"] == 4.0 and r["ci_hi"] == 4.0
+def test_query_likelihood_plan_bounded(spark):
+    """tf/cf/stats aggregates join broadcast; no cartesian product; the
+    corpus scan lineage stays bounded (tl re-expands for dl + tf)."""
+    final = _final(q_query_likelihood_topk(spark, SF_DIR))
+    assert final.count("Scan parquet") <= 3
+    assert "CartesianProduct" not in final
+    assert "TakeOrderedAndProject" in final
+
+
+def test_yule_k_single_scan(spark):
+    final = _final(q_yule_k_richness(spark, SF_DIR))
+    assert final.count("Scan parquet") == 1
+    assert "Generate" in final
+    assert "CartesianProduct" not in final
+
+
+def test_variance_ratio_rides_checkpoint(spark):
+    """The three lag windows run over the eagerly checkpointed daily
+    fold — zero parquet scans in the returned plan."""
+    final = _final(q_variance_ratio_test(spark, SF_DIR))
+    assert final.count("Scan parquet") == 0
+    assert "CartesianProduct" not in final
