@@ -60,7 +60,7 @@ def _ql_expected(texts):
         (i, q): sum(1 for w in ts if w == q)
         for i, ts in toks.items() for q in _QL_TERMS
     }
-    cf = {q: sum(tf[(i, q)] for i in toks) for q in _QL_TERMS}
+    cf = {q: max(sum(tf[(i, q)] for i in toks), 1) for q in _QL_TERMS}
     cand = [i for i in toks if any(tf[(i, q)] for q in _QL_TERMS)]
     scored = []
     for i in cand:
@@ -111,6 +111,19 @@ def test_query_likelihood_missing_term_pays_background(spark, tmp_path):
         tuple(r) for r in q_query_likelihood_topk(
             spark, str(tmp_path)).collect()
     ]  # deterministic
+
+
+def test_query_likelihood_absent_term_stays_finite(spark, tmp_path):
+    """'dup' never occurs: its collection frequency floors at 1, so the
+    background cost is finite and scores still match Python."""
+    texts = ["spark scan pad pad", "scan pad pad pad pad pad"]
+    _write_docs(spark, tmp_path, [(t, "en", "a") for t in texts])
+    got = [
+        (r.doc_id, r.ql_score, r.rank)
+        for r in q_query_likelihood_topk(spark, str(tmp_path)).collect()
+    ]
+    assert got == _ql_expected(texts)
+    assert all(math.isfinite(s) for _, s, _ in got)
 
 
 def test_query_likelihood_top10_cap(spark, tmp_path):
@@ -259,11 +272,12 @@ def _final(df) -> str:
     return plan.split("== Initial Plan ==")[0]
 
 
-def test_query_likelihood_plan_bounded(spark):
-    """tf/cf/stats aggregates join broadcast; no cartesian product; the
-    corpus scan lineage stays bounded (tl re-expands for dl + tf)."""
+def test_query_likelihood_plan_two_scans(spark):
+    """Exactly two corpus passes (stats fold + candidate filter), no
+    token Generate, no cartesian product, one ordered top-10."""
     final = _final(q_query_likelihood_topk(spark, SF_DIR))
-    assert final.count("Scan parquet") <= 3
+    assert final.count("Scan parquet") == 2
+    assert "Generate" not in final
     assert "CartesianProduct" not in final
     assert "TakeOrderedAndProject" in final
 

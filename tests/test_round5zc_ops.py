@@ -1,8 +1,10 @@
 """Round-5 batch-31 operators on crafted inputs, verified against
-independent Python computations: secret_token_scan (entropy credential
-detector), quantile_regression_daily (exact pinball argmin vs brute
-force), hll_intersection_error (inclusion-exclusion sketch audit vs a
-from-scratch HLL and exact set algebra)."""
+independent Python computations: ece_calibration (ECE/MCE/signed gap vs
+a from-scratch reliability fold over the exact classifier + heuristic
+signal definitions), post_stratified_mean (SRS vs post-stratified
+estimator, SEs, deff, true-mean audit), fellegi_sunter_weights (blocked
+m/u estimation with add-one smoothing vs a sequential pair walk).
+Plan pins at the bottom."""
 
 from __future__ import annotations
 
@@ -10,219 +12,286 @@ import datetime as dt
 import hashlib
 import math
 import re
-from collections import Counter
 
 from pdf_extractor_spark.queries import (
-    _HLL_M,
-    _QR_TAUS,
-    _SECRET_MIN_BITS,
-    _SECRET_MIN_LEN,
-    q_hll_intersection_error,
-    q_quantile_regression_daily,
-    q_secret_token_scan,
+    q_ece_calibration,
+    q_fellegi_sunter_weights,
+    q_post_stratified_mean,
 )
 
-_EPOCH = dt.datetime(1970, 1, 1)
+
+def _write_docs(spark, path, rows):
+    """rows: (text, lang, source) tuples; n_chars = len(text)."""
+    spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, (t, l, s) in enumerate(rows, 1)],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
 
 
 def _md5int(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
-def _write_docs(spark, path, rows):
-    """rows: (source, text)."""
-    spark.createDataFrame(
-        [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(rows, 1)],
-        "doc_id bigint, text string, lang string, source string,"
-        " n_chars bigint",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+def _toks(text):
+    return [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
 
 
-def _write_events(spark, path, rows):
-    """rows: (day, user_id, event_type)."""
-    spark.createDataFrame(
-        [(i, _EPOCH + dt.timedelta(days=d, seconds=i), u, t, 0.0, "{}")
-         for i, (d, u, t) in enumerate(rows, 1)],
-        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
-        " value double, props string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+# --------------------------------------------------------- ece_calibration
 
 
-def _write_daily_counts(spark, path, counts):
-    rows = []
-    for d, c in enumerate(counts):
-        rows.extend((d, 1, "view") for _ in range(c))
-    _write_events(spark, path, rows)
-
-
-# ----------------------------------------------------------- secret_token_scan
-
-
-def _secret_expect(rows):
-    per_src: dict[str, dict] = {}
-    for s, t in rows:
-        st = per_src.setdefault(
-            s, {"n_docs": 0, "cand": 0, "sec": 0, "docs_sec": 0,
-                "hsum": 0.0})
-        st["n_docs"] += 1
-        doc_sec = 0
-        for tok in (w for w in re.split(r"\s+", t) if w):
-            if (len(tok) >= _SECRET_MIN_LEN
-                    and re.search(r"[A-Za-z]", tok)
-                    and re.search(r"[0-9]", tok)):
-                st["cand"] += 1
-                n = len(tok)
-                h = round(-sum((c / n) * math.log(c / n)
-                               for c in Counter(tok).values())
-                          / math.log(2), 4)
-                if h >= _SECRET_MIN_BITS:
-                    st["sec"] += 1
-                    st["hsum"] += h
-                    doc_sec += 1
-        if doc_sec:
-            st["docs_sec"] += 1
-    return per_src
-
-
-_KEY = "a1B2c3D4e5F6g7H8i9J0"          # 20 distinct chars -> ~4.32 bits
-_DULL = "aaaaaaaaaa1111111111"          # 2 distinct chars -> 1.0 bit
-
-
-def test_secret_scan_flags_only_high_entropy(spark, tmp_path):
-    rows = [
-        ("leaky", f"deploy with token {_KEY} now"),
-        ("leaky", f"config value {_DULL} is padding"),  # candidate, no flag
-        ("leaky", "just ordinary prose with short words"),
-        ("clean", "nothing suspicious here at all"),
-        ("clean", "abcdefghijklmnopqrstuvwxyz has no digits"),  # no digit
-    ]
-    _write_docs(spark, tmp_path, rows)
-    want = _secret_expect(rows)
-    got = {r["source"]: r
-           for r in q_secret_token_scan(spark, str(tmp_path)).collect()}
-    assert set(got) == {"leaky", "clean"}
-    for s, w in want.items():
-        r = got[s]
-        assert r["n_docs"] == w["n_docs"]
-        assert r["n_candidate_tokens"] == w["cand"]
-        assert r["n_secret_tokens"] == w["sec"]
-        assert r["docs_with_secrets"] == w["docs_sec"]
-        assert r["secret_doc_rate"] == round(w["docs_sec"] / w["n_docs"], 4)
-        if w["sec"]:
-            assert r["mean_secret_entropy_bits"] == round(
-                w["hsum"] / w["sec"], 4)
-        else:
-            assert r["mean_secret_entropy_bits"] is None
-    assert got["leaky"]["n_candidate_tokens"] == 2
-    assert got["leaky"]["n_secret_tokens"] == 1
-    assert got["clean"]["n_candidate_tokens"] == 0
-
-
-# ---------------------------------------------------- quantile_regression_daily
-
-
-def _qreg_py(counts):
-    y = list(counts)
-    n = len(y)
-    cands = sorted({(y[j] - y[i], j - i)
-                    for i in range(n) for j in range(i + 1, n)})
-    out = {}
-    for tau10 in _QR_TAUS:
-        best = None
-        for p, q in cands:
-            sr = sorted(q * y[i] - p * i for i in range(n))
-            qb = next(v for rk, v in enumerate(sr, 1) if 10 * rk >= tau10 * n)
-            intloss = sum(tau10 * (s - qb) if s - qb >= 0
-                          else (tau10 - 10) * (s - qb)
-                          for s in (q * y[i] - p * i for i in range(n)))
-            key = (intloss / (10.0 * q), p / q, qb / q)
-            if best is None or key < best:
-                best = key
-        out[tau10 / 10.0] = {
-            "slope_per_day": round(best[1], 6),
-            "intercept": round(best[2], 6),
-            "pinball_loss": round(best[0], 4),
-        }
+def _clf_rows(texts):
+    """Per-doc (bucket, prob, ok) under the op's exact definitions."""
+    out = []
+    for t in texts:
+        toks = _toks(t)
+        score = sum(
+            _md5int(f"w:{_md5int(w) % 4096}") % 2001 - 1000 for w in toks)
+        prob = round(
+            1.0 / (1.0 + math.exp(-score / (1000.0 * max(len(toks), 1)))), 4)
+        b = min(int(prob * 10), 9)
+        punct = len(re.findall(r"[.!?,;:]", t))
+        ok = (200 <= len(t) <= 50000
+              and 0.005 <= punct / max(len(t), 1) <= 0.2)
+        out.append((b, prob, ok))
     return out
 
 
-def test_qreg_exact_line_zero_loss(spark, tmp_path):
-    counts = [3 + 2 * i for i in range(8)]
-    _write_daily_counts(spark, tmp_path, counts)
-    rows = q_quantile_regression_daily(spark, str(tmp_path)).collect()
-    assert [r["tau"] for r in rows] == [0.5, 0.9]
-    for r in rows:
-        assert r["n_days"] == 8
-        assert r["slope_per_day"] == 2.0
-        assert r["intercept"] == 3.0
-        assert r["pinball_loss"] == 0.0
+def _ece_expected(texts):
+    rows = _clf_rows(texts)
+    buckets: dict[int, list] = {}
+    for b, p, ok in rows:
+        buckets.setdefault(b, []).append((p, ok))
+    n_total = len(rows)
+    ece = mce = signed = 0.0
+    for b, members in buckets.items():
+        n = len(members)
+        mean_prob = round(sum(p for p, _ in members) / n, 4)
+        ok_rate = sum(1 for _, ok in members if ok) / n
+        gap = ok_rate - mean_prob
+        ece += n * abs(gap)
+        mce = max(mce, abs(gap))
+        signed += n * (mean_prob - ok_rate)
+    return (n_total, len(buckets), round(ece / n_total, 4),
+            round(mce, 4), round(signed / n_total, 4))
 
 
-def test_qreg_matches_bruteforce_python(spark, tmp_path):
-    counts = [3, 7, 2, 11, 6, 13, 5, 17, 9, 4, 15, 8]
-    _write_daily_counts(spark, tmp_path, counts)
-    want = _qreg_py(counts)
-    rows = q_quantile_regression_daily(spark, str(tmp_path)).collect()
-    got = {r["tau"]: r for r in rows}
-    assert set(got) == set(want)
-    for tau, w in want.items():
-        r = got[tau]
-        assert r["slope_per_day"] == w["slope_per_day"]
-        assert r["intercept"] == w["intercept"]
-        assert r["pinball_loss"] == w["pinball_loss"]
-    # the p90 line should sit above the median line for this spiky series
-    f = {t: got[t]["slope_per_day"] * 5 + got[t]["intercept"] for t in got}
-    assert f[0.9] >= f[0.5]
+def test_ece_matches_python_reliability_fold(spark, tmp_path):
+    texts = [
+        ("alpha beta gamma. " * 20)[:250],        # long, punctuated -> ok
+        ("delta epsilon zeta, " * 30)[:400],
+        "short snippet.",                          # too short -> not ok
+        ("eta theta iota " * 40)[:500],            # no punct -> not ok
+        ("kappa lam mu. nu xi omicron? " * 15)[:320],
+        ("pi rho sigma! " * 25)[:290],
+        "tau upsilon phi chi psi omega " * 3,
+    ]
+    _write_docs(spark, tmp_path, [(t, "en", "a") for t in texts])
+    got = q_ece_calibration(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_docs, r.n_bins, r.ece, r.mce, r.signed_gap) \
+        == _ece_expected(texts)
 
 
-# ----------------------------------------------------- hll_intersection_error
+def test_ece_perfect_and_broken_calibration_bounds(spark, tmp_path):
+    """All docs fail the heuristic: ok_rate = 0 in every bin, so ECE is
+    the prob-weighted mean itself and signed_gap = +ece exactly
+    (pure overconfidence)."""
+    texts = ["tiny.", "also tiny.", "still tiny!"]
+    _write_docs(spark, tmp_path, [(t, "en", "a") for t in texts])
+    r = q_ece_calibration(spark, str(tmp_path)).collect()[0]
+    assert r.signed_gap == r.ece
+    assert r.mce >= r.ece
 
 
-def _hll_est(users):
-    regs: dict[int, int] = {}
-    for u in users:
-        h = _md5int(str(u))
-        idx, rest = h % _HLL_M, h // _HLL_M
-        rho = 25 if rest == 0 else 25 - rest.bit_length()
-        regs[idx] = max(regs.get(idx, 0), rho)
-    c = len(regs)
-    v = _HLL_M - c
-    s = sum(2.0 ** -mr for mr in regs.values())
-    alpha = 0.7213 / (1 + 1.079 / _HLL_M)
-    raw = alpha * _HLL_M * _HLL_M / (s + v)
-    if raw <= 2.5 * _HLL_M and v > 0:
-        return _HLL_M * math.log(_HLL_M / v)
-    return raw
+# ----------------------------------------------------- post_stratified_mean
 
 
-def test_hll_intersection_vs_python(spark, tmp_path):
-    sets = {
-        "click": set(range(1, 31)),
-        "view": set(range(20, 61)),     # overlaps click on 20..30
-        "purchase": set(range(200, 206)),  # disjoint from both
-    }
+def _insample(doc_id):
+    return _md5int(str(doc_id)) % 10 == 0
+
+
+def _ps_expected(rows):
+    """rows: (doc_id, source, n_chars)."""
+    per: dict[str, dict] = {}
+    for doc_id, src, n in rows:
+        h = per.setdefault(
+            src, {"np": 0.0, "s1p": 0.0, "n": 0.0, "s1": 0.0, "s2": 0.0})
+        h["np"] += 1
+        h["s1p"] += n
+        if _insample(doc_id):
+            h["n"] += 1
+            h["s1"] += n
+            h["s2"] += float(n) * n
+    n_pop = sum(h["np"] for h in per.values())
+    t1_pop = sum(h["s1p"] for h in per.values())
+    n = sum(h["n"] for h in per.values())
+    t1 = sum(h["s1"] for h in per.values())
+    t2 = sum(h["s2"] for h in per.values())
+    var_srs = ((t2 - t1 * t1 / n) / (n - 1)) / n
+    inc = [h for h in per.values() if h["n"] >= 2]
+    wsum = sum(h["np"] for h in inc)
+    num = sum(h["np"] * h["s1"] / h["n"] for h in inc)
+    varnum = sum(
+        h["np"] * h["np"]
+        * ((h["s2"] - h["s1"] * h["s1"] / h["n"]) / (h["n"] - 1)) / h["n"]
+        for h in inc)
+    var_ps = varnum / (wsum * wsum)
+    return (int(n_pop), int(n), round(t1_pop / n_pop, 2),
+            round(t1 / n, 2), round(math.sqrt(var_srs), 4),
+            round(num / wsum, 2), round(math.sqrt(var_ps), 4),
+            round(var_ps / var_srs, 4))
+
+
+def _ps_rows():
+    """Two sources with very different length regimes: stratification
+    must cut the variance (deff < 1)."""
     rows = []
-    for t, users in sets.items():
-        rows.extend((0, u, t) for u in users)
-        # duplicates must not matter to either side
-        rows.extend((1, u, t) for u in list(users)[:3])
-    _write_events(spark, tmp_path, rows)
-    out = {(r["type_a"], r["type_b"]): r
-           for r in q_hll_intersection_error(spark, str(tmp_path)).collect()}
-    names = sorted(sets)
-    want_pairs = {(a, b) for i, a in enumerate(names)
-                  for b in names[i + 1:]}
-    assert set(out) == want_pairs
-    for (a, b), r in out.items():
-        ea, eb = _hll_est(sets[a]), _hll_est(sets[b])
-        eu = _hll_est(sets[a] | sets[b])
-        exact = len(sets[a] & sets[b])
-        assert r["exact_a"] == len(sets[a])
-        assert r["exact_b"] == len(sets[b])
-        assert r["exact_inter"] == exact
-        assert r["est_inter"] == round(ea + eb - eu, 2)
-        assert r["abs_err"] == round(ea + eb - eu - exact, 2)
-        if exact:
-            assert r["rel_err"] == round(abs(ea + eb - eu - exact) / exact, 4)
-        else:
-            assert r["rel_err"] is None
+    doc_id = 0
+    for i in range(120):
+        doc_id += 1
+        rows.append((doc_id, "short_src", 100 + (i * 7) % 60))
+    for i in range(80):
+        doc_id += 1
+        rows.append((doc_id, "long_src", 3000 + (i * 13) % 200))
+    return rows
+
+
+def test_post_stratified_matches_python(spark, tmp_path):
+    rows = _ps_rows()
+    _write_docs(
+        spark, tmp_path,
+        [("x" * n, "en", s) for _, s, n in rows],
+    )
+    r = q_post_stratified_mean(spark, str(tmp_path)).collect()[0]
+    assert tuple(r) == _ps_expected(rows)
+
+
+def test_post_stratified_beats_srs_on_stratified_lengths(spark, tmp_path):
+    rows = _ps_rows()
+    _write_docs(
+        spark, tmp_path,
+        [("x" * n, "en", s) for _, s, n in rows],
+    )
+    r = q_post_stratified_mean(spark, str(tmp_path)).collect()[0]
+    # source explains almost all length variance here
+    assert r.deff < 0.2
+    assert r.se_ps < r.se_srs
+    # the post-stratified estimate lands closer to the truth
+    assert abs(r.mean_ps - r.true_mean) <= abs(r.mean_srs - r.true_mean)
+
+
+# -------------------------------------------------- fellegi_sunter_weights
+
+
+def _fs_expected(rows):
+    """rows: (text, lang, source); returns field rows as the op emits."""
+    docs = []
+    for i, (t, l, s) in enumerate(rows, 1):
+        norm = re.sub(r"[^a-z0-9]+", " ", t.lower())
+        docs.append({
+            "id": i, "lang": l, "source": s, "n": len(t), "text": t,
+            "bucket": f"{norm[:8]}|{len(t) // 64}",
+        })
+    by_bucket: dict[str, list] = {}
+    for d in sorted(docs, key=lambda d: d["id"]):
+        mem = by_bucket.setdefault(d["bucket"], [])
+        if len(mem) < 20:
+            mem.append(d)
+    agg = {"nm": 0, "nu": 0}
+    for f in ("lang", "len", "source"):
+        agg[f"am_{f}"] = agg[f"au_{f}"] = 0
+    for mem in by_bucket.values():
+        for x in range(len(mem)):
+            for y in range(x + 1, len(mem)):
+                a, b = mem[x], mem[y]
+                m = a["text"] == b["text"]
+                ag = {
+                    "lang": a["lang"] == b["lang"],
+                    "source": a["source"] == b["source"],
+                    "len": abs(a["n"] - b["n"]) * 10 <= max(a["n"], b["n"]),
+                }
+                agg["nm" if m else "nu"] += 1
+                for f, v in ag.items():
+                    if v:
+                        agg[("am_" if m else "au_") + f] += 1
+    out = []
+    for field, c in (("lang", "lang"), ("length", "len"),
+                     ("source", "source")):
+        mp = round((agg[f"am_{c}"] + 1.0) / (agg["nm"] + 2.0), 6)
+        up = round((agg[f"au_{c}"] + 1.0) / (agg["nu"] + 2.0), 6)
+        out.append((
+            field, agg["nm"], agg["nu"], mp, up,
+            round(math.log(mp / up) / math.log(2.0), 4),
+            round(math.log((1.0 - mp) / (1.0 - up)) / math.log(2.0), 4),
+        ))
+    return out
+
+
+_FS_ROWS = [
+    # one blocking bucket: same 8-char normalized prefix, same 64-band
+    ("alpha beta gamma one two", "en", "s1"),
+    ("alpha beta gamma one two", "en", "s2"),   # dup across sources
+    ("alpha beta gamma one two", "fr", "s1"),   # dup across langs
+    ("alpha beta delta nine ten", "en", "s1"),  # near length, non-dup
+    ("alpha beta zzz", "en", "s1"),             # same prefix, shorter
+    # a second, isolated bucket (no pairs)
+    ("completely different text that stands alone here", "en", "s3"),
+]
+
+
+def test_fellegi_sunter_matches_python(spark, tmp_path):
+    _write_docs(spark, tmp_path, _FS_ROWS)
+    got = [tuple(r) for r in
+           q_fellegi_sunter_weights(spark, str(tmp_path)).collect()]
+    exp = _fs_expected(_FS_ROWS)
+    assert got == exp
+    assert [f for f, *_ in got] == ["lang", "length", "source"]
+
+
+def test_fellegi_sunter_discriminating_field_gets_weight(spark, tmp_path):
+    """Length agreement holds for all 3 match pairs but fewer non-match
+    pairs, so weight_agree(length) > 0; a field that agrees equally in
+    both classes (here: none of lang/source is that clean) stays
+    smaller than the length weight."""
+    _write_docs(spark, tmp_path, _FS_ROWS)
+    rows = {r.field: r for r in
+            q_fellegi_sunter_weights(spark, str(tmp_path)).collect()}
+    assert rows["length"].n_match == 3
+    assert rows["length"].m_prob > rows["length"].u_prob
+    assert rows["length"].weight_agree > 0
+
+
+# ------------------------------------------------------------- plan shapes
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _final(df) -> str:
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_ece_single_scan(spark):
+    final = _final(q_ece_calibration(spark, SF_DIR))
+    assert final.count("Scan parquet") == 1
+    assert "CartesianProduct" not in final
+
+
+def test_post_stratified_rides_checkpoint(spark):
+    """Population counts and sampled moments share one conditional
+    aggregate that is eagerly checkpointed — the returned plan shows
+    zero parquet scans (the frame is read exactly once, upstream)."""
+    final = _final(q_post_stratified_mean(spark, SF_DIR))
+    assert final.count("Scan parquet") == 0
+    assert "CartesianProduct" not in final
+
+
+def test_fellegi_sunter_rides_checkpoint(spark):
+    """The per-field unpivot runs over the checkpointed 1-row agreement
+    fold — zero parquet scans in the returned plan."""
+    final = _final(q_fellegi_sunter_weights(spark, SF_DIR))
+    assert final.count("Scan parquet") == 0
+    assert "CartesianProduct" not in final
