@@ -1,9 +1,10 @@
 """Round-5 batch-35 operators on crafted inputs, verified against
-independent Python computations: triplet_margin_mine (same/diff-label
-nearest neighbors + violations), kmv_distinct_error (k-minimum-values
-estimates incl. the degenerate-exact branch and the union row),
-split_distinguishability_auc (midrank Mann-Whitney AUC of classifier
-scores across a hash split)."""
+independent Python computations: tail_dependence_daily (joint exceedance
+/ lift / empirical lambda_U vs direct quantile algebra),
+turning_points_test (Kendall turning-point count vs a sequential walk),
+expected_cost_gate (cost-sensitive threshold sweep vs a dict fold over
+the exact classifier + heuristic definitions).  Plan pins at the
+bottom."""
 
 from __future__ import annotations
 
@@ -11,205 +12,255 @@ import datetime as dt
 import hashlib
 import math
 import re
-from collections import Counter
+
+import numpy as np
 
 from pdf_extractor_spark.queries import (
-    _KMV_K,
-    _KMV_SCALE,
-    _SPLIT_TEST_MOD,
-    _TRIPLET_SAMPLE_MOD,
-    q_kmv_distinct_error,
-    q_split_distinguishability_auc,
-    q_triplet_margin_mine,
+    _GATE_C_FN,
+    _GATE_C_FP,
+    q_expected_cost_gate,
+    q_tail_dependence_daily,
+    q_turning_points_test,
 )
 
 _EPOCH = dt.datetime(1970, 1, 1)
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, (t, l, s) in enumerate(rows, 1)],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        [(i, _EPOCH + dt.timedelta(seconds=s), u, et, 0.0, "{}")
+         for i, (u, s, et) in enumerate(rows, 1)],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+# ---------------------------------------------------- tail_dependence_daily
+
+
+def _td_expected(counts_a, counts_b, type_a, type_b):
+    """counts: {day: n} for the two (already busiest) types."""
+    days = sorted(set(counts_a) | set(counts_b))
+    xa = [float(counts_a.get(d, 0)) for d in days]
+    yb = [float(counts_b.get(d, 0)) for d in days]
+    n = len(days)
+    out = []
+    for u in (0.75, 0.9):
+        qa = float(np.percentile(xa, u * 100))
+        qb = float(np.percentile(yb, u * 100))
+        pa = sum(1 for x in xa if x > qa) / n
+        pb = sum(1 for y in yb if y > qb) / n
+        pj = sum(1 for x, y in zip(xa, yb) if x > qa and y > qb) / n
+        out.append((
+            type_a, type_b, n, u, round(qa, 2), round(qb, 2),
+            round(pj, 4),
+            round(pj / (pa * pb), 4) if pa * pb else None,
+            round(pj / pa, 4) if pa else None,
+        ))
+    return out
+
+
+def test_tail_dependence_coupled_spikes(spark, tmp_path):
+    """view and click spike on the SAME days: joint exceedance ~ the
+    marginal, lift >> 1, lambda_U -> 1."""
+    base = [10, 12, 11, 10, 13, 12, 11, 10, 12, 11, 10, 12,
+            11, 13, 10, 11, 12, 10, 60, 70]
+    ca = {d: c for d, c in enumerate(base)}
+    cb = {d: c + 2 for d, c in enumerate(base)}     # co-spiking
+    rows = []
+    for d in ca:
+        rows.extend((1, d * 86400 + i, "view") for i in range(ca[d]))
+        rows.extend((1, d * 86400 + 40000 + i, "click")
+                    for i in range(cb[d]))
+    _write_events(spark, tmp_path, rows)
+    got = [tuple(r) for r in
+           q_tail_dependence_daily(spark, str(tmp_path)).collect()]
+    # rank-1 (xa) is click: +2 every day makes it the busiest
+    assert got == _td_expected(cb, ca, "click", "view")
+    # spikes co-occur
+    by_u = {r[3]: r for r in got}
+    assert by_u[0.9][8] == 1.0          # lambda_U at u=0.9
+    assert by_u[0.9][7] > 5.0           # lift over independence
+
+
+def test_tail_dependence_independent_spikes(spark, tmp_path):
+    """Spike days disjoint between the two types: joint exceedance at
+    u=0.9 is zero -> lift 0, lambda_U 0."""
+    ca = {d: (80 if d in (18, 19) else 10 + d % 3) for d in range(20)}
+    cb = {d: (81 if d in (0, 1) else 11 + (d + 1) % 3) for d in range(20)}
+    rows = []
+    for d in range(20):
+        rows.extend((1, d * 86400 + i, "view") for i in range(ca[d]))
+        rows.extend((1, d * 86400 + 40000 + i, "click")
+                    for i in range(cb[d]))
+    _write_events(spark, tmp_path, rows)
+    rows_out = {r.u: r for r in
+                q_tail_dependence_daily(spark, str(tmp_path)).collect()}
+    assert rows_out[0.9].p_joint == 0.0
+    assert rows_out[0.9].lambda_u == 0.0
+
+
+# ------------------------------------------------------ turning_points_test
+
+
+def _tp_expected(day_counts):
+    xs = [float(c) for c in day_counts]
+    n = len(xs)
+    t = sum(
+        1 for i in range(1, n - 1)
+        if (xs[i] - xs[i - 1]) * (xs[i + 1] - xs[i]) < 0
+    )
+    e = 2.0 * (n - 2) / 3.0
+    sd = math.sqrt((16.0 * n - 29.0) / 90.0)
+    z = (t - e) / sd
+    verdict = ("persistent_trending" if z < -1.96
+               else "over_oscillating" if z > 1.96
+               else "iid_consistent")
+    return (n, t, round(e, 4), round(sd, 4), round(z, 4), verdict)
+
+
+def _events_for_counts(day_counts):
+    rows = []
+    for d, c in enumerate(day_counts):
+        rows.extend((1, d * 86400 + i, "view") for i in range(c))
+    return rows
+
+
+def test_turning_points_match_python(spark, tmp_path):
+    counts = [10, 14, 9, 22, 15, 18, 25, 13, 30, 17, 21, 12, 19, 16]
+    _write_events(spark, tmp_path, _events_for_counts(counts))
+    got = q_turning_points_test(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert tuple(got[0]) == _tp_expected(counts)
+
+
+def test_turning_points_monotone_is_persistent(spark, tmp_path):
+    """Strict ramp: zero turns, deeply negative z.  A plateau step
+    (tie) is conservatively not a turn."""
+    counts = list(range(10, 24))
+    _write_events(spark, tmp_path, _events_for_counts(counts))
+    r = q_turning_points_test(spark, str(tmp_path)).collect()[0]
+    assert tuple(r) == _tp_expected(counts)
+    assert r.turning_points == 0
+    assert r.verdict == "persistent_trending"
+    counts2 = [10, 15, 15, 10, 10, 15, 15, 10, 10, 15, 15, 10]
+    _write_events(spark, tmp_path, _events_for_counts(counts2))
+    r2 = q_turning_points_test(spark, str(tmp_path)).collect()[0]
+    assert tuple(r2) == _tp_expected(counts2)
+
+
+def test_turning_points_alternation_over_oscillates(spark, tmp_path):
+    counts = [10, 30] * 8
+    _write_events(spark, tmp_path, _events_for_counts(counts))
+    r = q_turning_points_test(spark, str(tmp_path)).collect()[0]
+    assert r.turning_points == len(counts) - 2
+    assert r.verdict == "over_oscillating"
+
+
+# ------------------------------------------------------- expected_cost_gate
 
 
 def _md5int(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
-def _write_embeddings(spark, path, rows):
-    """rows: (vec_id, [floats], label)."""
-    spark.createDataFrame(
-        [(i, [float(x) for x in v], l) for i, v, l in rows],
-        "vec_id bigint, embedding array<float>, label int",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        f"{path}/embeddings.parquet")
+def _toks(text):
+    return [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
 
 
-def _write_events_users(spark, path, type_users):
-    rows, eid = [], 0
-    for t, users in type_users.items():
-        for u in users:
-            eid += 1
-            rows.append((eid, _EPOCH + dt.timedelta(seconds=eid), u,
-                         t, 0.0, "{}"))
-    spark.createDataFrame(
-        rows,
-        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
-        " value double, props string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
-
-
-def _write_docs(spark, path, texts):
-    spark.createDataFrame(
-        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts, 1)],
-        "doc_id bigint, text string, lang string, source string,"
-        " n_chars bigint",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
-
-
-# --------------------------------------------------------- triplet_margin_mine
-
-
-def _triplet_py(rows):
-    out = {}
-    for qid, qv, ql in rows:
-        if qid % _TRIPLET_SAMPLE_MOD != 0:
-            continue
-        same, diff = None, None
-        for oid, ov, ol in rows:
-            if oid == qid:
-                continue
-            d2 = round(sum((a - b) ** 2 for a, b in zip(qv, ov)), 4)
-            if ol == ql:
-                same = d2 if same is None else min(same, d2)
-            else:
-                diff = d2 if diff is None else min(diff, d2)
-        if same is not None and diff is not None:
-            out[qid] = {
-                "label": ql, "d2_same": same, "d2_diff": diff,
-                "margin": round(diff - same, 4),
-                "violated": int(diff < same),
-            }
-    return out
-
-
-def test_triplet_margins_and_violation(spark, tmp_path):
-    rows = [
-        (0, [0.0], 0), (1, [1.0], 0), (2, [2.0], 0),
-        (4, [9.0], 0),                 # label-0 anchor stranded near label 1
-        (10, [10.0], 1), (11, [11.0], 1),
-        (8, [10.5], 1),                # label-1 anchor inside its own cluster
-    ]
-    _write_embeddings(spark, tmp_path, rows)
-    want = _triplet_py(rows)
-    got = {r["query_id"]: r
-           for r in q_triplet_margin_mine(spark, str(tmp_path)).collect()}
-    assert set(got) == set(want)
-    for qid, w in want.items():
-        for k, v in w.items():
-            assert got[qid][k] == v, (qid, k, got[qid][k], v)
-    assert got[0]["violated"] == 0 and got[0]["margin"] > 0
-    assert got[4]["violated"] == 1 and got[4]["margin"] < 0
-
-
-def test_triplet_single_label_emits_nothing(spark, tmp_path):
-    _write_embeddings(
-        spark, tmp_path, [(0, [0.0], 7), (1, [1.0], 7), (4, [2.0], 7)])
-    assert q_triplet_margin_mine(spark, str(tmp_path)).count() == 0
-
-
-# ---------------------------------------------------------- kmv_distinct_error
-
-
-def _kmv_py(type_users):
-    def est(users):
-        hs = sorted({_md5int(str(u)) for u in users})
-        n = len(hs)
-        if n < _KMV_K:
-            return float(n), n, 1
-        return (_KMV_K - 1) * float(_KMV_SCALE) / hs[_KMV_K - 1], n, 0
-    out = {}
-    for t, users in type_users.items():
-        e, n, deg = est(users)
-        out[t] = {"n_exact": n, "kmv_estimate": round(e, 2),
-                  "rel_err": round(abs(e - n) / n, 4),
-                  "degenerate_exact": deg}
-    all_users = set().union(*type_users.values())
-    e, n, deg = est(all_users)
-    out["(all)"] = {"n_exact": n, "kmv_estimate": round(e, 2),
-                    "rel_err": round(abs(e - n) / n, 4),
-                    "degenerate_exact": deg}
-    return out
-
-
-def test_kmv_estimates_and_union_row(spark, tmp_path):
-    type_users = {
-        "view": set(range(1, 151)),       # 150 > k: real estimate
-        "click": set(range(1, 21)),       # 20 < k: degenerate exact
-        "purchase": set(range(100, 260)),  # overlaps view partially
-    }
-    _write_events_users(
-        spark, tmp_path,
-        {t: sorted(u) + sorted(u)[:5] for t, u in type_users.items()})
-    want = _kmv_py(type_users)
-    got = {r["scope"]: r
-           for r in q_kmv_distinct_error(spark, str(tmp_path)).collect()}
-    assert set(got) == set(want)
-    for scope, w in want.items():
-        for k, v in w.items():
-            assert got[scope][k] == v, (scope, k, got[scope][k], v)
-    assert got["click"]["degenerate_exact"] == 1
-    assert got["click"]["rel_err"] == 0.0
-    assert got["view"]["degenerate_exact"] == 0
-    # a 64-minima sketch lands within ~35% at n=150 with this fixed hash
-    assert got["view"]["rel_err"] < 0.35
-
-
-# ------------------------------------------------ split_distinguishability_auc
-
-
-def _split_auc_py(texts):
-    recs = []
-    for i, t in enumerate(texts, 1):
-        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+def _gate_expected(texts):
+    buckets: dict[int, list[int]] = {}
+    for t in texts:
+        toks = _toks(t)
         score = sum(
             _md5int(f"w:{_md5int(w) % 4096}") % 2001 - 1000 for w in toks)
         prob = round(
             1.0 / (1.0 + math.exp(-score / (1000.0 * max(len(toks), 1)))), 4)
-        is_test = int(_md5int(str(i)) % _SPLIT_TEST_MOD == 0)
-        recs.append((prob, is_test))
-    per_v = sorted(Counter(recs).items())
-    # collapse to per-prob (ct, cr, c) in prob order
-    by_prob: dict[float, list[int]] = {}
-    for (prob, is_test), c in per_v:
-        cell = by_prob.setdefault(prob, [0, 0, 0])
-        cell[0] += c * is_test
-        cell[1] += c * (1 - is_test)
-        cell[2] += c
-    cum = 0
-    r2t = 0
-    nt = sum(v[0] for v in by_prob.values())
-    nr = sum(v[1] for v in by_prob.values())
-    for prob in sorted(by_prob):
-        ct, cr, c = by_prob[prob]
-        r2t += ct * (2 * cum + c + 1)
-        cum += c
-    auc = (r2t / 2.0 - nt * (nt + 1) / 2.0) / (nt * float(nr))
-    se = math.sqrt((nt + nr + 1) / (12.0 * nt * nr))
-    return {
-        "n_train": nr, "n_test": nt, "auc": round(auc, 4),
-        "abs_dev": round(abs(auc - 0.5), 4), "h0_se": round(se, 4),
-        "split_clean": int(round(abs(auc - 0.5), 4)
-                           <= round(1.96 * se, 4)),
-    }
+        b = min(int(prob * 10), 9)
+        punct = len(re.findall(r"[.!?,;:]", t))
+        ok = (200 <= len(t) <= 50000
+              and 0.005 <= punct / max(len(t), 1) <= 0.2)
+        cell = buckets.setdefault(b, [0, 0])
+        cell[0] += 1
+        cell[1] += int(ok)
+    all_ok = sum(ok for _, ok in buckets.values())
+    rows = []
+    kept_n = kept_ok = 0
+    for b in sorted(buckets, reverse=True):
+        kept_n += buckets[b][0]
+        kept_ok += buckets[b][1]
+        fp = kept_n - kept_ok
+        fn = all_ok - kept_ok
+        rows.append([b, kept_n, fp, fn,
+                     round(_GATE_C_FP * fp + _GATE_C_FN * fn, 2)])
+    best = min((cost, b) for b, _, _, _, cost in rows)
+    return sorted(
+        (b, k, fp, fn, cost, (cost, b) == best)
+        for b, k, fp, fn, cost in rows
+    )
 
 
-def test_split_auc_matches_python_and_is_clean(spark, tmp_path):
-    texts = []
-    for i in range(60):
-        words = [f"tok{i}x{j}" for j in range(4 + i % 9)]
-        body = " ".join(words)
-        texts.append((body + ". " + body.upper() + ",") * (3 + i % 5))
-    _write_docs(spark, tmp_path, texts)
-    want = _split_auc_py(texts)
-    assert want["n_test"] >= 3  # the hash split actually selected docs
-    r = q_split_distinguishability_auc(spark, str(tmp_path)).collect()[0]
-    for k, v in want.items():
-        assert r[k] == v, (k, r[k], v)
-    # a pure hash split carries no signal: AUC must sit in the H0 band
-    assert r["split_clean"] == 1
-    assert 0.0 <= r["auc"] <= 1.0
+def test_expected_cost_gate_matches_python(spark, tmp_path):
+    texts = [
+        ("alpha beta gamma. " * 20)[:250],
+        ("delta epsilon zeta, " * 30)[:400],
+        "short snippet.",
+        ("eta theta iota " * 40)[:500],
+        ("kappa lam mu. nu xi omicron? " * 15)[:320],
+        ("pi rho sigma! " * 25)[:290],
+        "tau upsilon phi chi psi omega " * 3,
+        ("one two three four. " * 18)[:280],
+    ]
+    _write_docs(spark, tmp_path, [(t, "en", "a") for t in texts])
+    got = [tuple(r) for r in
+           q_expected_cost_gate(spark, str(tmp_path)).collect()]
+    assert got == _gate_expected(texts)
+    assert sum(1 for r in got if r[5]) == 1       # exactly one argmin
+
+
+def test_expected_cost_gate_lowest_threshold_keeps_all(spark, tmp_path):
+    """The lowest observed decile keeps every doc: fn = 0 there, and
+    kept_docs equals the corpus size."""
+    texts = [("word. " * 50)[:260], "tiny.", ("a b c. " * 60)[:300]]
+    _write_docs(spark, tmp_path, [(t, "en", "a") for t in texts])
+    rows = q_expected_cost_gate(spark, str(tmp_path)).collect()
+    lowest = min(rows, key=lambda r: r.threshold_decile)
+    assert lowest.kept_docs == len(texts)
+    assert lowest.false_negatives == 0
+
+
+# ------------------------------------------------------------- plan shapes
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _final(df) -> str:
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_tail_dependence_rides_checkpoint(spark):
+    final = _final(q_tail_dependence_daily(spark, SF_DIR))
+    assert final.count("Scan parquet") == 0
+    assert "CartesianProduct" not in final
+
+
+def test_turning_points_single_scan(spark):
+    final = _final(q_turning_points_test(spark, SF_DIR))
+    assert final.count("Scan parquet") == 1
+    assert "CartesianProduct" not in final
+
+
+def test_expected_cost_gate_rides_checkpoint(spark):
+    final = _final(q_expected_cost_gate(spark, SF_DIR))
+    assert final.count("Scan parquet") == 0
+    assert "CartesianProduct" not in final
