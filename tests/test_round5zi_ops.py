@@ -1,210 +1,251 @@
 """Round-5 batch-37 operators on crafted inputs, verified against
-independent Python computations: prefix_filter_pairs (PPJoin-style
-candidates + relational verify), siegel_repeated_median (50%-breakdown
-trend), ams_f2_estimate (±1 sketch vs exact F2, integer-for-integer)."""
+independent Python computations: cochran_q_filters (matched-sample Q
+over the three gates vs a per-doc flag walk), welch_anova_lengths
+(heteroskedastic F*, df2, Wilson-Hilferty criterion vs direct moment
+algebra), padding_waste_audit (three padding policies vs a sequential
+fold).  Plan pins at the bottom."""
 
 from __future__ import annotations
 
-import datetime as dt
 import hashlib
+import math
 import re
-from collections import Counter
 
 from pdf_extractor_spark.queries import (
-    _AMS_SKETCHES,
-    _PREFIX_BUCKET_CAP,
-    _PREFIX_RARE_K,
-    _PREFIX_TAU,
-    q_ams_f2_estimate,
-    q_prefix_filter_pairs,
-    q_siegel_repeated_median,
+    _PACK_BUDGET,
+    q_cochran_q_filters,
+    q_padding_waste_audit,
+    q_welch_anova_lengths,
 )
 
-_EPOCH = dt.datetime(1970, 1, 1)
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, (t, l, s) in enumerate(rows, 1)],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def _write_docs_nchars(spark, path, rows):
+    """rows: (source, n_chars); text is a synthetic pad of that size."""
+    spark.createDataFrame(
+        [(i, "x" * n, "en", s, n) for i, (s, n) in enumerate(rows, 1)],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
 
 
 def _md5int(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
 
 
-def _toks(t):
-    return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+def _toks(text):
+    return [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
 
 
-def _write_docs(spark, path, texts):
-    spark.createDataFrame(
-        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts, 1)],
-        "doc_id bigint, text string, lang string, source string,"
-        " n_chars bigint",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+# -------------------------------------------------------- cochran_q_filters
 
 
-def _write_daily_counts(spark, path, counts):
-    rows, eid = [], 0
-    for d, c in enumerate(counts):
-        for i in range(c):
-            eid += 1
-            rows.append(
-                (eid, _EPOCH + dt.timedelta(days=d, seconds=i), 1,
-                 "view", 0.0, "{}"))
-    spark.createDataFrame(
-        rows,
-        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
-        " value double, props string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
-
-
-def _low_med(vals, keys=None):
-    vs = sorted(vals)
-    return vs[(len(vs) - 1) // 2]
-
-
-# --------------------------------------------------------- prefix_filter_pairs
-
-
-def _prefix_py(texts):
-    sets = {i: set(_toks(t)) for i, t in enumerate(texts, 1) if _toks(t)}
-    df: Counter = Counter()
-    for s in sets.values():
-        df.update(s)
-    rare = {}
-    for i, s in sets.items():
-        rare[i] = {t for _, t in
-                   sorted((df[t], t) for t in s)[:_PREFIX_RARE_K]}
-    buckets: dict[str, list[int]] = {}
-    for i, ts in rare.items():
-        for t in ts:
-            buckets.setdefault(t, []).append(i)
-    cands = set()
-    for t, docs in buckets.items():
-        if len(docs) > _PREFIX_BUCKET_CAP:
-            continue
-        for a in docs:
-            for b in docs:
-                if b > a:
-                    cands.add((a, b))
-    out = {}
-    for a, b in sorted(cands):
-        i = len(sets[a] & sets[b])
-        u = len(sets[a] | sets[b])
-        j = i / u
-        out[(a, b)] = {"jaccard": round(j, 4),
-                       "is_dup": int(j >= _PREFIX_TAU)}
-    return out
-
-
-def test_prefix_pairs_match_python(spark, tmp_path):
-    texts = [
-        "alpha beta gamma delta rareword1 common common",
-        "alpha beta gamma delta rareword1 common extra",   # near-dup of 1
-        "totally different content rareword2 here now",
-        "totally different content rareword2 here then",   # near-dup of 3
-        "common shared words everywhere in all documents",
-    ]
-    _write_docs(spark, tmp_path, texts)
-    want = _prefix_py(texts)
-    got = {(r["doc_a"], r["doc_b"]): r
-           for r in q_prefix_filter_pairs(spark, str(tmp_path)).collect()}
-    assert set(got) == set(want)
-    for key, w in want.items():
-        assert got[key]["jaccard"] == w["jaccard"]
-        assert got[key]["is_dup"] == w["is_dup"]
-    # the two planted near-dup pairs are candidates AND verified
-    assert got[(1, 2)]["is_dup"] == 1
-    assert got[(3, 4)]["is_dup"] == 1
-
-
-def test_prefix_pairs_identical_docs_always_candidates(spark, tmp_path):
-    # zero-false-negative sanity: exact duplicates share every rare
-    # token, so they cannot be missed by the prefix filter
-    texts = ["one two three four five six"] * 2 + [
-        "seven eight nine ten eleven twelve"]
-    _write_docs(spark, tmp_path, texts)
-    got = {(r["doc_a"], r["doc_b"]): r
-           for r in q_prefix_filter_pairs(spark, str(tmp_path)).collect()}
-    assert (1, 2) in got
-    assert got[(1, 2)]["jaccard"] == 1.0 and got[(1, 2)]["is_dup"] == 1
-
-
-# ------------------------------------------------------ siegel_repeated_median
-
-
-def _siegel_py(counts):
-    y = [float(c) for c in counts]
-    n = len(y)
-    inner = []
-    for i in range(n):
-        slopes = [(y[j] - y[i]) / (j - i) for j in range(n) if j != i]
-        inner.append(_low_med(slopes))
-    b = _low_med(inner)
-    a = _low_med([y[i] - b * i for i in range(n)])
-    return round(b, 6), round(a, 6)
-
-
-def test_siegel_matches_python_and_survives_heavy_contamination(
-        spark, tmp_path):
-    clean = [3 + 2 * i for i in range(12)]
-    counts = list(clean)
-    for bad in (1, 4, 6, 9, 11):       # 5 of 12 days corrupted
-        counts[bad] += 1000
-    _write_daily_counts(spark, tmp_path, counts)
-    b, a = _siegel_py(counts)
-    r = q_siegel_repeated_median(spark, str(tmp_path)).collect()[0]
-    assert r["n_days"] == 12
-    assert r["siegel_slope"] == b
-    assert r["intercept"] == a
-    # with 42% of days corrupted the repeated median still reads the
-    # underlying slope-2 line
-    assert abs(r["siegel_slope"] - 2.0) < 0.6
-
-
-def test_siegel_exact_line(spark, tmp_path):
-    _write_daily_counts(spark, tmp_path, [7 + 3 * i for i in range(9)])
-    r = q_siegel_repeated_median(spark, str(tmp_path)).collect()[0]
-    assert r["siegel_slope"] == 3.0
-    assert r["intercept"] == 7.0
-
-
-# ------------------------------------------------------------- ams_f2_estimate
-
-
-def _ams_py(texts):
-    cnt: Counter = Counter()
+def _cq_expected(texts):
+    g = [0, 0, 0]
+    sl = sl2 = 0
     for t in texts:
-        cnt.update(_toks(t))
-    f2 = sum(c * c for c in cnt.values())
-    ests = []
-    for r in range(_AMS_SKETCHES):
-        z = sum((1 - 2 * (_md5int(f"ams:{r}:{t}") % 2)) * c
-                for t, c in cnt.items())
-        ests.append((z * z, r))
-    ests.sort()
-    ams = ests[(len(ests) - 1) // 2][0]
-    return {
-        "n_tokens": sum(cnt.values()),
-        "distinct_tokens": len(cnt),
-        "f2_exact": f2,
-        "ams_estimate": ams,
-        "rel_err": round(abs(ams - f2) / f2, 4),
-        "n_sketches": _AMS_SKETCHES,
-    }
+        n = len(t)
+        punct = len(re.findall(r"[.!?,;:]", t))
+        score = sum(
+            _md5int(f"w:{_md5int(w) % 4096}") % 2001 - 1000
+            for w in _toks(t))
+        flags = [
+            1 if 200 <= n <= 50000 else 0,
+            1 if 0.005 <= punct / max(n, 1) <= 0.2 else 0,
+            1 if score >= 0 else 0,
+        ]
+        for j, f in enumerate(flags):
+            g[j] += f
+        li = sum(flags)
+        sl += li
+        sl2 += li * li
+    denom = 3.0 * sl - sl2
+    q = (2.0 * (3.0 * sum(x * x for x in g) - sum(g) ** 2) / denom
+         if denom else None)
+    verdict = ("gates_disagree" if q is not None and q > 5.9915
+               else "gates_equivalent")
+    return (len(texts), g[0], g[1], g[2],
+            round(q, 4) if q is not None else None, verdict)
 
 
-def test_ams_matches_python_exactly(spark, tmp_path):
-    texts = ["the cat sat on the mat " * 4,
-             "a very different set of words here",
-             "the the the repeated token heavy doc"]
-    _write_docs(spark, tmp_path, texts)
-    want = _ams_py(texts)
-    r = q_ams_f2_estimate(spark, str(tmp_path)).collect()[0]
-    for k, v in want.items():
-        assert r[k] == v, (k, r[k], v)
+def test_cochran_q_matches_python(spark, tmp_path):
+    texts = [
+        ("alpha beta gamma. " * 20)[:250],     # len ok, punct ok
+        "tiny.",                                # len fails
+        ("delta epsilon " * 30)[:350],          # no punct
+        ("zeta eta theta, iota. " * 16)[:300],
+        ("kappa " * 60)[:280],                  # no punct
+        ("lam mu nu. xi! " * 25)[:310],
+    ]
+    _write_docs(spark, tmp_path, [(t, "en", "a") for t in texts])
+    got = q_cochran_q_filters(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert tuple(got[0]) == _cq_expected(texts)
 
 
-def test_ams_single_token_corpus_is_exact(spark, tmp_path):
-    # one distinct token: every sketch row is (+-c)^2 = c^2 = F2 exactly
-    _write_docs(spark, tmp_path, ["tok tok tok tok tok"])
-    r = q_ams_f2_estimate(spark, str(tmp_path)).collect()[0]
-    assert r["f2_exact"] == 25
-    assert r["ams_estimate"] == 25
-    assert r["rel_err"] == 0.0
+def test_cochran_q_disagreeing_gates_flagged(spark, tmp_path):
+    """Length gate passes everything, punct gate fails everything:
+    maximal disagreement on matched docs -> Q = 2k per-doc discordance
+    blows past the chi2 criterion."""
+    texts = [(f"word{i} " * 60)[:260] for i in range(12)]   # no punct
+    _write_docs(spark, tmp_path, [(t, "en", "a") for t in texts])
+    r = q_cochran_q_filters(spark, str(tmp_path)).collect()[0]
+    assert tuple(r) == _cq_expected(texts)
+    assert r.pass_len == 12
+    assert r.pass_punct == 0
+    assert r.verdict == "gates_disagree"
+
+
+# ------------------------------------------------------ welch_anova_lengths
+
+
+def _welch_expected(rows):
+    per: dict[str, list[int]] = {}
+    for s, n in rows:
+        per.setdefault(s, []).append(n)
+    groups = []
+    for s in sorted(per):
+        v = per[s]
+        nj = float(len(v))
+        if nj < 2:
+            continue
+        mj = sum(v) / nj
+        s2 = sum((x - mj) ** 2 for x in v) / (nj - 1)
+        if s2 > 0:
+            groups.append((nj, mj, s2))
+    k = float(len(groups))
+    n = sum(nj for nj, _, _ in groups)
+    wsum = sum(nj / s2 for nj, _, s2 in groups)
+    xw = sum((nj / s2) * mj for nj, mj, s2 in groups) / wsum
+    num = sum((nj / s2) * (mj - xw) ** 2 for nj, mj, s2 in groups) / (k - 1)
+    hsum = sum((1.0 - (nj / s2) / wsum) ** 2 / (nj - 1)
+               for nj, _, s2 in groups)
+    fstat = num / (1.0 + 2.0 * (k - 2) / (k * k - 1) * hsum)
+    df2 = (k * k - 1) / (3.0 * hsum)
+    df1 = k - 1
+    crit = df1 * (1.0 - 2.0 / (9.0 * df1)
+                  + 1.6449 * math.sqrt(2.0 / (9.0 * df1))) ** 3
+    verdict = "means_differ" if fstat > crit / df1 else "means_consistent"
+    return (int(n), int(k), round(fstat, 4), int(df1), round(df2, 2),
+            round(crit / df1, 4), verdict)
+
+
+def _welch_rows(shift):
+    rows = []
+    for i in range(40):
+        rows.append(("tight", 1000 + (i * 7) % 50))
+    for i in range(25):
+        rows.append(("wide", 1000 + shift + (i * 97) % 900))
+    for i in range(30):
+        rows.append(("mid", 1000 + shift // 2 + (i * 31) % 200))
+    return rows
+
+
+def test_welch_matches_python_and_flags_shift(spark, tmp_path):
+    rows = _welch_rows(shift=800)
+    _write_docs_nchars(spark, tmp_path, rows)
+    got = q_welch_anova_lengths(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert tuple(got[0]) == _welch_expected(rows)
+    assert got[0].verdict == "means_differ"
+
+
+def test_welch_equal_means_consistent(spark, tmp_path):
+    """Same-mean groups with very different variances: classical ANOVA's
+    failure case, Welch stays calm."""
+    rows = []
+    for i in range(40):
+        rows.append(("tight", 1000 + (-1) ** i * (i % 5)))       # ~1000
+    for i in range(40):
+        rows.append(("wide", 1000 + (-1) ** i * ((i * 37) % 400)))  # ~1000
+    _write_docs_nchars(spark, tmp_path, rows)
+    r = q_welch_anova_lengths(spark, str(tmp_path)).collect()[0]
+    assert tuple(r) == _welch_expected(rows)
+    assert r.verdict == "means_consistent"
+
+
+# ------------------------------------------------------ padding_waste_audit
+
+
+def _pad_expected(texts):
+    docs = 0
+    tok = 0.0
+    w128 = wgeo = wfix = 0.0
+    for t in texts:
+        n = min(float(len(_toks(t))), float(_PACK_BUDGET))
+        docs += 1
+        tok += n
+        w128 += math.ceil(n / 128.0) * 128.0 - n
+        for b in (128.0, 256.0, 512.0, 1024.0, 2048.0):
+            if n <= b:
+                wgeo += b - n
+                break
+        wfix += _PACK_BUDGET - n
+    return (docs, int(tok),
+            round(wfix / (tok + wfix), 4),
+            round(wgeo / (tok + wgeo), 4),
+            round(w128 / (tok + w128), 4),
+            round(wfix / w128, 2) if w128 else None,
+            int(math.ceil(tok / _PACK_BUDGET)))
+
+
+def test_padding_waste_matches_python(spark, tmp_path):
+    texts = [
+        "w " * 50,            # 50 tokens -> bucket 128
+        "x " * 300,           # 300 -> bucket 512
+        "y " * 1100,          # 1100 -> bucket 2048
+        "z " * 3000,          # clamped to 2048 -> zero waste everywhere
+        "a b c",              # 3 tokens
+    ]
+    _write_docs(spark, tmp_path, [(t, "en", "a") for t in texts])
+    got = q_padding_waste_audit(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert tuple(got[0]) == _pad_expected(texts)
+
+
+def test_padding_policy_ordering(spark, tmp_path):
+    """Fixed-length padding always wastes >= geometric buckets >=
+    pad-to-128 (policies are strictly nested refinements)."""
+    texts = [("tok " * (37 * i + 11))[: (37 * i + 11) * 4]
+             for i in range(1, 15)]
+    _write_docs(spark, tmp_path, [(t, "en", "a") for t in texts])
+    r = q_padding_waste_audit(spark, str(tmp_path)).collect()[0]
+    assert tuple(r) == _pad_expected(texts)
+    assert r.pad_share_fixed >= r.pad_share_buckets >= r.pad_share_mult128
+    assert r.fixed_over_mult128 >= 1.0
+
+
+# ------------------------------------------------------------- plan shapes
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _final(df) -> str:
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_cochran_q_single_scan(spark):
+    final = _final(q_cochran_q_filters(spark, SF_DIR))
+    assert final.count("Scan parquet") == 1
+    assert "CartesianProduct" not in final
+
+
+def test_welch_rides_checkpoint(spark):
+    final = _final(q_welch_anova_lengths(spark, SF_DIR))
+    assert final.count("Scan parquet") == 0
+    assert "CartesianProduct" not in final
+
+
+def test_padding_waste_single_scan(spark):
+    final = _final(q_padding_waste_audit(spark, SF_DIR))
+    assert final.count("Scan parquet") == 1
+    assert "CartesianProduct" not in final
