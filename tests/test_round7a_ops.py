@@ -16,7 +16,7 @@ from collections import defaultdict
 
 from pdf_extractor_spark.queries import (
     _IVFSQ8_K,
-    _IVFSQ8_QMOD,
+    _IVFSQ8_NQ,
     q_fold_stability_audit,
     q_ivf_sq8_recall,
     q_quasi_identifier_risk_curve,
@@ -61,10 +61,10 @@ def _ivfsq8_ref(vecs):
         return [math.floor(x * s + 0.5) for x in v]
 
     k = _IVFSQ8_K
+    qids = sorted(sorted(emap, key=lambda vid: (_md5u(str(vid)), vid))
+                  [:_IVFSQ8_NQ])
     out = []
-    for qid in sorted(emap):
-        if qid % _IVFSQ8_QMOD:
-            continue
+    for qid in qids:
         fd = sorted(((round(sum(a * b for a, b in
                                 zip(emap[i], emap[qid])), 4), i)
                      for i in emap if i != qid),
